@@ -1,0 +1,78 @@
+"""Headline benchmark: x.T @ x, N×1000 fp32 (reference benchmark 1).
+
+Reference: scripts/benchmark_bop.py:97-161; baselines in BASELINE.md.
+At N=2,500,000 the best reference config (CupyNcclActorSystem, 2 nodes /
+8 GPUs, NCCL p2p) measures 0.0714 s. This benchmark runs the same
+computation through the nums_tpu BlockArray path on the local TPU
+device(s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+vs_baseline > 1.0 means faster than the reference's best 8-GPU result.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("NUMS_TPU_BENCH_N", 2_500_000))
+    d = int(os.environ.get("NUMS_TPU_BENCH_D", 1000))
+    reps = int(os.environ.get("NUMS_TPU_BENCH_REPS", 5))
+
+    import jax
+    import jax.numpy as jnp
+
+    import nums_tpu
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    app = nums_tpu.init()
+    backend = app.backend
+
+    # Deterministic fp32 data generated on-device in ONE buffer (sampling
+    # via jax.random would transiently hold 2x = 20GB at this N).
+    @jax.jit
+    def gen():
+        i = jax.lax.broadcasted_iota(jnp.float32, (n, d), 0)
+        j = jax.lax.broadcasted_iota(jnp.float32, (n, d), 1)
+        return jnp.sin(i * 1e-5) + jnp.cos(j * 0.37) * 0.5
+
+    data = gen()
+    block_rows = max(1, n // max(1, backend.num_devices))
+    X = BlockArray.from_jax(data, block_shape=(block_rows, d), backend=backend)
+
+    def run_once():
+        Z = X.T @ X
+        # Scalar fetch forces completion (robust even where
+        # block_until_ready is a no-op through transport layers).
+        return float(Z[0, 0])
+
+    run_once()  # compile + warmup
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+
+    flops = 2.0 * n * d * d
+    baseline = 0.0714 * (n / 2_500_000)  # linear-scale the 8-GPU baseline
+    result = {
+        "metric": f"xTx_N{n}_d{d}_fp32_seconds",
+        "value": round(t, 5),
+        "unit": "s",
+        "vs_baseline": round(baseline / t, 3),
+        "tflops": round(flops / t / 1e12, 1),
+        "baseline": "CupyNcclActorSystem 8xGPU (reference result_bop.csv)",
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,21 @@
+"""nums_tpu: a TPU-native distributed NumPy.
+
+Rebuild of NumS (reference: merrymercy/nums) for TPU: arrays are
+grid-partitioned over a ``jax.sharding.Mesh``, ops are jitted XLA/Pallas
+programs, and ICI collectives replace the object store.
+
+Parity: ``nums/__init__.py:17-30``.
+"""
+
+from nums_tpu._version import __version__
+from nums_tpu.api import read, write, delete, read_csv
+from nums_tpu.core import application_manager
+
+
+def init():
+    """Eagerly initialize the backend (parity: nums/__init__.py:26-30)."""
+    application_manager.instance()
+    return application_manager.instance()
+
+
+__all__ = ["read", "write", "delete", "read_csv", "init", "__version__"]

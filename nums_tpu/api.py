@@ -1,0 +1,34 @@
+"""Top-level I/O verbs (parity: ``nums/api.py:23-71``)."""
+
+from nums_tpu.core.application_manager import instance as _instance
+
+
+def _is_s3(filename: str) -> bool:
+    return filename.startswith("s3://")
+
+
+def read(filename: str):
+    """Read a persisted BlockArray; ``s3://`` prefix dispatches to S3."""
+    if _is_s3(filename):
+        return _instance().read_s3(filename[len("s3://"):])
+    return _instance().read_fs(filename)
+
+
+def write(ba, filename: str):
+    if _is_s3(filename):
+        return _instance().write_s3(ba, filename[len("s3://"):])
+    return _instance().write_fs(ba, filename)
+
+
+def delete(filename: str):
+    if _is_s3(filename):
+        return _instance().delete_s3(filename[len("s3://"):])
+    return _instance().delete_fs(filename)
+
+
+def read_csv(filename, dtype=float, delimiter=",", has_header=False,
+             num_workers=None):
+    return _instance().read_csv(
+        filename, dtype=dtype, delimiter=delimiter, has_header=has_header,
+        num_workers=num_workers,
+    )

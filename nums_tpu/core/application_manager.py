@@ -1,0 +1,60 @@
+"""Process-global application lifecycle.
+
+Parity: ``nums/core/application_manager.py:31-100`` — lazy singleton that
+builds Backend + FileSystem + ArrayApplication from settings. Where the
+reference boots a Ray cluster here init just constructs a mesh over
+already-attached TPU devices (no cluster boundary to cross).
+"""
+
+import logging
+import sys
+
+from nums_tpu.core import settings
+from nums_tpu.core.backend import make_backend
+from nums_tpu.core.array.application import ArrayApplication
+
+_instance: ArrayApplication = None
+
+
+def is_initialized() -> bool:
+    return _instance is not None
+
+
+def instance() -> ArrayApplication:
+    global _instance
+    if _instance is None:
+        _instance = create()
+    return _instance
+
+
+def set_instance(app: ArrayApplication):
+    global _instance
+    _instance = app
+
+
+def create() -> ArrayApplication:
+    configure_logging()
+    settings.configure_x64()
+    backend = make_backend(settings.backend_name)
+    from nums_tpu.core.io.filesystem import FileSystem
+
+    return ArrayApplication(backend, FileSystem(backend))
+
+
+def destroy():
+    global _instance
+    if _instance is None:
+        return
+    _instance.backend.shutdown()
+    _instance = None
+
+
+def configure_logging():
+    root = logging.getLogger()
+    if not any(
+        isinstance(h, logging.StreamHandler) and h.stream is sys.stdout
+        for h in root.handlers
+    ):
+        handler = logging.StreamHandler(sys.stdout)
+        handler.setFormatter(logging.Formatter("%(levelname)s %(name)s: %(message)s"))
+        root.addHandler(handler)

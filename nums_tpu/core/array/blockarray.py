@@ -1,0 +1,622 @@
+"""BlockArray: a grid-partitioned distributed array on a TPU mesh.
+
+Parity target: ``nums/core/array/base.py:27-377`` +
+``nums/core/array/blockarray.py:29-699`` (semantics only — fresh TPU-native
+design). The reference materializes each block as a separate remote object
+and drives per-block tasks from Python. Here a BlockArray is ONE
+``jax.Array`` (sharded over the backend's mesh per its grid) plus
+``ArrayGrid`` metadata; every op is a whole-array jitted XLA program, so
+"scheduling" is XLA SPMD partitioning and "futures" are jax async dispatch
+(``touch`` == ``block_until_ready``, ``get`` == ``device_get`` — parity with
+blockarray.py:117-126 / base.py:348-360).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nums_tpu.core.grid import ArrayGrid
+from nums_tpu.core.array import utils as array_utils
+from nums_tpu.core.ops import elementwise, linear, reductions, shape_ops
+
+
+def _normalize_shape(shape_args):
+    if len(shape_args) == 1 and isinstance(shape_args[0], (tuple, list)):
+        return tuple(int(s) for s in shape_args[0])
+    return tuple(int(s) for s in shape_args)
+
+
+def compute_shape(size: int, shape) -> tuple:
+    """Resolve a reshape spec with at most one -1 (parity: blockarray.py:704-728)."""
+    shape = tuple(shape)
+    unknown = [i for i, s in enumerate(shape) if s == -1]
+    if not unknown:
+        if int(np.prod(shape)) != size and size != 0:
+            raise ValueError(f"cannot reshape array of size {size} into {shape}")
+        return shape
+    if len(unknown) > 1:
+        raise ValueError("can only specify one unknown dimension")
+    known = int(np.prod([s for s in shape if s != -1]))
+    if known == 0 or size % known != 0:
+        raise ValueError(f"cannot reshape array of size {size} into {shape}")
+    inferred = size // known
+    return tuple(inferred if s == -1 else s for s in shape)
+
+
+class Block:
+    """Lightweight per-block view (parity: ``Block``, base.py:27-246).
+
+    In the reference a Block owns a remote object id; here it is a metadata
+    window into the parent's single jax.Array. Exists for block-aware code
+    paths (I/O, per-block minibatching, tests of grid integrity).
+    """
+
+    def __init__(self, parent, grid_entry):
+        self._parent = parent
+        self.grid_entry = tuple(grid_entry)
+        self.grid_shape = parent.grid.grid_shape
+        self.rect = parent.grid.get_slice_tuples(self.grid_entry)
+        self.shape = parent.grid.get_block_shape(self.grid_entry)
+        self.dtype = parent.dtype
+
+    def get(self) -> np.ndarray:
+        sl = self._parent.grid.get_slice(self.grid_entry)
+        return np.asarray(jax.device_get(self._parent.data[sl]))
+
+
+class BlockArray:
+    # Defer all numpy-operator dispatch to our reflected operators.
+    __array_ufunc__ = None
+    __array_priority__ = 100.0
+
+    def __init__(self, data, grid: ArrayGrid, backend, transposed=False):
+        # ``transposed`` marks a LAZY logical transpose: ``grid`` describes
+        # the logical (transposed) shape while ``data`` holds the original
+        # buffer. Consumers fuse the transpose into their jitted programs
+        # (parity with the reference's zero-copy metadata transpose,
+        # base.py:72-85) — it is never materialized in HBM unless an op
+        # needs the layout (indexing, reshape, I/O).
+        if transposed:
+            assert tuple(reversed(data.shape)) == tuple(grid.shape), (
+                data.shape, grid.shape,
+            )
+        else:
+            assert tuple(data.shape) == tuple(grid.shape), (
+                data.shape, grid.shape,
+            )
+        self._data = data
+        self._transposed = transposed
+        self.grid = grid
+        self.backend = backend
+
+    # ------------------------------------------------------------------
+    # Constructors
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_np(cls, arr: np.ndarray, block_shape=None, copy=False, backend=None):
+        arr = np.asarray(arr)
+        if copy:
+            arr = np.copy(arr)
+        block_shape = tuple(block_shape) if block_shape is not None else arr.shape
+        grid = ArrayGrid(arr.shape, block_shape, arr.dtype.name)
+        data = backend.device_put(arr, grid)
+        return cls(data, grid, backend)
+
+    @classmethod
+    def from_scalar(cls, value, backend):
+        if isinstance(value, (bool, int, float, complex, np.generic)):
+            arr = np.array(value)
+        else:
+            arr = np.asarray(value)
+            assert arr.ndim == 0
+        return cls.from_np(arr, block_shape=(), backend=backend)
+
+    @classmethod
+    def from_jax(cls, data, block_shape=None, backend=None):
+        block_shape = (
+            tuple(block_shape) if block_shape is not None else tuple(data.shape)
+        )
+        grid = ArrayGrid(tuple(data.shape), block_shape, data.dtype.name)
+        return cls(data, grid, backend)
+
+    def _new(self, data, block_shape=None):
+        """Wrap a derived jax.Array, deriving block metadata from self."""
+        if block_shape is None:
+            block_shape = array_utils.default_block_shape_for(
+                tuple(data.shape), self.block_shape
+            )
+        grid = ArrayGrid(tuple(data.shape), block_shape, data.dtype.name)
+        return BlockArray(data, grid, self.backend)
+
+    # ------------------------------------------------------------------
+    # Properties
+    # ------------------------------------------------------------------
+
+    @property
+    def data(self):
+        """Materialized (logical-layout) jax.Array."""
+        if self._transposed:
+            self._data = elementwise.materialize_t()(self._data)
+            self._transposed = False
+        return self._data
+
+    @property
+    def raw(self):
+        """Underlying buffer, possibly in transposed layout."""
+        return self._data
+
+    @property
+    def is_transposed(self):
+        return self._transposed
+
+    @property
+    def shape(self):
+        return self.grid.shape
+
+    @property
+    def block_shape(self):
+        return self.grid.block_shape
+
+    @property
+    def grid_shape(self):
+        return self.grid.grid_shape
+
+    @property
+    def dtype(self):
+        return np.dtype(self.grid.dtype)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def size(self):
+        return int(np.prod(self.shape)) if self.shape else 1
+
+    @property
+    def nbytes(self):
+        return self.dtype.itemsize * self.size
+
+    @property
+    def T(self):
+        return self.transpose()
+
+    @property
+    def blocks(self):
+        out = np.empty(self.grid.grid_shape, dtype=object)
+        for entry in self.grid.get_entry_iterator():
+            out[entry] = Block(self, entry)
+        return out
+
+    def is_single_block(self):
+        return self.grid.num_blocks == 1
+
+    # ------------------------------------------------------------------
+    # Materialization
+    # ------------------------------------------------------------------
+
+    def get(self) -> np.ndarray:
+        arr = np.asarray(jax.device_get(self._data))
+        # Host-side transpose is a zero-copy view.
+        return arr.transpose() if self._transposed else arr
+
+    def touch(self):
+        """Block until materialized without fetching (parity blockarray.py:117-126)."""
+        jax.block_until_ready(self._data)
+        return self
+
+    def copy(self):
+        return self._new(elementwise.touch(self.data), self.block_shape)
+
+    # ------------------------------------------------------------------
+    # Structure ops
+    # ------------------------------------------------------------------
+
+    def astype(self, dtype):
+        name = array_utils.to_dtype_name(dtype)
+        data = elementwise.astype(name)(self._data)
+        grid = ArrayGrid(self.shape, self.block_shape, data.dtype.name)
+        return BlockArray(data, grid, self.backend,
+                          transposed=self._transposed)
+
+    def transpose(self, *axes):
+        if axes and isinstance(axes[0], (tuple, list)):
+            axes = tuple(axes[0])
+        perm = tuple(axes) if axes else tuple(reversed(range(self.ndim)))
+        block_shape = tuple(self.block_shape[p] for p in perm)
+        if perm == tuple(reversed(range(self.ndim))):
+            # Zero-copy lazy transpose (parity: base.py:72-85).
+            if self.ndim <= 1:
+                return self
+            shape = tuple(self.shape[p] for p in perm)
+            grid = ArrayGrid(shape, block_shape, self.grid.dtype)
+            return BlockArray(
+                self._data, grid, self.backend,
+                transposed=not self._transposed,
+            )
+        data = linear.transpose(perm)(self.data)
+        return self._new(data, block_shape)
+
+    def reshape(self, *shape, **kwargs):
+        block_shape = kwargs.pop("block_shape", None)
+        assert not kwargs, f"unexpected kwargs {kwargs}"
+        if shape:
+            new_shape = compute_shape(self.size, _normalize_shape(shape))
+        else:
+            new_shape = self.shape
+        if new_shape == self.shape:
+            data = self.data
+        else:
+            data = shape_ops.reshape(new_shape)(self.data)
+        if block_shape is None:
+            if new_shape == self.shape:
+                return self
+            block_shape = array_utils.default_block_shape_for(new_shape)
+        block_shape = tuple(block_shape)
+        grid = ArrayGrid(new_shape, block_shape, data.dtype.name)
+        # Re-block = change of sharding only; move shards if the backend
+        # maps the new grid differently (resharding collective under mesh).
+        target = self.backend.sharding_for_grid(grid)
+        if target is not None and data.sharding != target:
+            data = jax.device_put(data, target)
+        return BlockArray(data, grid, self.backend)
+
+    def expand_dims(self, axis):
+        data = shape_ops.expand_dims(axis)(self.data)
+        return self._new(data)
+
+    def squeeze(self):
+        data = shape_ops.squeeze(self.data)
+        bs = tuple(b for b, s in zip(self.block_shape, self.shape) if s != 1)
+        return self._new(data, bs)
+
+    def flattened_oids(self):
+        # Parity shim for APIs that enumerate per-block objects.
+        return [Block(self, e) for e in self.grid.get_entry_iterator()]
+
+    # ------------------------------------------------------------------
+    # Elementwise / reductions
+    # ------------------------------------------------------------------
+
+    def ufunc(self, op_name):
+        # Elementwise ops commute with transpose: compute on the raw buffer
+        # and carry the lazy-transpose flag through.
+        data = elementwise.uop(op_name)(self._data)
+        grid = ArrayGrid(self.shape, self.block_shape, data.dtype.name)
+        return BlockArray(data, grid, self.backend,
+                          transposed=self._transposed)
+
+    def reduce_axis(self, op_name, axis, keepdims=False):
+        data = reductions.reduce(
+            op_name, axis, bool(keepdims), None, self._transposed
+        )(self._data)
+        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
+        return self._new(data, bs)
+
+    def sum(self, axis=None, keepdims=False, dtype=None):
+        data = reductions.reduce(
+            "sum", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
+            self._transposed,
+        )(self._data)
+        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
+        return self._new(data, bs)
+
+    def mean(self, axis=None, keepdims=False, dtype=None):
+        data = reductions.reduce(
+            "mean", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
+            self._transposed,
+        )(self._data)
+        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
+        return self._new(data, bs)
+
+    def min(self, axis=None, keepdims=False):
+        return self.reduce_axis("min", axis, keepdims)
+
+    def max(self, axis=None, keepdims=False):
+        return self.reduce_axis("max", axis, keepdims)
+
+    def prod(self, axis=None, keepdims=False):
+        return self.reduce_axis("prod", axis, keepdims)
+
+    def argmin(self, axis=None):
+        data = reductions.arg_op("argmin", axis, self._transposed)(self._data)
+        return self._new(data)
+
+    def argmax(self, axis=None):
+        data = reductions.arg_op("argmax", axis, self._transposed)(self._data)
+        return self._new(data)
+
+    def var(self, axis=None, ddof=0, keepdims=False, dtype=None):
+        data = reductions.var(
+            axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
+            self._transposed,
+        )(self._data)
+        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
+        return self._new(data, bs)
+
+    def std(self, axis=None, ddof=0, keepdims=False, dtype=None):
+        data = reductions.std(
+            axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
+            self._transposed,
+        )(self._data)
+        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
+        return self._new(data, bs)
+
+    # ------------------------------------------------------------------
+    # Binary ops
+    # ------------------------------------------------------------------
+
+    def check_or_convert_other(self, other, compute_block_shape=False):
+        """Coerce an operand to something our jitted bops accept.
+
+        Parity: blockarray.py:322-335. Python scalars stay raw (jax weak
+        typing reproduces NumPy value-based promotion); ndarrays are
+        device_put and wrapped.
+        """
+        del compute_block_shape
+        if isinstance(other, BlockArray):
+            return other
+        if array_utils.is_scalar_like(other):
+            return other
+        if isinstance(other, (np.ndarray, list, tuple)):
+            return BlockArray.from_np(np.asarray(other), backend=self.backend)
+        if isinstance(other, jax.Array):
+            return BlockArray.from_jax(other, backend=self.backend)
+        raise ValueError(f"Cannot operate on {type(other)}")
+
+    def _bop(self, op_name, other, reverse=False):
+        other = self.check_or_convert_other(other)
+        if isinstance(other, BlockArray):
+            o_data, o_shape, o_bs = other._data, other.shape, other.block_shape
+            o_t = other._transposed
+        else:
+            o_data, o_shape, o_bs = other, (), ()
+            o_t = False
+        if reverse:
+            a, b, ta, tb = o_data, self._data, o_t, self._transposed
+        else:
+            a, b, ta, tb = self._data, o_data, self._transposed, o_t
+        data = elementwise.bop(op_name, ta, tb)(a, b)
+        result_shape = tuple(data.shape)
+        bs = array_utils.broadcast_block_shape(
+            result_shape, self.shape, self.block_shape, o_shape, o_bs
+        )
+        return self._new(data, bs)
+
+    # Arithmetic
+    def __add__(self, other):
+        return self._bop("add", other)
+
+    def __radd__(self, other):
+        return self._bop("add", other, reverse=True)
+
+    def __sub__(self, other):
+        return self._bop("subtract", other)
+
+    def __rsub__(self, other):
+        return self._bop("subtract", other, reverse=True)
+
+    def __mul__(self, other):
+        return self._bop("multiply", other)
+
+    def __rmul__(self, other):
+        return self._bop("multiply", other, reverse=True)
+
+    def __truediv__(self, other):
+        return self._bop("true_divide", other)
+
+    def __rtruediv__(self, other):
+        return self._bop("true_divide", other, reverse=True)
+
+    def __floordiv__(self, other):
+        return self._bop("floor_divide", other)
+
+    def __rfloordiv__(self, other):
+        return self._bop("floor_divide", other, reverse=True)
+
+    def __mod__(self, other):
+        return self._bop("mod", other)
+
+    def __rmod__(self, other):
+        return self._bop("mod", other, reverse=True)
+
+    def __pow__(self, other):
+        return self._bop("power", other)
+
+    def __rpow__(self, other):
+        return self._bop("power", other, reverse=True)
+
+    # In-place aliases (functional under the hood; parity blockarray.py:612-617)
+    __iadd__ = __add__
+    __isub__ = __sub__
+    __imul__ = __mul__
+    __itruediv__ = __truediv__
+    __ipow__ = __pow__
+
+    # Comparison
+    def __eq__(self, other):
+        return self._bop("equal", other)
+
+    def __ne__(self, other):
+        return self._bop("not_equal", other)
+
+    def __lt__(self, other):
+        return self._bop("less", other)
+
+    def __le__(self, other):
+        return self._bop("less_equal", other)
+
+    def __gt__(self, other):
+        return self._bop("greater", other)
+
+    def __ge__(self, other):
+        return self._bop("greater_equal", other)
+
+    __hash__ = None
+
+    # Bitwise / logical (NumPy semantics: & | ^ are bitwise; on bools they
+    # coincide with logical ops).
+    def __and__(self, other):
+        return self._bop("bitwise_and", other)
+
+    def __rand__(self, other):
+        return self._bop("bitwise_and", other, reverse=True)
+
+    def __or__(self, other):
+        return self._bop("bitwise_or", other)
+
+    def __ror__(self, other):
+        return self._bop("bitwise_or", other, reverse=True)
+
+    def __xor__(self, other):
+        return self._bop("bitwise_xor", other)
+
+    def __rxor__(self, other):
+        return self._bop("bitwise_xor", other, reverse=True)
+
+    def __lshift__(self, other):
+        return self._bop("left_shift", other)
+
+    def __rshift__(self, other):
+        return self._bop("right_shift", other)
+
+    # Unary
+    def __neg__(self):
+        return self.ufunc("negative")
+
+    def __pos__(self):
+        return self.ufunc("positive")
+
+    def __abs__(self):
+        return self.ufunc("abs")
+
+    def __invert__(self):
+        return self.ufunc("invert")
+
+    # ------------------------------------------------------------------
+    # Contractions
+    # ------------------------------------------------------------------
+
+    def tensordot(self, other, axes=2):
+        other = self.check_or_convert_other(other)
+        if not isinstance(other, BlockArray):
+            other = BlockArray.from_scalar(other, self.backend)
+        if isinstance(axes, int):
+            static_axes = int(axes)
+        else:
+            static_axes = tuple(tuple(a) for a in axes)
+        if other._data is self._data:
+            data = linear.tensordot_same(
+                static_axes, self._transposed, other._transposed
+            )(self._data)
+        else:
+            data = linear.tensordot(
+                static_axes, self._transposed, other._transposed
+            )(self._data, other._data)
+        if isinstance(static_axes, int):
+            bs = array_utils.tensordot_block_shape(
+                self.block_shape, other.block_shape, static_axes
+            )
+        else:
+            bs = array_utils.default_block_shape_for(tuple(data.shape))
+        return self._new(data, bs)
+
+    def __matmul__(self, other):
+        other = self.check_or_convert_other(other)
+        if self.ndim > 2 or (isinstance(other, BlockArray) and other.ndim > 2):
+            o = other._data if isinstance(other, BlockArray) else other
+            o_t = other._transposed if isinstance(other, BlockArray) else False
+            data = linear.matmul(self._transposed, o_t)(self._data, o)
+            return self._new(data)
+        return self.tensordot(other, axes=1)
+
+    def __rmatmul__(self, other):
+        other = self.check_or_convert_other(other)
+        if not isinstance(other, BlockArray):
+            raise ValueError("matmul requires array operands")
+        return other.__matmul__(self)
+
+    # ------------------------------------------------------------------
+    # Indexing
+    # ------------------------------------------------------------------
+
+    def _normalize_subscript(self, item):
+        if not isinstance(item, tuple):
+            item = (item,)
+        out = []
+        for s in item:
+            if isinstance(s, BlockArray):
+                if s.dtype == np.bool_:
+                    raise NotImplementedError(
+                        "Boolean-mask indexing produces dynamic shapes; "
+                        "unsupported (parity: reference raises too)."
+                    )
+                out.append(s._data)
+            elif isinstance(s, np.ndarray):
+                if s.dtype == np.bool_:
+                    raise NotImplementedError(
+                        "Boolean-mask indexing is unsupported."
+                    )
+                out.append(jnp.asarray(s))
+            else:
+                out.append(s)
+        return tuple(out)
+
+    def __getitem__(self, item):
+        key = self._normalize_subscript(item)
+        data = self.data[key]
+        # Derive block shape: keep old blocking on surviving sliced axes.
+        return self._new(data)
+
+    def __setitem__(self, item, value):
+        key = self._normalize_subscript(item)
+        if isinstance(value, BlockArray):
+            v = value.data
+        elif isinstance(value, (np.ndarray, list, tuple)):
+            v = jnp.asarray(np.asarray(value))
+        else:
+            v = value
+        self._data = self.data.at[key].set(v)
+        self._transposed = False
+
+    # ------------------------------------------------------------------
+    # Scalar conversions
+    # ------------------------------------------------------------------
+
+    def _scalar_value(self):
+        if self.size != 1:
+            raise ValueError(
+                "The truth value of an array with more than one element is "
+                "ambiguous."
+            )
+        return self.get().reshape(())[()]
+
+    def __bool__(self):
+        # Parity: reference __bool__ (blockarray.py:620-628) — size-1 bool
+        # arrays evaluate their value; everything else is truthy (so
+        # ``if beta:`` on a parameter vector means "is present").
+        if self.dtype == np.bool_ and all(s == 1 for s in self.shape):
+            return bool(self._scalar_value())
+        return True
+
+    def __float__(self):
+        return float(self._scalar_value())
+
+    def __int__(self):
+        return int(self._scalar_value())
+
+    def __complex__(self):
+        return complex(self._scalar_value())
+
+    def __repr__(self):
+        return f"BlockArray({self.get()})"
+
+    def __str__(self):
+        return str(self.get())
+
+    def __len__(self):
+        if self.ndim == 0:
+            raise TypeError("len() of unsized object")
+        return self.shape[0]

@@ -1,0 +1,235 @@
+"""NumsRandomState: the stateful RNG facade over counter-based sampling.
+
+Parity: ``nums/core/array/random.py:24-195``. Same surface (seed mgmt, the
+full distribution set, ``numpy()`` escape hatch, ``permutation``), but
+sampling is one jitted whole-array program per call instead of one PCG64
+jump-ahead task per block — "same seed ⇒ same array regardless of block
+shape" (the reference's goal at numpy_compute.py:56-68) holds structurally.
+"""
+
+import numpy as np
+
+import jax
+import jax.random as jr
+
+from nums_tpu.core.array import utils as array_utils
+from nums_tpu.core.array.blockarray import BlockArray
+from nums_tpu.core.grid import ArrayGrid
+from nums_tpu.core.ops import random_ops
+
+
+# Distributions with no practical jit transform; sampled on host with a
+# deterministically-derived NumPy generator, then device_put. These are
+# rare, small-n draws in practice.
+_HOST_DISTS = {
+    "hypergeometric": lambda rng, args, shape: rng.hypergeometric(
+        *args, size=shape
+    ),
+    "logseries": lambda rng, args, shape: rng.logseries(*args, size=shape),
+    "vonmises": lambda rng, args, shape: rng.vonmises(*args, size=shape),
+    "zipf": lambda rng, args, shape: rng.zipf(*args, size=shape),
+}
+
+
+class NumsRandomState:
+    def __init__(self, backend, seed=None):
+        self._backend = backend
+        self.seed(seed)
+
+    def seed(self, seed=None):
+        if seed is None:
+            seed = np.random.SeedSequence().entropy % (2**63)
+        self._seed = int(seed)
+        self._key = jr.key(self._seed)
+        self._counter = 0
+
+    def numpy(self):
+        """Host-side NumPy generator escape hatch (parity: random.py:34-37)."""
+        return np.random.default_rng(self._seed)
+
+    def _next_key(self):
+        self._counter += 1
+        return jr.fold_in(self._key, self._counter)
+
+    def _grid(self, shape, block_shape, dtype_name):
+        shape = tuple(shape) if shape is not None else ()
+        if block_shape is None:
+            block_shape = shape
+        return ArrayGrid(shape, tuple(block_shape), dtype_name)
+
+    def _sample_basic(
+        self, rfunc_name, shape, block_shape, dtype, rfunc_args
+    ) -> BlockArray:
+        """Parity: ``_sample_basic`` (random.py:144-179)."""
+        if dtype is None:
+            dtype = np.float64
+        dtype_name = array_utils.to_dtype_name(dtype)
+        grid = self._grid(shape, block_shape, dtype_name)
+        sharding = self._backend.sharding_for_grid(grid)
+        if random_ops.supported(rfunc_name):
+            fn = random_ops.sample(
+                rfunc_name, grid.shape, dtype_name, sharding
+            )
+            data = fn(self._next_key(), *[float(a) for a in rfunc_args])
+        elif rfunc_name in _HOST_DISTS:
+            self._counter += 1
+            rng = np.random.default_rng((self._seed, self._counter))
+            arr = _HOST_DISTS[rfunc_name](rng, rfunc_args, grid.shape)
+            arr = np.asarray(arr, dtype=np.dtype(dtype_name))
+            data = self._backend.device_put(arr, grid)
+        else:
+            raise NotImplementedError(f"Unknown distribution {rfunc_name}")
+        return BlockArray(data, grid, self._backend)
+
+    # -- core samplers ---------------------------------------------------
+
+    def random(self, shape=None, block_shape=None, dtype=None):
+        if dtype is None:
+            dtype = np.float64
+        assert np.dtype(dtype).kind == "f", "random() requires float dtype"
+        return self._sample_basic("random", shape, block_shape, dtype, ())
+
+    def integers(
+        self, low, high=None, shape=None, block_shape=None, dtype=None,
+        endpoint=False,
+    ):
+        if high is None:
+            low, high = 0, low
+        if dtype is None:
+            dtype = np.int64
+        dtype_name = array_utils.to_dtype_name(dtype)
+        grid = self._grid(shape, block_shape, dtype_name)
+        sharding = self._backend.sharding_for_grid(grid)
+        fn = random_ops.integers(grid.shape, dtype_name, bool(endpoint), sharding)
+        data = fn(self._next_key(), int(low), int(high))
+        return BlockArray(data, grid, self._backend)
+
+    def uniform(self, low=0.0, high=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "uniform", shape, block_shape, dtype, (low, high)
+        )
+
+    def normal(self, loc=0.0, scale=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "normal", shape, block_shape, dtype, (loc, scale)
+        )
+
+    # -- distribution zoo (parity list: random.py:58-141) ----------------
+
+    def beta(self, a, b, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("beta", shape, block_shape, dtype, (a, b))
+
+    def binomial(self, n, p, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("binomial", shape, block_shape, dtype, (n, p))
+
+    def chisquare(self, df, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("chisquare", shape, block_shape, dtype, (df,))
+
+    def exponential(self, scale=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "exponential", shape, block_shape, dtype, (scale,)
+        )
+
+    def f(self, dfnum, dfden, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "f", shape, block_shape, dtype, (dfnum, dfden)
+        )
+
+    def gamma(self, k, theta, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("gamma", shape, block_shape, dtype, (k, theta))
+
+    def geometric(self, p, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("geometric", shape, block_shape, dtype, (p,))
+
+    def gumbel(self, loc=0.0, scale=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "gumbel", shape, block_shape, dtype, (loc, scale)
+        )
+
+    def hypergeometric(
+        self, ngood, nbad, nsample, shape=None, block_shape=None, dtype=None
+    ):
+        return self._sample_basic(
+            "hypergeometric", shape, block_shape, dtype, (ngood, nbad, nsample)
+        )
+
+    def laplace(self, loc=0.0, scale=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "laplace", shape, block_shape, dtype, (loc, scale)
+        )
+
+    def logistic(self, loc=0.0, scale=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "logistic", shape, block_shape, dtype, (loc, scale)
+        )
+
+    def lognormal(self, mean=0.0, sigma=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "lognormal", shape, block_shape, dtype, (mean, sigma)
+        )
+
+    def logseries(self, p, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("logseries", shape, block_shape, dtype, (p,))
+
+    def negative_binomial(self, n, p, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "negative_binomial", shape, block_shape, dtype, (n, p)
+        )
+
+    def noncentral_chisquare(self, df, nonc, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "noncentral_chisquare", shape, block_shape, dtype, (df, nonc)
+        )
+
+    def noncentral_f(
+        self, dfnum, dfden, nonc, shape=None, block_shape=None, dtype=None
+    ):
+        return self._sample_basic(
+            "noncentral_f", shape, block_shape, dtype, (dfnum, dfden, nonc)
+        )
+
+    def pareto(self, a, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("pareto", shape, block_shape, dtype, (a,))
+
+    def poisson(self, lam=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("poisson", shape, block_shape, dtype, (lam,))
+
+    def power(self, a, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("power", shape, block_shape, dtype, (a,))
+
+    def rayleigh(self, scale=1.0, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("rayleigh", shape, block_shape, dtype, (scale,))
+
+    def standard_cauchy(self, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("standard_cauchy", shape, block_shape, dtype, ())
+
+    def standard_t(self, df, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("standard_t", shape, block_shape, dtype, (df,))
+
+    def triangular(self, left, mode, right, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "triangular", shape, block_shape, dtype, (left, mode, right)
+        )
+
+    def vonmises(self, mu, kappa, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic(
+            "vonmises", shape, block_shape, dtype, (mu, kappa)
+        )
+
+    def wald(self, mean, scale, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("wald", shape, block_shape, dtype, (mean, scale))
+
+    def weibull(self, a, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("weibull", shape, block_shape, dtype, (a,))
+
+    def zipf(self, a, shape=None, block_shape=None, dtype=None):
+        return self._sample_basic("zipf", shape, block_shape, dtype, (a,))
+
+    def permutation(self, size, block_size=None):
+        """Parity: random.py:181-195."""
+        grid = self._grid((size,), (block_size or size,), "int64")
+        sharding = self._backend.sharding_for_grid(grid)
+        data = random_ops.permutation(int(size), sharding)(self._next_key())
+        # permutation dtype follows jax (int32 without x64); normalize grid.
+        grid = ArrayGrid(grid.shape, grid.block_shape, data.dtype.name)
+        return BlockArray(data, grid, self._backend)

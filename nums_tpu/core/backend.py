@@ -1,0 +1,187 @@
+"""Execution backends: where arrays live and how ops run.
+
+The reference's ``System`` layer (``nums/core/systems/systems.py:31-249``)
+dispatches one remote task per block through a scheduler. The TPU-native
+inversion: an array is ONE ``jax.Array`` whose sharding places its blocks;
+ops are whole-array jitted programs and XLA's SPMD partitioner plays the
+scheduler. Two backends mirror the reference's serial/cluster split
+(``SerialSystem`` systems.py:69-142 / ``RaySystem``+``BlockCyclicScheduler``
+systems.py:145-249, schedulers.py:140-246):
+
+- ``SerialBackend``: single device, plain jit. Testable anywhere.
+- ``MeshBackend``: ``jax.sharding.Mesh`` over all (or configured) devices;
+  arrays carry ``NamedSharding`` and collectives ride ICI.
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from nums_tpu.core import settings
+from nums_tpu.core.grid import ArrayGrid, DeviceGrid
+
+
+class Backend:
+    """Common backend interface (role of SystemInterface, interfaces.py:23-70)."""
+
+    name = None
+
+    def init(self):
+        return self
+
+    def shutdown(self):
+        pass
+
+    @property
+    def num_devices(self):
+        raise NotImplementedError
+
+    @property
+    def num_cores_total(self):
+        # Role of SystemInterface.num_cores_total: drives the block-shape
+        # policy. On TPU "cores" = devices in the mesh.
+        return self.num_devices
+
+    def sharding_for_grid(self, grid: ArrayGrid):
+        """Sharding for an array described by ``grid`` (None = default)."""
+        raise NotImplementedError
+
+    def device_put(self, array: np.ndarray, grid: ArrayGrid = None):
+        sharding = self.sharding_for_grid(grid) if grid is not None else None
+        if sharding is None:
+            return jax.device_put(array)
+        return jax.device_put(array, sharding)
+
+    def get(self, jax_array):
+        return np.asarray(jax.device_get(jax_array))
+
+    @property
+    def mesh(self):
+        return None
+
+
+class SerialBackend(Backend):
+    """Single-device backend (parity: SerialSystem, systems.py:69-142)."""
+
+    name = "serial"
+
+    def __init__(self, device=None):
+        self._device = device
+
+    def init(self):
+        if self._device is None:
+            self._device = jax.devices()[0]
+        return self
+
+    @property
+    def num_devices(self):
+        return 1
+
+    def sharding_for_grid(self, grid: ArrayGrid):
+        return jax.sharding.SingleDeviceSharding(self._device)
+
+
+class MeshBackend(Backend):
+    """SPMD backend over a device mesh.
+
+    Replaces the reference's BlockCyclicScheduler placement
+    (schedulers.py:140-246): array axis ``k`` is sharded over mesh axis
+    ``m{k}`` when it is large enough to split; placement of each block is
+    thus a static function of its grid entry, and cross-device movement is
+    emitted by XLA as ICI collectives instead of object-store transfers.
+    """
+
+    name = "mesh"
+
+    def __init__(self, cluster_shape: tuple = None, devices=None):
+        self._cluster_shape = cluster_shape
+        self._devices = devices
+        self._mesh = None
+        self.device_grid = None
+
+    def init(self):
+        devices = self._devices if self._devices is not None else jax.devices()
+        n = len(devices)
+        cluster_shape = self._cluster_shape or settings.cluster_shape
+        if not cluster_shape:
+            # Default 2-D mesh: all devices on the row axis. Right for the
+            # data-parallel / tall-skinny workloads that dominate the
+            # reference's benchmarks; override via NUMS_TPU_CLUSTER_SHAPE.
+            cluster_shape = (n, 1)
+        assert int(np.prod(cluster_shape)) <= n, (
+            f"mesh {cluster_shape} needs {np.prod(cluster_shape)} devices, "
+            f"have {n}"
+        )
+        used = int(np.prod(cluster_shape))
+        self.device_grid = DeviceGrid(cluster_shape)
+        dev_array = np.array(devices[:used]).reshape(cluster_shape)
+        self._mesh = Mesh(dev_array, self.device_grid.axis_names)
+        return self
+
+    def shutdown(self):
+        self._mesh = None
+
+    @property
+    def mesh(self):
+        return self._mesh
+
+    @property
+    def num_devices(self):
+        return self.device_grid.num_devices
+
+    @property
+    def cluster_shape(self):
+        return self.device_grid.mesh_shape
+
+    def spec_for_shape(self, shape: tuple, grid_shape: tuple = None):
+        """PartitionSpec for a logical shape.
+
+        Axis ``k`` of the array maps to mesh axis ``m{k}`` when the array is
+        at least as long as the mesh on that axis (so no device holds only
+        padding); otherwise the axis is replicated. ``grid_shape`` (when
+        given) adds the block-level hint: a single-block axis stays
+        replicated, matching the reference's placement of an unsplit axis on
+        one node.
+        """
+        mesh_shape = self.device_grid.mesh_shape
+        spec = []
+        for k, dim in enumerate(shape):
+            if k >= len(mesh_shape):
+                spec.append(None)
+                continue
+            m = mesh_shape[k]
+            # jax requires even divisibility for explicit shardings; ragged
+            # axes are replicated (pad-and-mask is a later optimization).
+            if m <= 1 or dim < m or dim % m != 0:
+                spec.append(None)
+            elif grid_shape is not None and grid_shape[k] <= 1:
+                spec.append(None)
+            else:
+                spec.append(self.device_grid.axis_names[k])
+        return PartitionSpec(*spec)
+
+    def sharding_for_grid(self, grid: ArrayGrid):
+        if grid is None or len(grid.shape) == 0:
+            return NamedSharding(self._mesh, PartitionSpec())
+        return NamedSharding(
+            self._mesh, self.spec_for_shape(grid.shape, grid.grid_shape)
+        )
+
+    def replicated_sharding(self):
+        return NamedSharding(self._mesh, PartitionSpec())
+
+
+_BACKENDS = {
+    "serial": SerialBackend,
+    "mesh": MeshBackend,
+}
+
+
+def make_backend(name: str = None, **kwargs) -> Backend:
+    name = name or settings.backend_name
+    if name not in _BACKENDS:
+        raise ValueError(
+            f"Unknown backend {name!r}; expected one of {sorted(_BACKENDS)}"
+        )
+    return _BACKENDS[name](**kwargs).init()

@@ -1,0 +1,236 @@
+"""Persistence and parallel text ingestion.
+
+Parity target: ``nums/core/systems/filesystem.py:34-439`` +
+``nums/core/storage/storage.py:89-243``. Layout matches the reference's
+checkpoint format in spirit: a directory per array holding one ``.npy``
+per block plus a pickled grid meta — so persisted arrays are re-readable
+with a different mesh size (sharding-aware restore: each block lands in
+whatever shard layout the current backend chooses).
+
+S3 support mirrors ``StoredArrayS3`` (storage.py:149-242): one object per
+block keyed ``<name>_<i>_<j>`` + pickled meta. Gated on boto3 presence.
+"""
+
+import os
+import pickle
+import shutil
+from io import StringIO
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from nums_tpu.core import settings
+from nums_tpu.core.grid import ArrayGrid
+from nums_tpu.core.array.blockarray import BlockArray
+
+try:  # boto3 is optional; S3 paths raise cleanly without it.
+    import boto3
+
+    _HAS_BOTO3 = True
+except Exception:  # pragma: no cover
+    boto3 = None
+    _HAS_BOTO3 = False
+
+
+def _fs_path(filename: str) -> str:
+    if os.path.isabs(filename):
+        return filename
+    return os.path.join(settings.data_dir, filename)
+
+
+def _block_fname(grid_entry: tuple) -> str:
+    return "block_" + "_".join(map(str, grid_entry)) + ".npy"
+
+
+def _s3_parse(filename: str):
+    assert not filename.startswith("s3://"), "pass keys without scheme"
+    parts = filename.split("/")
+    bucket = parts[0]
+    key = "/".join(parts[1:])
+    return bucket, key
+
+
+class FileSystem:
+    """Block I/O orchestration (parity: filesystem.py:215-439)."""
+
+    def __init__(self, backend):
+        self.backend = backend
+
+    # -- local filesystem (parity: filesystem.py:63-138) ----------------
+
+    def write_fs(self, ba: BlockArray, filename: str):
+        path = _fs_path(filename)
+        os.makedirs(path, exist_ok=True)
+        meta = {"grid": ba.grid.to_meta()}
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        # One .npy per block: restorable under any future mesh shape.
+        arr = ba.get()
+        results = []
+        for grid_entry in ba.grid.get_entry_iterator():
+            block = arr[ba.grid.get_slice(grid_entry)]
+            np.save(os.path.join(path, _block_fname(grid_entry)), block)
+            results.append(True)
+        return np.array(results, dtype=bool)
+
+    def read_meta_fs(self, filename: str) -> dict:
+        path = _fs_path(filename)
+        with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            return pickle.load(f)
+
+    def read_fs(self, filename: str) -> BlockArray:
+        path = _fs_path(filename)
+        meta = self.read_meta_fs(filename)
+        grid = ArrayGrid.from_meta(meta["grid"])
+        arr = np.empty(grid.shape, dtype=np.dtype(grid.dtype))
+        for grid_entry in grid.get_entry_iterator():
+            block = np.load(os.path.join(path, _block_fname(grid_entry)))
+            arr[grid.get_slice(grid_entry)] = block
+        return BlockArray.from_np(
+            arr, block_shape=grid.block_shape, backend=self.backend
+        )
+
+    def delete_fs(self, filename: str):
+        path = _fs_path(filename)
+        exists = os.path.isdir(path)
+        if exists:
+            shutil.rmtree(path)
+        return np.array([exists], dtype=bool)
+
+    def exists_fs(self, filename: str) -> bool:
+        return os.path.isfile(os.path.join(_fs_path(filename), "meta.pkl"))
+
+    # -- S3 (parity: storage.py:149-242, filesystem.py:34-56) -----------
+
+    def _s3_client(self):
+        if not _HAS_BOTO3:
+            raise RuntimeError(
+                "boto3 is not available; S3 I/O is disabled in this build."
+            )
+        return boto3.client("s3")
+
+    def write_s3(self, ba: BlockArray, filename: str):
+        client = self._s3_client()
+        bucket, key = _s3_parse(filename)
+        meta = {"grid": ba.grid.to_meta()}
+        client.put_object(
+            Bucket=bucket, Key=f"{key}_meta", Body=pickle.dumps(meta)
+        )
+        arr = ba.get()
+        results = []
+        for grid_entry in ba.grid.get_entry_iterator():
+            block = np.ascontiguousarray(arr[ba.grid.get_slice(grid_entry)])
+            suffix = "_".join(map(str, grid_entry))
+            client.put_object(
+                Bucket=bucket,
+                Key=f"{key}_{suffix}",
+                Body=pickle.dumps(block),
+            )
+            results.append(True)
+        return np.array(results, dtype=bool)
+
+    def read_meta_s3(self, filename: str) -> dict:
+        client = self._s3_client()
+        bucket, key = _s3_parse(filename)
+        obj = client.get_object(Bucket=bucket, Key=f"{key}_meta")
+        return pickle.loads(obj["Body"].read())
+
+    def read_s3(self, filename: str) -> BlockArray:
+        client = self._s3_client()
+        bucket, key = _s3_parse(filename)
+        meta = self.read_meta_s3(filename)
+        grid = ArrayGrid.from_meta(meta["grid"])
+        arr = np.empty(grid.shape, dtype=np.dtype(grid.dtype))
+        for grid_entry in grid.get_entry_iterator():
+            suffix = "_".join(map(str, grid_entry))
+            obj = client.get_object(Bucket=bucket, Key=f"{key}_{suffix}")
+            arr[grid.get_slice(grid_entry)] = pickle.loads(obj["Body"].read())
+        return BlockArray.from_np(
+            arr, block_shape=grid.block_shape, backend=self.backend
+        )
+
+    def delete_s3(self, filename: str):
+        client = self._s3_client()
+        bucket, key = _s3_parse(filename)
+        meta = self.read_meta_s3(filename)
+        grid = ArrayGrid.from_meta(meta["grid"])
+        keys = [f"{key}_meta"] + [
+            f"{key}_" + "_".join(map(str, e))
+            for e in grid.get_entry_iterator()
+        ]
+        client.delete_objects(
+            Bucket=bucket, Delete={"Objects": [{"Key": k} for k in keys]}
+        )
+        return np.array([True] * len(keys), dtype=bool)
+
+    # -- parallel text ingestion (parity: filesystem.py:144-212,357-439) -
+
+    def _byte_ranges(self, filename: str, num_workers: int):
+        """Split a file into newline-aligned byte ranges.
+
+        Parity with ``read_csv_block``'s seek-and-align
+        (filesystem.py:189-211): each range starts just after a newline.
+        """
+        size = os.path.getsize(filename)
+        num_workers = max(1, min(num_workers, size))
+        approx = size // num_workers
+        offsets = [0]
+        with open(filename, "rb") as f:
+            for i in range(1, num_workers):
+                pos = i * approx
+                if pos <= offsets[-1]:
+                    continue
+                f.seek(pos)
+                f.readline()  # advance to next newline boundary
+                aligned = f.tell()
+                if aligned < size:
+                    offsets.append(aligned)
+        offsets.append(size)
+        return [
+            (offsets[i], offsets[i + 1]) for i in range(len(offsets) - 1)
+        ]
+
+    def read_csv(
+        self, filename, dtype=float, delimiter=",", has_header=False,
+        num_workers=None,
+    ) -> BlockArray:
+        if num_workers is None:
+            num_workers = max(self.backend.num_devices, os.cpu_count() or 1)
+        ranges = self._byte_ranges(filename, num_workers)
+
+        def parse(rng):
+            start, stop = rng
+            with open(filename, "rb") as f:
+                f.seek(start)
+                text = f.read(stop - start).decode()
+            if start == 0 and has_header:
+                text = text.split("\n", 1)[1] if "\n" in text else ""
+            if not text.strip():
+                return None
+            return np.loadtxt(
+                StringIO(text), dtype=dtype, delimiter=delimiter, ndmin=2
+            )
+
+        with ThreadPoolExecutor(max_workers=min(32, len(ranges))) as ex:
+            parts = [p for p in ex.map(parse, ranges) if p is not None and p.size]
+        arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        block_shape = (
+            max(1, arr.shape[0] // max(1, self.backend.num_devices)),
+            arr.shape[1],
+        )
+        return BlockArray.from_np(
+            arr, block_shape=block_shape, backend=self.backend
+        )
+
+    def loadtxt(
+        self, fname, dtype=float, comments="# ", delimiter=" ",
+        converters=None, skiprows=0, usecols=None, unpack=False, ndmin=0,
+        encoding="bytes", max_rows=None, num_workers=None,
+    ) -> BlockArray:
+        del num_workers
+        arr = np.loadtxt(
+            fname, dtype=dtype, comments=comments, delimiter=delimiter,
+            converters=converters, skiprows=skiprows, usecols=usecols,
+            unpack=unpack, ndmin=ndmin, encoding=encoding, max_rows=max_rows,
+        )
+        return BlockArray.from_np(arr, backend=self.backend)

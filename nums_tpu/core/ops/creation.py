@@ -1,0 +1,75 @@
+"""Array creation kernels, compiled straight into their target sharding.
+
+Replaces the reference's driver loop of one ``new_block`` task per grid
+entry (``ArrayApplication._new_array``, application.py:315-330 — the classic
+NumS driver bottleneck): creation is a single jitted program whose
+``out_shardings`` places shards directly in device HBM, with no host copy
+and no per-block Python dispatch.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_CREATORS = {
+    "zeros": jnp.zeros,
+    "ones": jnp.ones,
+    # XLA has no uninitialized-alloc; empty = zeros (same cost under fusion).
+    "empty": jnp.empty,
+}
+
+
+@functools.lru_cache(maxsize=None)
+def new_array(op_name: str, shape: tuple, dtype_name: str, sharding):
+    creator = _CREATORS[op_name]
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(
+        lambda: creator(shape, dtype),
+        out_shardings=sharding,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def full(shape: tuple, dtype_name: str, sharding):
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(
+        lambda fill: jnp.full(shape, fill, dtype),
+        out_shardings=sharding,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def arange(start, stop, step, dtype_name: str, sharding):
+    """Parity: ``arange`` kernel (numpy_compute.py:176-179)."""
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(
+        lambda: jnp.arange(start, stop, step, dtype),
+        out_shardings=sharding,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def eye(shape: tuple, k: int, dtype_name: str, sharding):
+    dtype = jnp.dtype(dtype_name)
+    return jax.jit(
+        lambda: jnp.eye(shape[0], shape[1], k=k, dtype=dtype),
+        out_shardings=sharding,
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def linspace(num: int, endpoint: bool, dtype_name, axis: int, sharding):
+    dtype = jnp.dtype(dtype_name) if dtype_name is not None else None
+    return jax.jit(
+        lambda start, stop: jnp.linspace(
+            start, stop, num, endpoint=endpoint, dtype=dtype, axis=axis
+        ),
+        out_shardings=sharding,
+    )
+
+
+@jax.jit
+def diag(x):
+    """Vector→matrix or matrix→vector diagonal (parity: numpy_compute.py:171-174)."""
+    return jnp.diag(x)

@@ -1,0 +1,158 @@
+"""Distributed linear algebra kernels: TSQR, SVD, inv, Cholesky.
+
+Parity targets (semantics, not structure):
+- ``indirect_tsr``/``indirect_tsqr`` — application.py:772-846
+- ``direct_tsqr`` — application.py:848-933
+- ``svd`` — application.py:935-954
+- ``inv``/``cholesky`` — application.py:956-1001
+
+The reference reduces per-row-strip R factors through a SINGLE-node fan-in
+(application.py:807-814) and notes the missing recursive extension
+(application.py:884). Here TSQR is a log-depth reduction tree expressed as
+batched (vmapped) panel QRs inside one jitted program: XLA batches the
+panel QRs across the MXU and, for row-sharded inputs, partitions the tree
+across devices with ICI all-gathers. Zero-row padding is exact for R
+(QR([X;0]) has the same R as QR(X)), so ragged chunks cost nothing.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# Rows per leaf panel. Large enough to amortize QR overhead; panels of
+# (chunk, n<=512) sit comfortably in VMEM-scale working sets.
+DEFAULT_CHUNK = 8192
+
+
+def _pad_rows(x, target_rows):
+    m, n = x.shape
+    if target_rows == m:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((target_rows - m, n), dtype=x.dtype)], axis=0
+    )
+
+
+def _tsqr_r_impl(x, chunk):
+    """R factor of a tall-skinny matrix via a recursive panel-QR tree."""
+    m, n = x.shape
+    chunk = max(chunk, n)
+    while m > chunk:
+        k = _cdiv(m, chunk)
+        x = _pad_rows(x, k * chunk)
+        panels = x.reshape(k, chunk, n)
+        rs = jnp.linalg.qr(panels, mode="r")  # (k, n, n), batched on MXU
+        x = rs.reshape(k * n, n)
+        m = k * n
+    return jnp.linalg.qr(x, mode="r")
+
+
+@functools.lru_cache(maxsize=None)
+def tsqr_r(chunk: int = DEFAULT_CHUNK):
+    return jax.jit(lambda x: _tsqr_r_impl(x, chunk))
+
+
+def _direct_tsqr_impl(x, chunk):
+    """(Q, R) via recursive direct TSQR.
+
+    Leaf: per-panel reduced QR. Combine: TSQR of the stacked R factors;
+    each panel's Q is updated by its n×n slice of the combine Q. Recursion
+    extends the reference's one-level tree (its TODO at
+    application.py:884) to arbitrary depth.
+    """
+    m, n = x.shape
+    chunk = max(chunk, n)
+    if m <= chunk:
+        return jnp.linalg.qr(x, mode="reduced")
+    k = _cdiv(m, chunk)
+    padded = k * chunk
+    xp = _pad_rows(x, padded)
+    panels = xp.reshape(k, chunk, n)
+    q1, r1 = jnp.linalg.qr(panels, mode="reduced")  # (k,chunk,n), (k,n,n)
+    q2, r = _direct_tsqr_impl(r1.reshape(k * n, n), chunk)
+    q2 = q2.reshape(k, n, n)
+    q = jnp.einsum(
+        "kcn,knm->kcm", q1, q2, precision=jax.lax.Precision.HIGHEST
+    ).reshape(padded, n)
+    return q[:m], r
+
+
+@functools.lru_cache(maxsize=None)
+def direct_tsqr(chunk: int = DEFAULT_CHUNK):
+    return jax.jit(lambda x: _direct_tsqr_impl(x, chunk))
+
+
+def _svd_impl(x, chunk):
+    """Tall-skinny SVD via TSQR (parity: application.py:935-954)."""
+    q, r = _direct_tsqr_impl(x, chunk)
+    u_r, s, vt = jnp.linalg.svd(r, full_matrices=False)
+    u = q @ u_r
+    return u, s, vt
+
+
+@functools.lru_cache(maxsize=None)
+def svd(chunk: int = DEFAULT_CHUNK):
+    return jax.jit(lambda x: _svd_impl(x, chunk))
+
+
+@jax.jit
+def inv(x):
+    return jnp.linalg.inv(x)
+
+
+@jax.jit
+def cholesky(x):
+    return jnp.linalg.cholesky(x)
+
+
+@jax.jit
+def lu_solve(a, b):
+    return jnp.linalg.solve(a, b)
+
+
+def _lstsq_impl(x, y, chunk):
+    q, r = _direct_tsqr_impl(x, chunk)
+    return jax.scipy.linalg.solve_triangular(r, q.T @ y, lower=False)
+
+
+@functools.lru_cache(maxsize=None)
+def lstsq(chunk: int = DEFAULT_CHUNK):
+    return jax.jit(lambda x, y: _lstsq_impl(x, y, chunk))
+
+
+def _posdef_solve_impl(a, b):
+    """Solve a x = b for symmetric positive-definite a via Cholesky."""
+    l = jnp.linalg.cholesky(a)
+    z = jax.scipy.linalg.solve_triangular(l, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(l.T, z, lower=False)
+
+
+posdef_solve = jax.jit(_posdef_solve_impl)
+
+
+def choose_chunk(m: int, n: int) -> int:
+    """Pick a leaf panel size: a few MXU-rich panels per level."""
+    base = max(int(n), DEFAULT_CHUNK)
+    return int(min(m, base)) if m > 0 else base
+
+
+def qr_block_shapes(m, n, block_m):
+    del m, n, block_m
+    return None
+
+
+def is_tall_skinny(shape) -> bool:
+    return len(shape) == 2 and shape[0] >= shape[1]
+
+
+def np_chunk_for(shape) -> int:
+    m, n = shape
+    return choose_chunk(int(m), int(n))

@@ -1,0 +1,142 @@
+"""Global configuration for nums_tpu.
+
+Mirrors the role of the reference's env-var config module
+(``nums/core/settings.py:17-68``): backend selection, cluster/mesh shape,
+and operator alias tables. The backend vocabulary maps the reference's
+``NUMS_SYSTEM`` ∈ {serial, ray-task, ray-cyclic} onto TPU-native execution
+modes:
+
+- ``serial``: single-device jit (the testable-anywhere backend, analogous to
+  the reference's ``SerialSystem``).
+- ``mesh``: SPMD over a ``jax.sharding.Mesh`` (the analogue of the
+  block-cyclic Ray cluster; XLA sharding propagation replaces the
+  task scheduler).
+
+``cluster_shape`` names the mesh shape, mirroring the reference's
+``cluster_shape`` (``nums/core/settings.py:36-37``).
+"""
+
+import os
+
+import numpy as np
+
+
+def _env_tuple(name, default):
+    raw = os.environ.get(name, "")
+    if not raw:
+        return default
+    return tuple(int(x) for x in raw.split(",") if x.strip())
+
+
+# Backend: "serial" (single device) or "mesh" (SPMD over all visible devices).
+backend_name = os.environ.get("NUMS_TPU_BACKEND", "serial")
+
+# Mesh shape for the mesh backend. Empty tuple = auto (all devices on axis 0,
+# i.e. shape (n_devices, 1) for the standard 2-D mesh).
+cluster_shape = _env_tuple("NUMS_TPU_CLUSTER_SHAPE", ())
+
+# Enable float64 by default off-TPU so the NumPy-oracle tests match at 1e-6.
+# "auto" enables x64 iff the default backend is CPU.
+x64_mode = os.environ.get("NUMS_TPU_X64", "auto")
+
+# Local data directory for FS-backed array persistence (mirrors
+# nums/core/settings.py:22-27).
+data_dir = os.environ.get(
+    "NUMS_TPU_DATA_DIR", os.path.join(os.path.expanduser("~"), ".nums_tpu")
+)
+
+# Default matmul precision for fp32 inputs on TPU. "default" uses the fast
+# single-pass MXU path (bf16 inputs, f32 accumulate — the TPU-idiomatic
+# choice, ~3x faster); "float32"/"highest" use multi-pass decompositions
+# for full fp32 accuracy. Measured on v5e, x.T@x (2.5M×1000):
+# default 58ms (86 TFLOP/s) vs highest 189ms (26 TFLOP/s).
+matmul_precision = os.environ.get("NUMS_TPU_MATMUL_PRECISION", "default")
+
+
+_cache_configured = False
+
+
+def configure_compilation_cache():
+    """Persist XLA compilations across processes (big win on TPU where a
+    single compile can take tens of seconds through remote compile)."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    import jax
+
+    cache_dir = os.environ.get(
+        "NUMS_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "nums_tpu_jax"),
+    )
+    if cache_dir and cache_dir != "0":
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
+
+
+_x64_configured = False
+
+
+def configure_x64():
+    """Enable jax x64 mode when running off-TPU (NumPy dtype parity).
+
+    Idempotent; invoked once at package import. On TPU we keep x64 off —
+    float64 is emulated and slow there, and the perf path is fp32/bf16.
+    """
+    global _x64_configured
+    if _x64_configured:
+        return
+    _x64_configured = True
+    import jax
+
+    configure_compilation_cache()
+    if matmul_precision not in ("default", None, ""):
+        jax.config.update("jax_default_matmul_precision", matmul_precision)
+    if x64_mode == "0":
+        return
+    if x64_mode in ("1", "true"):
+        jax.config.update("jax_enable_x64", True)
+        return
+    # auto
+    try:
+        platform = jax.default_backend()
+    except Exception:  # pragma: no cover - backend probing is best-effort
+        platform = "cpu"
+    if platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+
+# Operator alias map: NumPy ufunc names that the op vocabulary spells
+# differently (mirrors np_ufunc_map, nums/core/settings.py:48-61).
+np_ufunc_map = {
+    "truediv": "true_divide",
+    "sub": "subtract",
+    "pow": "power",
+    "mult": "multiply",
+    "mul": "multiply",
+    "tensordot": "multiply",
+    "lt": "less",
+    "le": "less_equal",
+    "gt": "greater",
+    "ge": "greater_equal",
+    "eq": "equal",
+    "ne": "not_equal",
+}
+
+# Pairwise reduction aliases (mirrors np_pairwise_reduction_map,
+# nums/core/settings.py:63-68): NaN-ignoring pairwise min/max.
+np_pairwise_reduction_map = {
+    "min": "fmin",
+    "amin": "fmin",
+    "max": "fmax",
+    "amax": "fmax",
+    "nansum": "add",
+}
+
+# Default dtypes, mirroring NumPy semantics used by the reference.
+default_float = np.float64
+default_int = np.int64

@@ -1,0 +1,91 @@
+"""np.random-compatible surface (parity: ``nums/numpy/random.py:24-92``)."""
+
+import numpy as _np
+
+from nums_tpu.core.application_manager import instance as _instance
+from nums_tpu.core.array.blockarray import BlockArray
+
+
+class RandomState:
+    def __init__(self, seed=None):
+        self._seed = seed
+        self._rs = None
+
+    def rs(self):
+        if self._rs is None:
+            self._rs = _instance().random_state(self._seed)
+        return self._rs
+
+    def seed(self, _seed):
+        self._seed = _seed
+        self._rs = None
+
+    def _get_shapes(self, size=None, dtype=None):
+        if dtype is None:
+            dtype = _np.float64
+        if size is None:
+            size = ()
+        if not isinstance(size, tuple):
+            assert isinstance(size, (int, _np.integer))
+            shape = (size,)
+        else:
+            shape = size
+        block_shape = _instance().get_block_shape(shape, dtype)
+        return shape, block_shape
+
+    def random_sample(self, size=None):
+        shape, block_shape = self._get_shapes(size, _np.float64)
+        return self.rs().random(shape=shape, block_shape=block_shape)
+
+    random = random_sample
+
+    def rand(self, *shape):
+        shape, block_shape = self._get_shapes(shape, _np.float64)
+        return self.rs().random(shape=shape, block_shape=block_shape)
+
+    def randn(self, *shape):
+        shape, block_shape = self._get_shapes(shape, _np.float64)
+        return self.rs().normal(shape=shape, block_shape=block_shape)
+
+    def randint(self, low, high=None, size=None, dtype=None):
+        if high is None:
+            high = low
+            low = 0
+        shape, block_shape = self._get_shapes(size, dtype)
+        return self.rs().integers(
+            low, high, shape=shape, block_shape=block_shape
+        )
+
+    def uniform(self, low=0.0, high=1.0, size=None):
+        shape, block_shape = self._get_shapes(size, _np.float64)
+        return self.rs().uniform(
+            low, high, shape=shape, block_shape=block_shape
+        )
+
+    def normal(self, loc=0.0, scale=1.0, size=None):
+        shape, block_shape = self._get_shapes(size, _np.float64)
+        return self.rs().normal(
+            loc, scale, shape=shape, block_shape=block_shape
+        )
+
+    def permutation(self, x):
+        app = _instance()
+        if isinstance(x, (int, _np.integer)):
+            shape = (x,)
+            block_shape = app.compute_block_shape(shape, _np.int64)
+            return self.rs().permutation(shape[0], block_shape[0])
+        assert isinstance(x, BlockArray)
+        arr_perm = self.rs().permutation(x.shape[0], x.shape[0]).get()
+        return x[arr_perm]
+
+
+_default_random = RandomState()
+seed = _default_random.seed
+random_sample = _default_random.random_sample
+random = _default_random.random
+rand = _default_random.rand
+randn = _default_random.randn
+randint = _default_random.randint
+uniform = _default_random.uniform
+normal = _default_random.normal
+permutation = _default_random.permutation

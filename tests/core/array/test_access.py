@@ -1,0 +1,98 @@
+"""Indexing/assignment oracle tests (parity: reference test_access.py /
+test_view.py — NumPy basic indexing semantics plus 1-D advanced gather)."""
+
+import numpy as np
+import pytest
+
+
+def test_basic_getitem(app_inst):
+    rs = np.random.RandomState(0)
+    x = rs.randn(21, 13)
+    bx = app_inst.array(x, block_shape=(6, 5))
+    subscripts = [
+        (slice(None),),
+        (slice(3, 17),),
+        (slice(None), slice(2, 9)),
+        (slice(1, 20, 3),),
+        (slice(None, None, -1),),
+        (slice(18, 2, -2), slice(None, None, -1)),
+        (5,),
+        (slice(None), 7),
+        (3, 4),
+        (-1, -2),
+        (slice(-8, -2),),
+        (Ellipsis, 0),
+    ]
+    for ss in subscripts:
+        expected = x[ss]
+        result = bx[ss]
+        assert result.shape == np.shape(expected), ss
+        assert np.allclose(result.get(), expected), ss
+
+
+def test_basic_setitem(app_inst):
+    rs = np.random.RandomState(1)
+    x = rs.randn(12, 10)
+    bx = app_inst.array(x.copy(), block_shape=(4, 5))
+    # scalar assignment
+    bx[2:5] = 0.0
+    x[2:5] = 0.0
+    assert np.allclose(bx.get(), x)
+    # array assignment
+    v = rs.randn(3, 10)
+    bx[6:9] = app_inst.array(v, block_shape=(3, 5))
+    x[6:9] = v
+    assert np.allclose(bx.get(), x)
+    # np array assignment with broadcasting
+    col = rs.randn(12)
+    bx[:, 0] = col
+    x[:, 0] = col
+    assert np.allclose(bx.get(), x)
+    # stepped assignment
+    bx[::2, 1] = 7.0
+    x[::2, 1] = 7.0
+    assert np.allclose(bx.get(), x)
+
+
+def test_assign_dependencies(app_inst):
+    """Aliased assignment chain (parity: reference test_access.py:120-138 —
+    the defensive-copy regression test; immutability makes it structural
+    here)."""
+    x = np.zeros((10,))
+    bx = app_inst.array(x.copy(), block_shape=(5,))
+    y = bx[2:6]
+    bx[0:4] = y
+    x[0:4] = x[2:6]
+    assert np.allclose(bx.get(), x)
+    # y must be unaffected by subsequent mutation of bx
+    y_before = y.get().copy()
+    bx[2:6] = 99.0
+    assert np.allclose(y.get(), y_before)
+
+
+def test_advanced_1d_gather(app_inst):
+    rs = np.random.RandomState(2)
+    x = rs.randn(30, 4)
+    bx = app_inst.array(x, block_shape=(10, 2))
+    perm = rs.permutation(30)
+    bperm = app_inst.array(perm, block_shape=(10,))
+    assert np.allclose(bx[perm].get(), x[perm])
+    assert np.allclose(bx[bperm].get(), x[perm])
+    idx = np.array([3, 3, 0, 29])
+    assert np.allclose(bx[idx].get(), x[idx])
+
+
+def test_boolean_mask_raises(app_inst):
+    x = np.arange(10)
+    bx = app_inst.array(x, block_shape=(5,))
+    with pytest.raises(NotImplementedError):
+        bx[x > 3]
+
+
+def test_scalar_result_and_len(app_inst):
+    x = np.arange(12).reshape(3, 4).astype(float)
+    bx = app_inst.array(x, block_shape=(3, 2))
+    assert float(bx[1, 2]) == x[1, 2]
+    assert len(bx) == 3
+    with pytest.raises(TypeError):
+        len(bx[0, 0])

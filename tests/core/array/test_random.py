@@ -1,0 +1,81 @@
+"""RNG tests (parity: reference test_random.py — reproducibility across
+block shapes, which for counter-based whole-array sampling is structural)."""
+
+import numpy as np
+import pytest
+
+
+def test_reproducibility_across_block_shapes(app_inst):
+    """Same seed ⇒ same array regardless of block shape (the reference's
+    PCG64 jump-ahead goal, numpy_compute.py:56-68)."""
+    a = app_inst.random_state(1337).normal(shape=(60, 10), block_shape=(10, 10))
+    b = app_inst.random_state(1337).normal(shape=(60, 10), block_shape=(60, 5))
+    c = app_inst.random_state(1337).normal(shape=(60, 10), block_shape=(7, 3))
+    assert np.allclose(a.get(), b.get())
+    assert np.allclose(a.get(), c.get())
+    d = app_inst.random_state(42).normal(shape=(60, 10), block_shape=(10, 10))
+    assert not np.allclose(a.get(), d.get())
+
+
+def test_uniform_range_and_moments(app_inst):
+    rs = app_inst.random_state(0)
+    u = rs.random(shape=(2000,), block_shape=(500,)).get()
+    assert (0 <= u).all() and (u < 1).all()
+    assert abs(u.mean() - 0.5) < 0.05
+    n = rs.normal(loc=2.0, scale=3.0, shape=(5000,), block_shape=(1000,)).get()
+    assert abs(n.mean() - 2.0) < 0.2
+    assert abs(n.std() - 3.0) < 0.2
+
+
+def test_integers_and_permutation(app_inst):
+    rs = app_inst.random_state(7)
+    ints = rs.integers(5, 15, shape=(1000,), block_shape=(250,)).get()
+    assert ints.min() >= 5 and ints.max() < 15
+    assert ints.dtype == np.int64 or ints.dtype == np.int32
+    perm = rs.permutation(100, 25).get()
+    assert np.array_equal(np.sort(perm), np.arange(100))
+
+
+DISTS = [
+    ("beta", (2.0, 3.0), lambda s: ((0 < s) & (s < 1)).all()),
+    ("exponential", (2.0,), lambda s: (s >= 0).all() and abs(s.mean() - 2.0) < 0.3),
+    ("gamma", (2.0, 2.0), lambda s: (s > 0).all() and abs(s.mean() - 4.0) < 0.5),
+    ("poisson", (3.0,), lambda s: (s >= 0).all() and abs(s.mean() - 3.0) < 0.3),
+    ("chisquare", (4.0,), lambda s: (s > 0).all() and abs(s.mean() - 4.0) < 0.5),
+    ("gumbel", (0.0, 1.0), lambda s: np.isfinite(s).all()),
+    ("laplace", (0.0, 1.0), lambda s: abs(s.mean()) < 0.2),
+    ("logistic", (0.0, 1.0), lambda s: abs(s.mean()) < 0.3),
+    ("lognormal", (0.0, 0.5), lambda s: (s > 0).all()),
+    ("pareto", (3.0,), lambda s: (s >= 0).all()),
+    ("power", (3.0,), lambda s: ((0 <= s) & (s <= 1)).all()),
+    ("rayleigh", (1.0,), lambda s: (s >= 0).all()),
+    ("standard_cauchy", (), lambda s: np.isfinite(s).all()),
+    ("standard_t", (5.0,), lambda s: abs(np.median(s)) < 0.3),
+    ("triangular", (0.0, 0.5, 1.0), lambda s: ((0 <= s) & (s <= 1)).all()),
+    ("wald", (1.0, 1.0), lambda s: (s > 0).all()),
+    ("weibull", (2.0,), lambda s: (s >= 0).all()),
+    ("binomial", (10, 0.5), lambda s: ((0 <= s) & (s <= 10)).all()),
+    ("geometric", (0.5,), lambda s: (s >= 1).all()),
+    ("f", (5.0, 7.0), lambda s: (s > 0).all()),
+    ("negative_binomial", (5, 0.5), lambda s: (s >= 0).all()),
+    ("noncentral_chisquare", (4.0, 2.0), lambda s: (s > 0).all()),
+    ("vonmises", (0.0, 1.0), lambda s: ((-np.pi <= s) & (s <= np.pi)).all()),
+    ("zipf", (3.0,), lambda s: (s >= 1).all()),
+    ("logseries", (0.5,), lambda s: (s >= 1).all()),
+    ("hypergeometric", (20, 10, 10), lambda s: ((0 <= s) & (s <= 10)).all()),
+]
+
+
+@pytest.mark.parametrize("name,args,check", DISTS, ids=[d[0] for d in DISTS])
+def test_distribution_zoo(app_inst, name, args, check):
+    rs = app_inst.random_state(123)
+    ba = getattr(rs, name)(*args, shape=(500,), block_shape=(125,))
+    s = ba.get()
+    assert s.shape == (500,)
+    assert check(s), name
+
+
+def test_numpy_escape_hatch(app_inst):
+    rs = app_inst.random_state(5)
+    gen = rs.numpy()
+    assert isinstance(gen.integers(10), (int, np.integer))

@@ -1,0 +1,98 @@
+"""Persistence + text-ingestion tests (parity: reference tests/test_api.py +
+tests/core/storage/test_fs.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def test_write_read_delete_fs(app_inst, tmp_path):
+    rs = np.random.RandomState(0)
+    x = rs.randn(40, 12)
+    bx = app_inst.array(x, block_shape=(10, 6))
+    path = str(tmp_path / "arr1")
+    res = app_inst.write_fs(bx, path)
+    assert res.all()
+    back = app_inst.read_fs(path)
+    assert back.shape == (40, 12)
+    assert back.block_shape == (10, 6)
+    assert np.allclose(back.get(), x)
+    deleted = app_inst.delete_fs(path)
+    assert deleted.all()
+    assert not os.path.exists(path)
+
+
+def test_checkpoint_restore_across_backends(tmp_path):
+    """Sharding-aware restore: write under one backend, read under another
+    (the mesh analogue of the reference's placement-aware re-read,
+    application.py:164-171)."""
+    from nums_tpu.core import settings, application_manager
+
+    path = str(tmp_path / "xarr")
+    x = np.arange(64, dtype=float).reshape(16, 4)
+
+    settings.backend_name = "serial"
+    application_manager.destroy()
+    app = application_manager.instance()
+    app.write_fs(app.array(x, block_shape=(4, 4)), path)
+
+    settings.backend_name = "mesh"
+    application_manager.destroy()
+    app = application_manager.instance()
+    back = app.read_fs(path)
+    assert np.allclose(back.get(), x)
+    application_manager.destroy()
+    settings.backend_name = "serial"
+
+
+def test_read_csv(app_inst, tmp_path):
+    rs = np.random.RandomState(1)
+    arr = rs.randn(500, 7)
+    path = str(tmp_path / "data.csv")
+    np.savetxt(path, arr, delimiter=",")
+    ba = app_inst.read_csv(path, num_workers=4)
+    assert ba.shape == (500, 7)
+    assert np.allclose(ba.get(), arr, atol=1e-12)
+
+
+def test_read_csv_header(app_inst, tmp_path):
+    arr = np.arange(20).reshape(5, 4).astype(float)
+    path = str(tmp_path / "h.csv")
+    np.savetxt(path, arr, delimiter=",", header="a,b,c,d", comments="")
+    ba = app_inst.read_csv(path, has_header=True, num_workers=2)
+    assert ba.shape == (5, 4)
+    assert np.allclose(ba.get(), arr)
+
+
+def test_loadtxt(app_inst, tmp_path):
+    rs = np.random.RandomState(2)
+    arr = rs.randn(100, 3)
+    path = str(tmp_path / "data.txt")
+    np.savetxt(path, arr)
+    ba = app_inst.loadtxt(path)
+    assert np.allclose(ba.get(), arr, atol=1e-12)
+
+
+def test_api_verbs(app_inst, tmp_path):
+    import nums_tpu
+    from nums_tpu.core import application_manager
+
+    application_manager.set_instance(app_inst)
+    x = np.ones((10, 4))
+    ba = app_inst.array(x, block_shape=(5, 2))
+    path = str(tmp_path / "apiarr")
+    nums_tpu.write(ba, path)
+    back = nums_tpu.read(path)
+    assert np.allclose(back.get(), x)
+    nums_tpu.delete(path)
+    assert not os.path.exists(path)
+
+
+def test_s3_unavailable_raises(app_inst):
+    import nums_tpu.core.io.filesystem as fsmod
+
+    if fsmod._HAS_BOTO3:
+        pytest.skip("boto3 present; S3 path exercised elsewhere")
+    with pytest.raises(RuntimeError):
+        app_inst.read_s3("bucket/key")

@@ -1,0 +1,143 @@
+"""GLM solver tests (parity: reference tests/models/test_glms.py:30-180)."""
+
+import numpy as np
+import pytest
+
+from nums_tpu.core.io.datasets import BimodalGaussian
+
+
+LOGISTIC_PARAMS = [
+    {"solver": "gd", "lr": 1e-6, "tol": 1e-8, "max_iter": 10},
+    {"solver": "sgd", "lr": 1e-6, "tol": 1e-8, "max_iter": 10},
+    {"solver": "block_sgd", "lr": 1e-6, "tol": 1e-8, "max_iter": 10},
+    {"solver": "newton", "tol": 1e-8, "max_iter": 10},
+    {"solver": "irls", "tol": 1e-8, "max_iter": 10},
+]
+
+
+def test_logistic(nps_app_inst):
+    from nums_tpu.models.glms import LogisticRegression
+
+    num_samples, num_features = 1000, 10
+    real_X, real_y = BimodalGaussian.get_dataset(num_samples, num_features)
+    X = nps_app_inst.array(real_X, block_shape=(100, 3))
+    y = nps_app_inst.array(real_y, block_shape=(100,))
+    for kwargs in LOGISTIC_PARAMS:
+        model = LogisticRegression(**kwargs)
+        model.fit(X, y)
+        y_pred = model.predict(X).get()
+        proba = model.predict_proba(X).get()
+        assert np.allclose(np.ones(num_samples), proba[:, 0] + proba[:, 1])
+        acc = np.sum(real_y == y_pred) / num_samples
+        if kwargs["solver"] in ("newton", "irls"):
+            assert acc > 0.95, (kwargs, acc)
+        assert np.isfinite(model.grad_norm_sq(X, y).get())
+        assert np.isfinite(model.objective(X, y).get())
+
+
+def test_logistic_l2(nps_app_inst):
+    from nums_tpu.models.glms import LogisticRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(800, 8, p=0.5)
+    X = nps_app_inst.array(real_X, block_shape=(200, 8))
+    y = nps_app_inst.array(real_y, block_shape=(200,))
+    m_plain = LogisticRegression(solver="newton", tol=1e-8, max_iter=10)
+    m_plain.fit(X, y)
+    m_l2 = LogisticRegression(
+        solver="newton", penalty="l2", C=1.0 / 10.0, tol=1e-8, max_iter=10
+    )
+    m_l2.fit(X, y)
+    # L2 shrinks the coefficient norm.
+    assert (
+        np.linalg.norm(m_l2._beta.get()) < np.linalg.norm(m_plain._beta.get())
+    )
+    assert np.sum(real_y == m_l2.predict(X).get()) / 800 > 0.9
+
+
+def test_linear(nps_app_inst):
+    from nums_tpu.models.glms import LinearRegression
+
+    num_samples, num_features = 1000, 6
+    rs = np.random.RandomState(7)
+    theta = rs.randn(num_features)
+    real_X, real_y = BimodalGaussian.get_dataset(
+        num_samples, num_features, theta=theta
+    )
+    X = nps_app_inst.array(real_X, block_shape=(250, 6))
+    y = nps_app_inst.array(real_y, block_shape=(250,))
+    model = LinearRegression(solver="newton", tol=1e-8, max_iter=10)
+    model.fit(X, y)
+    y_pred = model.predict(X).get()
+    assert np.allclose(y_pred, real_y, atol=1e-4)
+    r2 = model.deviance_sqr(X, y).get()
+    assert r2 > 0.999
+
+
+def test_poisson(nps_app_inst):
+    from nums_tpu.models.glms import PoissonRegression
+
+    rs = np.random.RandomState(1337)
+    n, d = 1000, 4
+    beta_true = rs.rand(d) * 0.3
+    X_real = rs.randn(n, d)
+    lam = np.exp(X_real @ beta_true)
+    y_real = rs.poisson(lam).astype(float)
+    X = nps_app_inst.array(X_real, block_shape=(250, d))
+    y = nps_app_inst.array(y_real, block_shape=(250,))
+    model = PoissonRegression(solver="newton", tol=1e-8, max_iter=20)
+    model.fit(X, y)
+    beta_hat = model._beta.get()
+    assert np.allclose(beta_hat, beta_true, atol=0.15)
+    assert np.isfinite(model.objective(X, y).get())
+    dev = model.deviance(y, model.predict(X)).get()
+    assert np.isfinite(dev) and dev >= 0
+
+
+def test_logistic_cv(nps_app_inst):
+    """K-fold CV via block assignment (parity: reference test_glms.py CV loop)."""
+    from nums_tpu.models.glms import LogisticRegression
+
+    num_samples, num_features = 600, 5
+    block_rows = 150
+    folds = num_samples // block_rows
+    real_X, real_y = BimodalGaussian.get_dataset(num_samples, num_features, p=0.5)
+    X = nps_app_inst.array(real_X, block_shape=(block_rows, num_features))
+    y = nps_app_inst.array(real_y, block_shape=(block_rows,))
+    accs = []
+    for f in range(folds):
+        lo, hi = f * block_rows, (f + 1) * block_rows
+        train_idx = np.concatenate(
+            [np.arange(0, lo), np.arange(hi, num_samples)]
+        )
+        X_train, y_train = X[train_idx], y[train_idx]
+        X_test, y_test = X[lo:hi], y[lo:hi]
+        model = LogisticRegression(solver="newton", tol=1e-8, max_iter=10)
+        model.fit(X_train, y_train)
+        pred = model.predict(X_test).get()
+        accs.append(np.mean(pred == y_test.get()))
+    assert np.mean(accs) > 0.9
+
+
+def test_exponential_stub(nps_app_inst):
+    from nums_tpu.models.glms import ExponentialRegression
+
+    model = ExponentialRegression()
+    with pytest.raises(NotImplementedError):
+        model.link_inv(None)
+
+
+def test_fast_glm_matches_blockarray_glm(nps_app_inst):
+    """The fused TPU train step converges to the same solution."""
+    from nums_tpu.models.glms import LogisticRegression
+    from nums_tpu.models import fast_glm
+
+    real_X, real_y = BimodalGaussian.get_dataset(500, 6)
+    X = nps_app_inst.array(real_X, block_shape=(125, 6))
+    y = nps_app_inst.array(real_y, block_shape=(125,))
+    model = LogisticRegression(solver="newton", tol=1e-10, max_iter=10)
+    model.fit(X, y)
+    beta_fast = np.asarray(fast_glm.fit_logistic(real_X, real_y, num_iters=10))
+    beta_slow = np.concatenate(
+        [model._beta.get(), [float(model._beta0.get())]]
+    )
+    assert np.allclose(beta_fast, beta_slow, atol=1e-5)
