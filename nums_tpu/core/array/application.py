@@ -413,11 +413,30 @@ class ArrayApplication:
     def _tsqr_chunk(self, X):
         return linalg.choose_chunk(X.shape[0], X.shape[1])
 
+    def _use_cholqr(self) -> bool:
+        method = settings.tsqr_method
+        if method == "cholqr2":
+            return True
+        if method == "householder":
+            return False
+        # auto: CholeskyQR2 on TPU (all-GEMM; the batched Householder QR
+        # custom call does not compile on all TPU toolchains and is far
+        # off the MXU's fast path anyway).
+        try:
+            import jax
+
+            return jax.default_backend() not in ("cpu",)
+        except Exception:  # pragma: no cover
+            return False
+
     def indirect_tsr(self, X: BlockArray, reshape_output=True) -> BlockArray:
         """R factor via TSQR reduction tree (parity: application.py:772-823)."""
         assert X.ndim == 2
         del reshape_output
-        r = linalg.tsqr_r(self._tsqr_chunk(X))(X.data)
+        if self._use_cholqr():
+            r = linalg.cholqr_r()(X.data)
+        else:
+            r = linalg.tsqr_r(self._tsqr_chunk(X))(X.data)
         bs = (min(X.block_shape[1], r.shape[0]), X.block_shape[1])
         grid = ArrayGrid(tuple(r.shape), bs, r.dtype.name)
         return BlockArray(r, grid, self.backend)
@@ -433,7 +452,10 @@ class ArrayApplication:
         """Parity: application.py:848-933, extended to a recursive tree."""
         assert X.ndim == 2
         del reshape_output
-        q, r = linalg.direct_tsqr(self._tsqr_chunk(X))(X.data)
+        if self._use_cholqr():
+            q, r = linalg.cholqr2()(X.data)
+        else:
+            q, r = linalg.direct_tsqr(self._tsqr_chunk(X))(X.data)
         q_bs = (X.block_shape[0], min(X.block_shape[1], q.shape[1]))
         r_bs = (min(X.block_shape[1], r.shape[0]), X.block_shape[1])
         Q = BlockArray(
@@ -447,7 +469,10 @@ class ArrayApplication:
     def svd(self, X: BlockArray):
         """Tall-skinny SVD via TSQR (parity: application.py:935-954)."""
         assert X.ndim == 2
-        u, s, vt = linalg.svd(self._tsqr_chunk(X))(X.data)
+        if self._use_cholqr():
+            u, s, vt = linalg.svd_cholqr()(X.data)
+        else:
+            u, s, vt = linalg.svd(self._tsqr_chunk(X))(X.data)
         mk = lambda d, bs: BlockArray(
             d, ArrayGrid(tuple(d.shape), bs, d.dtype.name), self.backend
         )
@@ -492,7 +517,10 @@ class ArrayApplication:
     def linear_regression(self, X: BlockArray, y: BlockArray):
         """Parity: application.py:1019-1031; via direct TSQR + tri solve."""
         assert X.ndim == 2 and y.ndim == 1
-        theta = linalg.lstsq(self._tsqr_chunk(X))(X.data, y.data)
+        if self._use_cholqr():
+            theta = linalg.lstsq_cholqr()(X.data, y.data)
+        else:
+            theta = linalg.lstsq(self._tsqr_chunk(X))(X.data, y.data)
         return BlockArray(
             theta,
             ArrayGrid(

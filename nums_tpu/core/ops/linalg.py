@@ -103,6 +103,69 @@ def svd(chunk: int = DEFAULT_CHUNK):
     return jax.jit(lambda x: _svd_impl(x, chunk))
 
 
+def _cholqr_once(x, precision):
+    """One CholeskyQR pass: G = XᵀX on the MXU, R = chol(G)ᵀ, Q = X R⁻¹."""
+    g = jax.lax.dot_general(
+        x, x, (((0,), (0,)), ((), ())), precision=precision
+    )
+    r = jnp.linalg.cholesky(g).T  # upper-triangular
+    q = jax.lax.linalg.triangular_solve(
+        r, x, left_side=False, lower=False
+    )
+    return q, r
+
+
+def _cholqr2_impl(x):
+    """CholeskyQR2: two passes restore orthogonality to ~eps for
+    cond(X) ≲ 1/sqrt(eps). All flops are GEMM/triangular-solve shaped —
+    the MXU-native TSQR (the Householder tree in ``_direct_tsqr_impl`` is
+    the numerically-robust fallback)."""
+    q1, r1 = _cholqr_once(x, jax.lax.Precision.HIGHEST)
+    q, r2 = _cholqr_once(q1, jax.lax.Precision.HIGHEST)
+    return q, r2 @ r1
+
+
+@functools.lru_cache(maxsize=None)
+def cholqr2():
+    return jax.jit(_cholqr2_impl)
+
+
+def _cholqr_r_impl(x):
+    """R-only CholeskyQR with a Q-free second pass: refines chol(G)
+    without materializing Q (G-space refinement), so peak memory is
+    X + O(n²). Accuracy is gram-limited (~eps·cond²) like any
+    normal-equations method."""
+    g = jax.lax.dot_general(
+        x, x, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
+    )
+    r1 = jnp.linalg.cholesky(g).T
+    # B = R1⁻ᵀ G R1⁻¹ == Q1ᵀQ1 ; R = chol(B)ᵀ R1
+    b = jax.lax.linalg.triangular_solve(
+        r1, g, left_side=True, lower=False, transpose_a=True
+    )
+    b = jax.lax.linalg.triangular_solve(
+        r1, b, left_side=False, lower=False
+    )
+    r2 = jnp.linalg.cholesky(b).T
+    return r2 @ r1
+
+
+@functools.lru_cache(maxsize=None)
+def cholqr_r():
+    return jax.jit(_cholqr_r_impl)
+
+
+def _svd_cholqr_impl(x):
+    q, r = _cholqr2_impl(x)
+    u_r, s, vt = jnp.linalg.svd(r, full_matrices=False)
+    return q @ u_r, s, vt
+
+
+@functools.lru_cache(maxsize=None)
+def svd_cholqr():
+    return jax.jit(_svd_cholqr_impl)
+
+
 @jax.jit
 def inv(x):
     return jnp.linalg.inv(x)
@@ -126,6 +189,16 @@ def _lstsq_impl(x, y, chunk):
 @functools.lru_cache(maxsize=None)
 def lstsq(chunk: int = DEFAULT_CHUNK):
     return jax.jit(lambda x, y: _lstsq_impl(x, y, chunk))
+
+
+def _lstsq_cholqr_impl(x, y):
+    q, r = _cholqr2_impl(x)
+    return jax.scipy.linalg.solve_triangular(r, q.T @ y, lower=False)
+
+
+@functools.lru_cache(maxsize=None)
+def lstsq_cholqr():
+    return jax.jit(_lstsq_cholqr_impl)
 
 
 def _posdef_solve_impl(a, b):

@@ -137,6 +137,12 @@ np_pairwise_reduction_map = {
     "nansum": "add",
 }
 
+# TSQR algorithm: "auto" (CholeskyQR2 on TPU — all-GEMM, MXU-native;
+# Householder panel tree elsewhere), or force "cholqr2"/"householder".
+# CholeskyQR2 is exact-orthogonal for cond(X) ≲ 1/sqrt(eps); the
+# Householder tree is the robust fallback for ill-conditioned inputs.
+tsqr_method = os.environ.get("NUMS_TPU_TSQR", "auto")
+
 # Default dtypes, mirroring NumPy semantics used by the reference.
 default_float = np.float64
 default_int = np.int64

@@ -36,3 +36,72 @@ def lstsq(a, b):
 
 def norm(a):
     return _instance().norm(a)
+
+
+# ---------------------------------------------------------------------------
+# Extended surface beyond the reference (jitted jnp.linalg kernels on the
+# materialized array; all sharding-propagated under a mesh).
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+import jax as _jax
+import jax.numpy as _jnp
+
+from nums_tpu.core.array.blockarray import BlockArray as _BA
+
+
+@_functools.lru_cache(maxsize=None)
+def _jit1(fname):
+    fn = getattr(_jnp.linalg, fname)
+    return _jax.jit(lambda x: fn(x))
+
+
+def _apply1(fname, a):
+    out = _jit1(fname)(a.data)
+    if isinstance(out, tuple):
+        return tuple(
+            _BA.from_jax(o, backend=a.backend) for o in out
+        )
+    return _BA.from_jax(out, backend=a.backend)
+
+
+def det(a):
+    return _apply1("det", a)
+
+
+def slogdet(a):
+    return _apply1("slogdet", a)
+
+
+def eigh(a):
+    return _apply1("eigh", a)
+
+
+def eigvalsh(a):
+    return _apply1("eigvalsh", a)
+
+
+def pinv(a):
+    return _apply1("pinv", a)
+
+
+def matrix_rank(a):
+    return _apply1("matrix_rank", a)
+
+
+@_functools.lru_cache(maxsize=None)
+def _solve_jit():
+    return _jax.jit(lambda a, b: _jnp.linalg.solve(a, b))
+
+
+def solve(a, b):
+    out = _solve_jit()(a.data, b.data)
+    return _BA.from_jax(out, backend=a.backend)
+
+
+def multi_dot(arrays):
+    out = arrays[0]
+    for a in arrays[1:]:
+        out = out @ a
+    return out

@@ -79,6 +79,35 @@ class RandomState:
         return x[arr_perm]
 
 
+# The full distribution zoo, surfaced module-style like np.random.*
+# (goes beyond the reference's 6 exposed functions; backed by the same
+# NumsRandomState distribution set, nums_tpu/core/array/random.py).
+_DIST_NAMES = [
+    "beta", "binomial", "chisquare", "exponential", "f", "gamma",
+    "geometric", "gumbel", "hypergeometric", "laplace", "logistic",
+    "lognormal", "logseries", "negative_binomial", "noncentral_chisquare",
+    "noncentral_f", "pareto", "poisson", "power", "rayleigh",
+    "standard_cauchy", "standard_t", "triangular", "vonmises", "wald",
+    "weibull", "zipf",
+]
+
+
+def _make_dist_method(name):
+    def method(self, *args, size=None):
+        shape, block_shape = self._get_shapes(size, _np.float64)
+        return getattr(self.rs(), name)(
+            *args, shape=shape, block_shape=block_shape
+        )
+
+    method.__name__ = name
+    method.__doc__ = f"Sample from the {name} distribution (np.random API)."
+    return method
+
+
+for _name in _DIST_NAMES:
+    setattr(RandomState, _name, _make_dist_method(_name))
+
+
 _default_random = RandomState()
 seed = _default_random.seed
 random_sample = _default_random.random_sample
@@ -89,3 +118,7 @@ randint = _default_random.randint
 uniform = _default_random.uniform
 normal = _default_random.normal
 permutation = _default_random.permutation
+
+for _name in _DIST_NAMES:
+    globals()[_name] = getattr(_default_random, _name)
+del _name

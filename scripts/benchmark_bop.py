@@ -1,0 +1,76 @@
+"""x.T @ x sweep (parity: reference scripts/benchmark_bop.py:97-161).
+
+Sweeps N with d=1000 fp32 and records wall-clock seconds per N to CSV,
+comparable row-for-row with the reference's result_bop.csv.
+
+Usage: python scripts/benchmark_bop.py [--out result_bop_tpu.csv]
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_x(n, d, backend):
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    @jax.jit
+    def gen():
+        i = jax.lax.broadcasted_iota(jnp.float32, (n, d), 0)
+        j = jax.lax.broadcasted_iota(jnp.float32, (n, d), 1)
+        return jnp.sin(i * 1e-5) + jnp.cos(j * 0.37) * 0.5
+
+    block_rows = max(1, n // max(1, backend.num_devices))
+    return BlockArray.from_jax(gen(), block_shape=(block_rows, d),
+                               backend=backend)
+
+
+def main(argv=None):
+    sys.path.insert(0, ".")
+    from scripts.utils import benchmark_func, append_csv
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="result_bop_tpu.csv")
+    parser.add_argument("-d", type=int, default=1000)
+    parser.add_argument(
+        "--ns", default="125000,250000,1250000,2500000",
+        help="comma-separated N values (larger Ns need >16GB HBM)",
+    )
+    args = parser.parse_args(argv)
+
+    import nums_tpu
+
+    app = nums_tpu.init()
+    d = args.d
+    for n in [int(x) for x in args.ns.split(",")]:
+        try:
+            X = make_x(n, d, app.backend)
+
+            def run():
+                Z = X.T @ X
+                return float(Z[0, 0])
+
+            tmin, tmean, tstd = benchmark_func(run)
+            del X
+        except Exception as e:  # OOM etc: record failure like the reference
+            print(f"N={n}: FAILED ({type(e).__name__})")
+            append_csv(args.out, {"N": n, "d": d, "min_s": -1.0,
+                                  "mean_s": -1.0, "std_s": -1.0})
+            continue
+        flops = 2.0 * n * d * d
+        print(
+            f"N={n}: min {tmin:.4f}s mean {tmean:.4f}s "
+            f"({flops / tmin / 1e12:.1f} TFLOP/s)"
+        )
+        append_csv(args.out, {"N": n, "d": d, "min_s": round(tmin, 5),
+                              "mean_s": round(tmean, 5),
+                              "std_s": round(tstd, 5)})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

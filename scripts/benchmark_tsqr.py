@@ -1,0 +1,70 @@
+"""TSQR benchmark at the north-star scale (BASELINE.md: 2^24×128
+tall-skinny on TPU; reference analogue: application.py:772-933).
+
+Times R-only (indirect_tsr) and full Q,R (direct_tsqr / CholeskyQR2).
+
+Usage: python scripts/benchmark_tsqr.py [--m 16777216] [--n 128]
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main(argv=None):
+    sys.path.insert(0, ".")
+    from scripts.utils import benchmark_func, append_csv
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--m", type=int, default=2**24)
+    parser.add_argument("--n", type=int, default=128)
+    parser.add_argument("--out", default="result_tsqr_tpu.csv")
+    args = parser.parse_args(argv)
+
+    import nums_tpu
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    app = nums_tpu.init()
+    m, n = args.m, args.n
+
+    @jax.jit
+    def gen():
+        i = jax.lax.broadcasted_iota(jnp.float32, (m, n), 0)
+        j = jax.lax.broadcasted_iota(jnp.float32, (m, n), 1)
+        return jnp.sin(i * 1e-6 + j) + 0.1 * jnp.cos(j * 2.1)
+
+    block_rows = max(1, m // max(1, app.backend.num_devices))
+    X = BlockArray.from_jax(gen(), block_shape=(block_rows, n),
+                            backend=app.backend)
+
+    def run_r():
+        R = app.indirect_tsr(X)
+        return float(R[0, 0])
+
+    tmin, tmean, _ = benchmark_func(run_r)
+    print(f"indirect_tsr (R only) {m}x{n}: min {tmin:.4f}s mean {tmean:.4f}s")
+    append_csv(args.out, {"op": "indirect_tsr", "m": m, "n": n,
+                          "min_s": round(tmin, 5)})
+
+    def run_qr():
+        Q, R = app.direct_tsqr(X)
+        return float(R[0, 0])
+
+    try:
+        tmin, tmean, _ = benchmark_func(run_qr)
+        print(f"direct_tsqr (Q,R) {m}x{n}: min {tmin:.4f}s mean {tmean:.4f}s")
+        append_csv(args.out, {"op": "direct_tsqr", "m": m, "n": n,
+                              "min_s": round(tmin, 5)})
+    except Exception as e:
+        print(f"direct_tsqr FAILED ({type(e).__name__}) — needs 2x X in HBM")
+        append_csv(args.out, {"op": "direct_tsqr", "m": m, "n": n,
+                              "min_s": -1.0})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,36 @@
+"""Benchmark harness (parity: reference scripts/utils.py benchmark_func —
+warmup + repeat + CSV row emission)."""
+
+import time
+
+import numpy as np
+
+
+def benchmark_func(func, warmup=1, repeat=5):
+    """Run func() warmup+repeat times; returns (min_s, mean_s, std_s).
+
+    func must synchronize internally (fetch a scalar) — see
+    .claude/skills/verify/SKILL.md for why block_until_ready is not enough
+    on tunneled TPU transports.
+    """
+    for _ in range(warmup):
+        func()
+    times = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        func()
+        times.append(time.perf_counter() - t0)
+    arr = np.array(times)
+    return float(arr.min()), float(arr.mean()), float(arr.std())
+
+
+def append_csv(path, row: dict):
+    import csv
+    import os
+
+    exists = os.path.isfile(path)
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(row.keys()))
+        if not exists:
+            w.writeheader()
+        w.writerow(row)
