@@ -448,11 +448,20 @@ class ArrayApplication:
         Q = X @ R_inv
         return Q, R
 
-    def direct_tsqr(self, X: BlockArray, reshape_output=True):
-        """Parity: application.py:848-933, extended to a recursive tree."""
+    def direct_tsqr(self, X: BlockArray, reshape_output=True,
+                    overwrite_x=False):
+        """Parity: application.py:848-933, extended to a recursive tree.
+
+        ``overwrite_x=True`` donates X's buffer to Q (streamed in-place
+        CholeskyQR2) — peak HBM ~1x X instead of 2x; X is invalid after.
+        """
         assert X.ndim == 2
         del reshape_output
-        if self._use_cholqr():
+        if overwrite_x:
+            q, r = linalg.cholqr2_stream()(X.data)
+            X._data = q  # X's old buffer is donated; repoint defensively.
+            X._transposed = False
+        elif self._use_cholqr():
             q, r = linalg.cholqr2()(X.data)
         else:
             q, r = linalg.direct_tsqr(self._tsqr_chunk(X))(X.data)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from nums_tpu.core.grid import ArrayGrid
 from nums_tpu.core.array import utils as array_utils
 from nums_tpu.core.ops import elementwise, linear, reductions, shape_ops
+from nums_tpu.core import trace
 
 
 def _normalize_shape(shape_args):
@@ -283,12 +284,14 @@ class BlockArray:
     def ufunc(self, op_name):
         # Elementwise ops commute with transpose: compute on the raw buffer
         # and carry the lazy-transpose flag through.
+        trace.log_op(op_name, self)
         data = elementwise.uop(op_name)(self._data)
         grid = ArrayGrid(self.shape, self.block_shape, data.dtype.name)
         return BlockArray(data, grid, self.backend,
                           transposed=self._transposed)
 
     def reduce_axis(self, op_name, axis, keepdims=False):
+        trace.log_op(op_name, self)
         data = reductions.reduce(
             op_name, axis, bool(keepdims), None, self._transposed
         )(self._data)
@@ -378,6 +381,7 @@ class BlockArray:
             a, b, ta, tb = o_data, self._data, o_t, self._transposed
         else:
             a, b, ta, tb = self._data, o_data, self._transposed, o_t
+        trace.log_op(op_name, self, other)
         data = elementwise.bop(op_name, ta, tb)(a, b)
         result_shape = tuple(data.shape)
         bs = array_utils.broadcast_block_shape(
@@ -507,6 +511,7 @@ class BlockArray:
             static_axes = int(axes)
         else:
             static_axes = tuple(tuple(a) for a in axes)
+        trace.log_op("tensordot", self, other)
         if other._data is self._data:
             data = linear.tensordot_same(
                 static_axes, self._transposed, other._transposed

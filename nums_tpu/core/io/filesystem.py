@@ -198,17 +198,26 @@ class FileSystem:
             num_workers = max(self.backend.num_devices, os.cpu_count() or 1)
         ranges = self._byte_ranges(filename, num_workers)
 
+        from nums_tpu.core.io import _native
+
         def parse(rng):
             start, stop = rng
             with open(filename, "rb") as f:
                 f.seek(start)
-                text = f.read(stop - start).decode()
+                raw = f.read(stop - start)
             if start == 0 and has_header:
-                text = text.split("\n", 1)[1] if "\n" in text else ""
-            if not text.strip():
+                nl = raw.find(b"\n")
+                raw = raw[nl + 1:] if nl >= 0 else b""
+            if not raw.strip():
                 return None
+            # Native parser (GIL-released C, parallel across ranges);
+            # falls back to np.loadtxt on non-numeric content.
+            arr, ok = _native.parse_bytes(raw, delimiter)
+            if ok:
+                return arr if np.dtype(dtype) == arr.dtype else arr.astype(dtype)
             return np.loadtxt(
-                StringIO(text), dtype=dtype, delimiter=delimiter, ndmin=2
+                StringIO(raw.decode()), dtype=dtype, delimiter=delimiter,
+                ndmin=2,
             )
 
         with ThreadPoolExecutor(max_workers=min(32, len(ranges))) as ex:

@@ -155,6 +155,54 @@ def cholqr_r():
     return jax.jit(_cholqr_r_impl)
 
 
+def _inplace_right_mul(buf, rinv, chunk_rows):
+    """buf <- buf @ rinv, streamed chunk-wise so XLA updates in place.
+
+    Keeps peak HBM at one (m, n) buffer + O(chunk) — required for
+    full-Q TSQR at 2^24×128 on a 16GB chip (two full buffers don't fit).
+    """
+    m, n = buf.shape
+    num = m // chunk_rows
+    hi = jax.lax.Precision.HIGHEST  # single-pass bf16 GEMM would cap
+    # orthogonality at ~1e-3; full-precision keeps CholeskyQR2 at ~eps.
+
+    def body(i, b):
+        chunk = jax.lax.dynamic_slice(b, (i * chunk_rows, 0), (chunk_rows, n))
+        return jax.lax.dynamic_update_slice(
+            b, jnp.matmul(chunk, rinv, precision=hi), (i * chunk_rows, 0)
+        )
+
+    buf = jax.lax.fori_loop(0, num, body, buf)
+    rem = m - num * chunk_rows
+    if rem:
+        tail = jax.lax.dynamic_slice(buf, (num * chunk_rows, 0), (rem, n))
+        buf = jax.lax.dynamic_update_slice(
+            buf, jnp.matmul(tail, rinv, precision=hi), (num * chunk_rows, 0)
+        )
+    return buf
+
+
+def _cholqr2_stream_impl(x, chunk_rows):
+    """CholeskyQR2 with the Q-buffer aliased onto (donated) X."""
+    chunk_rows = min(chunk_rows, x.shape[0])
+    hi = jax.lax.Precision.HIGHEST
+    g = jax.lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=hi)
+    r1 = jnp.linalg.cholesky(g).T
+    q1 = _inplace_right_mul(x, jnp.linalg.inv(r1), chunk_rows)
+    g2 = jax.lax.dot_general(q1, q1, (((0,), (0,)), ((), ())), precision=hi)
+    r2 = jnp.linalg.cholesky(g2).T
+    q = _inplace_right_mul(q1, jnp.linalg.inv(r2), chunk_rows)
+    return q, r2 @ r1
+
+
+@functools.lru_cache(maxsize=None)
+def cholqr2_stream(chunk_rows: int = 2**20):
+    """Donating variant: destroys the input buffer; peak HBM ~1x X."""
+    return jax.jit(
+        lambda x: _cholqr2_stream_impl(x, chunk_rows), donate_argnums=0
+    )
+
+
 def _svd_cholqr_impl(x):
     q, r = _cholqr2_impl(x)
     u_r, s, vt = jnp.linalg.svd(r, full_matrices=False)

@@ -35,7 +35,9 @@ def main(argv=None):
     def gen():
         i = jax.lax.broadcasted_iota(jnp.float32, (m, n), 0)
         j = jax.lax.broadcasted_iota(jnp.float32, (m, n), 1)
-        return jnp.sin(i * 1e-6 + j) + 0.1 * jnp.cos(j * 2.1)
+        # Distinct-frequency sinusoid per column: full-rank, well-conditioned
+        # (a separable generator would be rank-3 and break factorizations).
+        return jnp.sin(i * (7e-4 + 1e-5 * j) + 0.3 * j)
 
     block_rows = max(1, m // max(1, app.backend.num_devices))
     X = BlockArray.from_jax(gen(), block_shape=(block_rows, n),

@@ -1,0 +1,69 @@
+"""HIGGS-scale end-to-end pipeline (parity: reference scripts/cpu_higgs.py —
+CSV ingest → train/test split → logistic regression → accuracy).
+
+Works on the real HIGGS csv (11M×29: label + 28 features) or, with
+--synthetic, on generated data of the same shape scaled by --rows.
+
+Usage:
+  python scripts/higgs.py --csv /path/HIGGS.csv
+  python scripts/higgs.py --synthetic --rows 1000000
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--csv", default=None)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--rows", type=int, default=1_000_000)
+    parser.add_argument("--solver", default="newton")
+    parser.add_argument("--max-iter", type=int, default=10)
+    args = parser.parse_args(argv)
+
+    import nums_tpu
+    from nums_tpu.models.glms import LogisticRegression
+
+    app = nums_tpu.init()
+
+    t0 = time.time()
+    if args.csv:
+        data = app.read_csv(args.csv, num_workers=16)
+        y = data[:, 0]
+        X = data[:, 1:]
+    elif args.synthetic:
+        n, d = args.rows, 28
+        rs = app.random_state(42)
+        X = rs.normal(shape=(n, d), block_shape=(
+            max(1, n // max(1, app.backend.num_devices)), d))
+        w = rs.normal(shape=(d,), block_shape=(d,))
+        logits = X @ w
+        y = (logits > 0).astype(np.float64)
+    else:
+        parser.error("pass --csv PATH or --synthetic")
+    X.touch(), y.touch()
+    print(f"ingest: {time.time()-t0:.2f}s  X={X.shape}", flush=True)
+
+    n = X.shape[0]
+    split = int(n * 0.8)
+    X_train, y_train = X[:split], y[:split]
+    X_test, y_test = X[split:], y[split:]
+
+    t0 = time.time()
+    model = LogisticRegression(solver=args.solver, tol=1e-8,
+                               max_iter=args.max_iter)
+    model.fit(X_train, y_train)
+    print(f"train ({args.solver}): {time.time()-t0:.2f}s", flush=True)
+
+    t0 = time.time()
+    acc = float((model.predict(X_test) == y_test.astype(np.int64)).mean())
+    print(f"predict: {time.time()-t0:.2f}s  test accuracy: {acc:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

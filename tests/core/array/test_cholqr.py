@@ -52,3 +52,15 @@ def test_cholqr2_moderately_ill_conditioned(app_inst, cholqr_mode):
     q, r = app_inst.direct_tsqr(bx)
     assert np.allclose(q.get() @ r.get(), x, atol=1e-10)
     assert np.allclose(q.get().T @ q.get(), np.eye(20), atol=1e-8)
+
+
+def test_cholqr2_stream_overwrite(app_inst):
+    rs = np.random.RandomState(3)
+    x = rs.randn(1024, 16)
+    bx = app_inst.array(x, block_shape=(256, 16))
+    q, r = app_inst.direct_tsqr(bx, overwrite_x=True)
+    qv, rv = q.get(), r.get()
+    assert np.allclose(qv @ rv, x, atol=1e-9)
+    assert np.allclose(qv.T @ qv, np.eye(16), atol=1e-9)
+    # X now aliases Q (documented destructive behavior)
+    assert np.allclose(bx.get(), qv)
