@@ -52,12 +52,17 @@ def main():
         return float(Z[0, 0])
 
     run_once()  # compile + warmup
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        run_once()
-        times.append(time.perf_counter() - t0)
-    t = min(times)
+    # Chain `reps` executions and fetch once: the host↔device scalar
+    # fetch costs ~20-25ms through tunneled transports and would dominate
+    # a per-iteration sync (the GPU baselines sync on-device, which is
+    # the equivalent of this amortized measurement).
+    chain = max(reps, 5)
+    t0 = time.perf_counter()
+    Z = None
+    for _ in range(chain):
+        Z = X.T @ X
+    float(Z[0, 0])
+    t = (time.perf_counter() - t0) / chain
 
     flops = 2.0 * n * d * d
     baseline = 0.0714 * (n / 2_500_000)  # linear-scale the 8-GPU baseline

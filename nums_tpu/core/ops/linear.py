@@ -38,11 +38,23 @@ def tensordot_same(axes, t1: bool = False, t2: bool = False, precision=None):
     PJRT transports account (and stage) duplicate arguments separately,
     which OOMs at x.T@x scale otherwise.
     """
-    return jax.jit(
-        lambda a: jnp.tensordot(
+    from nums_tpu.core.ops import pallas_gram
+
+    def impl(a):
+        if (
+            axes == 1
+            and t1
+            and not t2
+            and precision is None
+            and pallas_gram.enabled()
+            and pallas_gram.supported(tuple(a.shape), a.dtype)
+        ):
+            return pallas_gram.gram(a)
+        return jnp.tensordot(
             _maybe_t(a, t1), _maybe_t(a, t2), axes=axes, precision=precision
         )
-    )
+
+    return jax.jit(impl)
 
 
 @functools.lru_cache(maxsize=None)
