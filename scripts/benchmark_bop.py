@@ -31,7 +31,7 @@ def make_x(n, d, backend):
 
 def main(argv=None):
     sys.path.insert(0, ".")
-    from scripts.utils import benchmark_func, append_csv
+    from scripts.utils import benchmark_chained, append_csv
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="result_bop_tpu.csv")
@@ -50,11 +50,9 @@ def main(argv=None):
         try:
             X = make_x(n, d, app.backend)
 
-            def run():
-                Z = X.T @ X
-                return float(Z[0, 0])
-
-            tmin, tmean, tstd = benchmark_func(run)
+            tmin, tmean, tstd = benchmark_chained(
+                lambda: X.T @ X, lambda Z: float(Z[0, 0])
+            )
             del X
         except Exception as e:  # OOM etc: record failure like the reference
             print(f"N={n}: FAILED ({type(e).__name__})")

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 def main(argv=None):
     sys.path.insert(0, ".")
-    from scripts.utils import benchmark_func, append_csv
+    from scripts.utils import benchmark_chained, append_csv
     from nums_tpu.models.fast_glm import logistic_newton_step_jit
 
     parser = argparse.ArgumentParser()
@@ -47,11 +47,10 @@ def main(argv=None):
             X, y = gen()
             beta = jnp.zeros((d,), jnp.float32)
 
-            def run():
-                b, g = logistic_newton_step_jit(X, y, beta)
-                return float(b[0])
-
-            tmin, tmean, tstd = benchmark_func(run)
+            tmin, tmean, tstd = benchmark_chained(
+                lambda: logistic_newton_step_jit(X, y, beta),
+                lambda out: float(out[0][0]),
+            )
             del X, y
         except Exception as e:
             print(f"N={n}: FAILED ({type(e).__name__})")

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 def main(argv=None):
     sys.path.insert(0, ".")
-    from scripts.utils import benchmark_func, append_csv
+    from scripts.utils import benchmark_chained, append_csv
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--m", type=int, default=2**24)
@@ -43,21 +43,23 @@ def main(argv=None):
     X = BlockArray.from_jax(gen(), block_shape=(block_rows, n),
                             backend=app.backend)
 
-    def run_r():
-        R = app.indirect_tsr(X)
-        return float(R[0, 0])
-
-    tmin, tmean, _ = benchmark_func(run_r)
+    tmin, tmean, _ = benchmark_chained(
+        lambda: app.indirect_tsr(X), lambda R: float(R[0, 0])
+    )
     print(f"indirect_tsr (R only) {m}x{n}: min {tmin:.4f}s mean {tmean:.4f}s")
     append_csv(args.out, {"op": "indirect_tsr", "m": m, "n": n,
                           "min_s": round(tmin, 5)})
 
-    def run_qr():
-        Q, R = app.direct_tsqr(X)
-        return float(R[0, 0])
-
+    # When 2x X won't fit HBM, use the donating in-place variant (X is
+    # consumed; chained re-runs then factorize the previous Q — same
+    # shapes/flops, so timing stays representative).
+    overwrite = 2 * X.nbytes > 12e9
     try:
-        tmin, tmean, _ = benchmark_func(run_qr)
+        tmin, tmean, _ = benchmark_chained(
+            lambda: app.direct_tsqr(X, overwrite_x=overwrite),
+            lambda qr: float(qr[1][0, 0]),
+            chain=3,
+        )
         print(f"direct_tsqr (Q,R) {m}x{n}: min {tmin:.4f}s mean {tmean:.4f}s")
         append_csv(args.out, {"op": "direct_tsqr", "m": m, "n": n,
                               "min_s": round(tmin, 5)})

@@ -24,6 +24,28 @@ def benchmark_func(func, warmup=1, repeat=5):
     return float(arr.min()), float(arr.mean()), float(arr.std())
 
 
+def benchmark_chained(enqueue, sync, warmup=1, repeat=5, chain=5):
+    """Amortized-sync timing: enqueue `chain` async executions, sync once.
+
+    The host↔device scalar fetch costs ~20-25ms on tunneled transports;
+    per-iteration syncing would swamp small workloads. Comparable to the
+    reference baselines, which synchronized on-device.
+    Returns (min_s, mean_s, std_s) per execution.
+    """
+    for _ in range(warmup):
+        sync(enqueue())
+    times = []
+    for _ in range(repeat):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(chain):
+            out = enqueue()
+        sync(out)
+        times.append((time.perf_counter() - t0) / chain)
+    arr = np.array(times)
+    return float(arr.min()), float(arr.mean()), float(arr.std())
+
+
 def append_csv(path, row: dict):
     import csv
     import os
