@@ -1,0 +1,410 @@
+"""Extended NumPy surface beyond the reference's ~120 functions.
+
+Every function here is a real jitted-XLA implementation over BlockArray
+(not a host fallback): manipulation (stack/tile/roll/flip/sort...),
+scan ops (cumsum/cumprod), predicates (all/any/isclose), nan-reductions,
+and contraction helpers (dot/inner/outer/trace). Loaded into
+``nums_tpu.numpy`` by its __init__.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nums_tpu.core.application_manager import instance as _instance
+from nums_tpu.core.array.blockarray import BlockArray
+from nums_tpu.core.array import utils as array_utils
+
+
+__all__ = [
+    "prod", "all", "any", "cumsum", "cumprod", "nansum", "nanmean",
+    "nanmax", "nanmin", "nanvar", "nanstd", "median", "nanmedian", "ptp",
+    "count_nonzero", "average", "clip", "around", "round", "round_",
+    "sort", "argsort", "searchsorted", "take", "stack", "vstack",
+    "hstack", "dstack", "column_stack", "row_stack", "tile", "repeat",
+    "roll", "flip", "fliplr", "flipud", "ravel", "swapaxes", "moveaxis",
+    "atleast_1d", "atleast_2d", "broadcast_to", "triu", "tril", "dot",
+    "inner", "outer", "trace", "vdot", "einsum", "kron",
+    "matrix_transpose", "isclose", "array_equal", "real", "imag",
+    "nan_to_num", "diff", "unique",
+]
+
+
+def _to_ba(obj):
+    app = _instance()
+    if isinstance(obj, BlockArray):
+        return obj
+    if isinstance(obj, (bool, int, float, complex, np.generic)):
+        return app.scalar(obj)
+    return app.array(np.asarray(obj), block_shape=None)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_kw(fname, **kw):
+    fn = getattr(jnp, fname)
+    return jax.jit(lambda x: fn(x, **kw))
+
+
+def _wrap(a, data, block_shape=None):
+    if block_shape is None:
+        block_shape = array_utils.default_block_shape_for(
+            tuple(data.shape), a.block_shape
+        )
+    return BlockArray.from_jax(data, block_shape=block_shape,
+                               backend=a.backend)
+
+
+def _unary_kw(fname):
+    def fn(a, axis=None, **kwargs):
+        a = _to_ba(a)
+        data = _jit_kw(fname, axis=axis, **kwargs)(a.data)
+        return _wrap(a, data)
+
+    fn.__name__ = fname
+    fn.__doc__ = f"{fname} as one jitted XLA kernel."
+    return fn
+
+
+# -- reductions / scans -------------------------------------------------
+
+prod = _unary_kw("prod")
+all = _unary_kw("all")  # noqa: A001 - numpy-compatible name
+any = _unary_kw("any")  # noqa: A001
+cumsum = _unary_kw("cumsum")
+cumprod = _unary_kw("cumprod")
+nansum = _unary_kw("nansum")
+nanmean = _unary_kw("nanmean")
+nanmax = _unary_kw("nanmax")
+nanmin = _unary_kw("nanmin")
+nanvar = _unary_kw("nanvar")
+nanstd = _unary_kw("nanstd")
+median = _unary_kw("median")
+nanmedian = _unary_kw("nanmedian")
+ptp = _unary_kw("ptp")
+count_nonzero = _unary_kw("count_nonzero")
+
+
+def average(a, axis=None, weights=None):
+    a = _to_ba(a)
+    if weights is None:
+        return _instance().mean(a, axis=axis)
+    w = _to_ba(weights)
+
+    @jax.jit
+    def impl(x, ww):
+        return jnp.average(x, axis=axis, weights=ww)
+
+    return _wrap(a, impl(a.data, w.data))
+
+
+# -- rounding / clipping ------------------------------------------------
+
+
+def clip(a, a_min=None, a_max=None):
+    a = _to_ba(a)
+
+    @functools.partial(jax.jit, static_argnames=("lo", "hi"))
+    def impl(x, lo, hi):
+        return jnp.clip(x, lo, hi)
+
+    return _wrap(a, impl(a.data, a_min, a_max), a.block_shape)
+
+
+def around(a, decimals=0):
+    a = _to_ba(a)
+    data = _jit_kw("round", decimals=decimals)(a.data)
+    return _wrap(a, data, a.block_shape)
+
+
+round = around  # noqa: A001 - numpy alias
+round_ = around
+
+
+# -- sorting / searching ------------------------------------------------
+
+sort = _unary_kw("sort")
+argsort = _unary_kw("argsort")
+
+
+def searchsorted(a, v, side="left"):
+    a, v = _to_ba(a), _to_ba(v)
+
+    @functools.partial(jax.jit, static_argnames=("side",))
+    def impl(x, q, side):
+        return jnp.searchsorted(x, q, side=side)
+
+    return _wrap(a, impl(a.data, v.data, side))
+
+
+def take(a, indices, axis=None):
+    a = _to_ba(a)
+    indices = _to_ba(indices)
+
+    @functools.partial(jax.jit, static_argnames=("axis",))
+    def impl(x, idx, axis):
+        return jnp.take(x, idx, axis=axis)
+
+    return _wrap(a, impl(a.data, indices.data, axis))
+
+
+# -- shape manipulation -------------------------------------------------
+
+
+def _concat_like(fname, arrays, **kw):
+    bas = [_to_ba(a) for a in arrays]
+    datas = tuple(b.data for b in bas)
+    fn = getattr(jnp, fname)
+
+    @jax.jit
+    def impl(*ds):
+        return fn(ds, **kw)
+
+    return _wrap(bas[0], impl(*datas))
+
+
+def stack(arrays, axis=0):
+    return _concat_like("stack", arrays, axis=axis)
+
+
+def vstack(tup):
+    return _concat_like("vstack", tup)
+
+
+def hstack(tup):
+    return _concat_like("hstack", tup)
+
+
+def dstack(tup):
+    return _concat_like("dstack", tup)
+
+
+def column_stack(tup):
+    return _concat_like("column_stack", tup)
+
+
+def row_stack(tup):
+    return _concat_like("vstack", tup)
+
+
+def tile(a, reps):
+    a = _to_ba(a)
+    reps = tuple(reps) if isinstance(reps, (tuple, list)) else (reps,)
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def impl(x, reps):
+        return jnp.tile(x, reps)
+
+    return _wrap(a, impl(a.data, reps))
+
+
+def repeat(a, repeats, axis=None):
+    a = _to_ba(a)
+
+    @functools.partial(jax.jit, static_argnames=("repeats", "axis"))
+    def impl(x, repeats, axis):
+        return jnp.repeat(x, repeats, axis=axis)
+
+    return _wrap(a, impl(a.data, int(repeats), axis))
+
+
+def roll(a, shift, axis=None):
+    a = _to_ba(a)
+
+    @functools.partial(jax.jit, static_argnames=("shift", "axis"))
+    def impl(x, shift, axis):
+        return jnp.roll(x, shift, axis=axis)
+
+    return _wrap(a, impl(a.data, shift if isinstance(shift, int) else tuple(shift), axis), a.block_shape)
+
+
+def flip(a, axis=None):
+    a = _to_ba(a)
+    data = _jit_kw("flip", axis=axis)(a.data)
+    return _wrap(a, data, a.block_shape)
+
+
+def fliplr(a):
+    return flip(a, axis=1)
+
+
+def flipud(a):
+    return flip(a, axis=0)
+
+
+def ravel(a):
+    a = _to_ba(a)
+    return a.reshape(a.size)
+
+
+def swapaxes(a, axis1, axis2):
+    a = _to_ba(a)
+    perm = list(range(a.ndim))
+    perm[axis1], perm[axis2] = perm[axis2], perm[axis1]
+    return a.transpose(*perm)
+
+
+def moveaxis(a, source, destination):
+    a = _to_ba(a)
+
+    @functools.partial(jax.jit, static_argnames=("source", "destination"))
+    def impl(x, source, destination):
+        return jnp.moveaxis(x, source, destination)
+
+    return _wrap(a, impl(a.data, source, destination))
+
+
+def atleast_1d(a):
+    a = _to_ba(a)
+    return a if a.ndim >= 1 else a.reshape(1)
+
+
+def atleast_2d(a):
+    a = _to_ba(a)
+    if a.ndim >= 2:
+        return a
+    if a.ndim == 1:
+        return a.reshape(1, a.shape[0])
+    return a.reshape(1, 1)
+
+
+def broadcast_to(a, shape):
+    a = _to_ba(a)
+    shape = tuple(shape)
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def impl(x, shape):
+        return jnp.broadcast_to(x, shape)
+
+    return _wrap(a, impl(a.data, shape))
+
+
+def triu(a, k=0):
+    a = _to_ba(a)
+    data = _jit_kw("triu", k=k)(a.data)
+    return _wrap(a, data, a.block_shape)
+
+
+def tril(a, k=0):
+    a = _to_ba(a)
+    data = _jit_kw("tril", k=k)(a.data)
+    return _wrap(a, data, a.block_shape)
+
+
+# -- contractions -------------------------------------------------------
+
+
+def dot(a, b):
+    a, b = _to_ba(a), _to_ba(b)
+    if a.ndim == 0 or b.ndim == 0:
+        return a * b
+    if a.ndim <= 2 and b.ndim <= 2:
+        return a @ b
+    # np.dot general case: contract last axis of a with 2nd-to-last of b.
+    return a.tensordot(b, axes=((a.ndim - 1,), (max(0, b.ndim - 2),)))
+
+
+def inner(a, b):
+    a, b = _to_ba(a), _to_ba(b)
+    if a.ndim == 0 or b.ndim == 0:
+        return a * b
+    return a.tensordot(b, axes=((a.ndim - 1,), (b.ndim - 1,)))
+
+
+def outer(a, b):
+    a, b = _to_ba(a), _to_ba(b)
+    return ravel(a).tensordot(ravel(b), axes=0)
+
+
+def trace(a, offset=0):
+    a = _to_ba(a)
+    data = _jit_kw("trace", offset=offset)(a.data)
+    return _wrap(a, data)
+
+
+def vdot(a, b):
+    a, b = _to_ba(a), _to_ba(b)
+    return ravel(a).tensordot(ravel(b), axes=1)
+
+
+def einsum(subscripts, *operands):
+    bas = [_to_ba(o) for o in operands]
+    datas = tuple(b.data for b in bas)
+
+    @functools.partial(jax.jit, static_argnames=("subscripts",))
+    def impl(subscripts, *ds):
+        return jnp.einsum(subscripts, *ds)
+
+    return _wrap(bas[0], impl(subscripts, *datas))
+
+
+def kron(a, b):
+    a, b = _to_ba(a), _to_ba(b)
+
+    @jax.jit
+    def impl(x, y):
+        return jnp.kron(x, y)
+
+    return _wrap(a, impl(a.data, b.data))
+
+
+def matrix_transpose(a):
+    return _to_ba(a).transpose()
+
+
+# -- predicates ---------------------------------------------------------
+
+
+def isclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False):
+    a, b = _to_ba(a), _to_ba(b)
+
+    @functools.partial(jax.jit, static_argnames=("rtol", "atol", "equal_nan"))
+    def impl(x, y, rtol, atol, equal_nan):
+        return jnp.isclose(x, y, rtol=rtol, atol=atol, equal_nan=equal_nan)
+
+    return _wrap(a, impl(a.data, b.data, rtol, atol, equal_nan))
+
+
+def array_equal(a, b):
+    a, b = _to_ba(a), _to_ba(b)
+    if a.shape != b.shape:
+        return _instance().scalar(False)
+
+    @jax.jit
+    def impl(x, y):
+        return jnp.array_equal(x, y)
+
+    return _wrap(a, impl(a.data, b.data))
+
+
+def real(a):
+    a = _to_ba(a)
+    return _wrap(a, _jit_kw("real")(a.data), a.block_shape)
+
+
+def imag(a):
+    a = _to_ba(a)
+    return _wrap(a, _jit_kw("imag")(a.data), a.block_shape)
+
+
+def nan_to_num(a, nan=0.0, posinf=None, neginf=None):
+    a = _to_ba(a)
+    data = _jit_kw("nan_to_num", nan=nan, posinf=posinf, neginf=neginf)(a.data)
+    return _wrap(a, data, a.block_shape)
+
+
+def diff(a, n=1, axis=-1):
+    a = _to_ba(a)
+    data = _jit_kw("diff", n=n, axis=axis)(a.data)
+    return _wrap(a, data)
+
+
+def unique(a):
+    """Data-dependent output shape ⇒ one host sync (same tradeoff as
+    ``where``)."""
+    a = _to_ba(a)
+    out = np.unique(a.get())
+    app = _instance()
+    return app.array(out, block_shape=out.shape)

@@ -116,7 +116,7 @@ def test_where_allclose():
 
 def test_not_implemented_stub():
     with pytest.raises(NotImplementedError):
-        nps.einsum("ij->ji", nps.zeros((2, 2)))
+        nps.apply_along_axis(lambda r: r, 0, nps.zeros((2, 2)))
 
 
 def test_random_module():

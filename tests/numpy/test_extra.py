@@ -1,0 +1,128 @@
+"""Extended numpy-surface oracle tests (nums_tpu.numpy.extra)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _use_app(nps_app_inst):
+    yield
+
+
+import nums_tpu.numpy as nps  # noqa: E402
+
+
+def test_reductions_scans():
+    rs = np.random.RandomState(0)
+    x_np = rs.randn(8, 6)
+    x = nps.array(x_np)
+    assert np.allclose(nps.prod(x, axis=0).get(), x_np.prod(axis=0))
+    assert bool(nps.all(x < 100))
+    assert not bool(nps.all(x > 0))
+    assert bool(nps.any(x > 0))
+    assert np.allclose(nps.cumsum(x, axis=1).get(), x_np.cumsum(axis=1))
+    assert np.allclose(nps.cumprod(x, axis=0).get(), x_np.cumprod(axis=0))
+    assert np.allclose(nps.median(x).get(), np.median(x_np))
+    assert np.allclose(float(nps.ptp(x)), np.ptp(x_np))
+    assert int(nps.count_nonzero(x > 0)) == np.count_nonzero(x_np > 0)
+    xn = x_np.copy()
+    xn[0, 0] = np.nan
+    bn = nps.array(xn)
+    assert np.allclose(nps.nansum(bn).get(), np.nansum(xn))
+    assert np.allclose(nps.nanmean(bn, axis=0).get(), np.nanmean(xn, axis=0))
+    assert np.allclose(nps.nanmax(bn).get(), np.nanmax(xn))
+    w = np.abs(rs.randn(8)) + 0.1
+    assert np.allclose(
+        nps.average(x, axis=0, weights=nps.array(w)).get(),
+        np.average(x_np, axis=0, weights=w),
+    )
+
+
+def test_rounding_clipping():
+    x_np = np.array([-2.7, -0.5, 0.49, 1.51, 9.9])
+    x = nps.array(x_np)
+    assert np.allclose(nps.clip(x, -1, 1).get(), np.clip(x_np, -1, 1))
+    assert np.allclose(nps.around(x, 0).get(), np.around(x_np, 0))
+    assert np.allclose(nps.round(x, 1).get(), np.round(x_np, 1))
+
+
+def test_sorting_searching():
+    rs = np.random.RandomState(1)
+    x_np = rs.randn(50)
+    x = nps.array(x_np)
+    assert np.allclose(nps.sort(x).get(), np.sort(x_np))
+    assert np.array_equal(nps.argsort(x).get(), np.argsort(x_np))
+    sorted_x = nps.sort(x)
+    v = nps.array(np.array([-0.5, 0.0, 0.5]))
+    assert np.array_equal(
+        nps.searchsorted(sorted_x, v).get(),
+        np.searchsorted(np.sort(x_np), [-0.5, 0.0, 0.5]),
+    )
+    idx = nps.array(np.array([4, 2, 0]))
+    assert np.allclose(nps.take(x, idx).get(), x_np[[4, 2, 0]])
+
+
+def test_stacking_shaping():
+    rs = np.random.RandomState(2)
+    a_np, b_np = rs.randn(3, 4), rs.randn(3, 4)
+    a, b = nps.array(a_np), nps.array(b_np)
+    assert np.allclose(nps.stack([a, b]).get(), np.stack([a_np, b_np]))
+    assert np.allclose(nps.vstack([a, b]).get(), np.vstack([a_np, b_np]))
+    assert np.allclose(nps.hstack([a, b]).get(), np.hstack([a_np, b_np]))
+    assert np.allclose(
+        nps.column_stack([a[:, 0], b[:, 0]]).get(),
+        np.column_stack([a_np[:, 0], b_np[:, 0]]),
+    )
+    assert np.allclose(nps.tile(a, (2, 1)).get(), np.tile(a_np, (2, 1)))
+    assert np.allclose(nps.repeat(a, 3, axis=0).get(),
+                       np.repeat(a_np, 3, axis=0))
+    assert np.allclose(nps.roll(a, 1, axis=1).get(), np.roll(a_np, 1, axis=1))
+    assert np.allclose(nps.flip(a).get(), np.flip(a_np))
+    assert np.allclose(nps.fliplr(a).get(), np.fliplr(a_np))
+    assert np.allclose(nps.ravel(a).get(), a_np.ravel())
+    assert np.allclose(nps.swapaxes(a, 0, 1).get(), a_np.swapaxes(0, 1))
+    assert np.allclose(
+        nps.broadcast_to(a[0], (5, 4)).get(), np.broadcast_to(a_np[0], (5, 4))
+    )
+    assert np.allclose(nps.triu(a).get(), np.triu(a_np))
+    assert np.allclose(nps.tril(a, -1).get(), np.tril(a_np, -1))
+    assert nps.atleast_2d(nps.array(np.arange(3))).shape == (1, 3)
+
+
+def test_contractions():
+    rs = np.random.RandomState(3)
+    a_np, b_np = rs.randn(4, 5), rs.randn(5, 3)
+    a, b = nps.array(a_np), nps.array(b_np)
+    assert np.allclose(nps.dot(a, b).get(), a_np @ b_np)
+    v_np = rs.randn(5)
+    v = nps.array(v_np)
+    assert np.allclose(nps.dot(a, v).get(), a_np @ v_np)
+    assert np.allclose(float(nps.vdot(v, v)), v_np @ v_np)
+    assert np.allclose(nps.inner(a, nps.array(rs.randn(2, 5))).get().shape,
+                       (4, 2))
+    assert np.allclose(nps.outer(v, v).get(), np.outer(v_np, v_np))
+    assert np.allclose(float(nps.trace(a)), np.trace(a_np))
+    assert np.allclose(
+        nps.einsum("ij,jk->ik", a, b).get(), np.einsum("ij,jk->ik", a_np, b_np)
+    )
+    assert np.allclose(nps.kron(v, v).get(), np.kron(v_np, v_np))
+
+
+def test_predicates_misc():
+    rs = np.random.RandomState(4)
+    x_np = rs.randn(10)
+    x = nps.array(x_np)
+    assert np.array_equal(
+        nps.isclose(x, x + 1e-9).get(), np.isclose(x_np, x_np + 1e-9)
+    )
+    assert bool(nps.array_equal(x, x))
+    assert not bool(nps.array_equal(x, x + 1))
+    assert np.allclose(nps.real(x).get(), x_np)
+    xn = x_np.copy()
+    xn[3] = np.nan
+    assert np.allclose(
+        nps.nan_to_num(nps.array(xn)).get(), np.nan_to_num(xn)
+    )
+    assert np.allclose(nps.diff(x).get(), np.diff(x_np))
+    u = nps.unique(nps.array(np.array([3, 1, 3, 2, 1])))
+    assert np.array_equal(u.get(), [1, 2, 3])
