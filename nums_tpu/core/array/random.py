@@ -225,6 +225,83 @@ class NumsRandomState:
     def zipf(self, a, shape=None, block_shape=None, dtype=None):
         return self._sample_basic("zipf", shape, block_shape, dtype, (a,))
 
+    # -- numpy Generator-style extras (beyond the reference's list) ------
+
+    def standard_normal(self, shape=None, block_shape=None, dtype=None):
+        return self.normal(0.0, 1.0, shape, block_shape, dtype)
+
+    def standard_exponential(self, shape=None, block_shape=None, dtype=None):
+        return self.exponential(1.0, shape, block_shape, dtype)
+
+    def standard_gamma(self, k, shape=None, block_shape=None, dtype=None):
+        return self.gamma(k, 1.0, shape, block_shape, dtype)
+
+    def multivariate_normal(self, mean, cov, shape=None, block_shape=None,
+                            dtype=None):
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = np.float64
+        mean = jnp.asarray(np.asarray(mean))
+        cov = jnp.asarray(np.asarray(cov))
+        shape = tuple(shape) if shape is not None else ()
+        out_shape = shape + (mean.shape[-1],)
+        grid = self._grid(out_shape, block_shape, array_utils.to_dtype_name(dtype))
+        data = jr.multivariate_normal(
+            self._next_key(), mean, cov, shape,
+            dtype=np.dtype(array_utils.to_dtype_name(dtype)),
+        )
+        data = self._backend.device_put(np.asarray(data), grid)
+        return BlockArray(data, grid, self._backend)
+
+    def dirichlet(self, alpha, shape=None, block_shape=None, dtype=None):
+        import jax.numpy as jnp
+
+        if dtype is None:
+            dtype = np.float64
+        alpha = jnp.asarray(np.asarray(alpha, dtype=np.float64))
+        shape = tuple(shape) if shape is not None else ()
+        out_shape = shape + (alpha.shape[-1],)
+        grid = self._grid(out_shape, block_shape, array_utils.to_dtype_name(dtype))
+        data = jr.dirichlet(self._next_key(), alpha, shape)
+        data = self._backend.device_put(
+            np.asarray(data, dtype=np.dtype(grid.dtype)), grid
+        )
+        return BlockArray(data, grid, self._backend)
+
+    def multinomial(self, n, pvals, shape=None, block_shape=None, dtype=None):
+        # Host-side sampling (counter-derived generator) — small draws.
+        self._counter += 1
+        rng = np.random.default_rng((self._seed, self._counter))
+        out = rng.multinomial(n, np.asarray(pvals),
+                              size=tuple(shape) if shape else None)
+        out = np.atleast_1d(out).astype(
+            np.dtype(array_utils.to_dtype_name(dtype or np.int64))
+        )
+        grid = self._grid(out.shape, block_shape, out.dtype.name)
+        return BlockArray(
+            self._backend.device_put(out, grid), grid, self._backend
+        )
+
+    def choice(self, a, shape=None, block_shape=None, replace=True, p=None):
+        import jax.numpy as jnp
+
+        shape = tuple(shape) if shape is not None else ()
+        if isinstance(a, BlockArray):
+            pool = a.data
+        elif isinstance(a, (int, np.integer)):
+            pool = int(a)
+        else:
+            pool = jnp.asarray(np.asarray(a))
+        pj = jnp.asarray(np.asarray(p)) if p is not None else None
+        data = jr.choice(self._next_key(), pool, shape, replace=replace, p=pj)
+        grid = self._grid(tuple(data.shape), block_shape, data.dtype.name)
+        return BlockArray(data, grid, self._backend)
+
+    def shuffle(self, x: BlockArray) -> BlockArray:
+        data = jr.permutation(self._next_key(), x.data, axis=0)
+        return BlockArray(data, x.grid.copy(), self._backend)
+
     def permutation(self, size, block_size=None):
         """Parity: random.py:181-195."""
         grid = self._grid((size,), (block_size or size,), "int64")

@@ -64,13 +64,25 @@ class FileSystem:
         meta = {"grid": ba.grid.to_meta()}
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
-        # One .npy per block: restorable under any future mesh shape.
-        arr = ba.get()
-        results = []
-        for grid_entry in ba.grid.get_entry_iterator():
-            block = arr[ba.grid.get_slice(grid_entry)]
+        # One .npy per block, fetched block-at-a-time from the device
+        # (parallel IO threads): peak host memory stays O(block), not
+        # O(array) — arrays can exceed host RAM when sharded over a pod.
+        data = ba.data
+        entries = list(ba.grid.get_entry_iterator())
+
+        def write_block(grid_entry):
+            import jax
+
+            block = np.asarray(
+                jax.device_get(data[ba.grid.get_slice(grid_entry)])
+            )
             np.save(os.path.join(path, _block_fname(grid_entry)), block)
-            results.append(True)
+            return True
+
+        if len(entries) == 1:
+            return np.array([write_block(entries[0])], dtype=bool)
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+            results = list(ex.map(write_block, entries))
         return np.array(results, dtype=bool)
 
     def read_meta_fs(self, filename: str) -> dict:

@@ -68,6 +68,43 @@ class RandomState:
             loc, scale, shape=shape, block_shape=block_shape
         )
 
+    def standard_normal(self, size=None):
+        shape, block_shape = self._get_shapes(size, _np.float64)
+        return self.rs().standard_normal(shape=shape, block_shape=block_shape)
+
+    def standard_exponential(self, size=None):
+        shape, block_shape = self._get_shapes(size, _np.float64)
+        return self.rs().standard_exponential(
+            shape=shape, block_shape=block_shape
+        )
+
+    def standard_gamma(self, k, size=None):
+        shape, block_shape = self._get_shapes(size, _np.float64)
+        return self.rs().standard_gamma(
+            k, shape=shape, block_shape=block_shape
+        )
+
+    def multivariate_normal(self, mean, cov, size=None):
+        shape = (size,) if isinstance(size, (int, _np.integer)) else size
+        return self.rs().multivariate_normal(mean, cov, shape=shape)
+
+    def dirichlet(self, alpha, size=None):
+        shape = (size,) if isinstance(size, (int, _np.integer)) else size
+        return self.rs().dirichlet(alpha, shape=shape)
+
+    def multinomial(self, n, pvals, size=None):
+        shape = (size,) if isinstance(size, (int, _np.integer)) else size
+        return self.rs().multinomial(n, pvals, shape=shape)
+
+    def choice(self, a, size=None, replace=True, p=None):
+        shape = (size,) if isinstance(size, (int, _np.integer)) else size
+        return self.rs().choice(a, shape=shape, replace=replace, p=p)
+
+    def shuffle(self, x):
+        # NumPy shuffles in place; BlockArrays are functional — return the
+        # shuffled array (documented divergence).
+        return self.rs().shuffle(x)
+
     def permutation(self, x):
         app = _instance()
         if isinstance(x, (int, _np.integer)):
@@ -119,6 +156,9 @@ uniform = _default_random.uniform
 normal = _default_random.normal
 permutation = _default_random.permutation
 
-for _name in _DIST_NAMES:
+for _name in _DIST_NAMES + [
+    "standard_normal", "standard_exponential", "standard_gamma",
+    "multivariate_normal", "dirichlet", "multinomial", "choice", "shuffle",
+]:
     globals()[_name] = getattr(_default_random, _name)
 del _name

@@ -79,3 +79,24 @@ def test_numpy_escape_hatch(app_inst):
     rs = app_inst.random_state(5)
     gen = rs.numpy()
     assert isinstance(gen.integers(10), (int, np.integer))
+
+
+def test_generator_extras(app_inst):
+    rs = app_inst.random_state(9)
+    assert rs.standard_normal(shape=(50,), block_shape=(25,)).shape == (50,)
+    se = rs.standard_exponential(shape=(50,), block_shape=(50,)).get()
+    assert (se >= 0).all()
+    sg = rs.standard_gamma(2.0, shape=(50,), block_shape=(50,)).get()
+    assert (sg > 0).all()
+    mvn = rs.multivariate_normal([0.0, 5.0], np.eye(2), shape=(200,))
+    assert mvn.shape == (200, 2)
+    assert abs(mvn.get()[:, 1].mean() - 5.0) < 0.5
+    d = rs.dirichlet([1.0, 2.0, 3.0], shape=(100,)).get()
+    assert np.allclose(d.sum(axis=1), 1.0)
+    m = rs.multinomial(10, [0.3, 0.7], shape=(20,)).get()
+    assert (m.sum(axis=1) == 10).all()
+    c = rs.choice(5, shape=(100,)).get()
+    assert ((0 <= c) & (c < 5)).all()
+    x = app_inst.array(np.arange(30.0), block_shape=(10,))
+    sh = rs.shuffle(x)
+    assert np.array_equal(np.sort(sh.get()), np.arange(30.0))
