@@ -143,6 +143,11 @@ np_pairwise_reduction_map = {
 # Householder tree is the robust fallback for ill-conditioned inputs.
 tsqr_method = os.environ.get("NUMS_TPU_TSQR", "auto")
 
+# Fuse GLM Newton training into one on-device while_loop program
+# (zero per-iteration host syncs). "1" (default) fuses supported
+# configurations; "0" forces the eager per-op solver loop.
+glm_fuse = os.environ.get("NUMS_TPU_GLM_FUSE", "1")
+
 # Default dtypes, mirroring NumPy semantics used by the reference.
 default_float = np.float64
 default_int = np.int64

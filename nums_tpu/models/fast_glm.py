@@ -68,6 +68,55 @@ _STEPS = {
 }
 
 
+def _newton_step_penalized(kind, X, y, beta, lambda_vec):
+    """One Newton step with the reference's l2 semantics
+    (g += λ·beta; H += λ broadcast — matching glms.py:222-240 exactly,
+    including its broadcast-not-diag Hessian addition)."""
+    if kind == "logistic":
+        mu = _sigmoid(X @ beta)
+        s = mu * (1.0 - mu)
+    elif kind == "linear":
+        mu = X @ beta
+        s = jnp.ones_like(mu)
+    elif kind == "poisson":
+        mu = jnp.exp(X @ beta)
+        s = mu
+    else:
+        raise ValueError(kind)
+    g = X.T @ (mu - y)
+    H = (X * s[:, None]).T @ X
+    if lambda_vec is not None:
+        g = g + lambda_vec * beta
+        H = H + lambda_vec
+    return beta - _posdef_solve(H, g), g
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "max_iter", "penalized")
+)
+def newton_fit(X, y, beta0, tol, kind="logistic", max_iter=10,
+               penalized=False, lambda_vec=None):
+    """Full Newton training with ON-DEVICE convergence: the loop is a
+    lax.while_loop checking max|g| <= tol after each update — semantics
+    identical to the reference's driver loop (glms.py:362-372) but with
+    zero per-iteration host syncs (the reference ray.get's every
+    iteration, its acknowledged choke point)."""
+    lv = lambda_vec if penalized else None
+
+    def cond(state):
+        _, gmax, it = state
+        return jnp.logical_and(it < max_iter, gmax > tol)
+
+    def body(state):
+        beta, _, it = state
+        beta, g = _newton_step_penalized(kind, X, y, beta, lv)
+        return beta, jnp.max(jnp.abs(g)), it + 1
+
+    init = (beta0, jnp.array(jnp.inf, X.dtype), jnp.array(0, jnp.int32))
+    beta, gmax, it = jax.lax.while_loop(cond, body, init)
+    return beta, gmax, it
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "num_iters"))
 def newton_train(X, y, beta0, kind="logistic", num_iters=10):
     """Fixed-iteration Newton training as ONE compiled program.
@@ -84,6 +133,21 @@ def newton_train(X, y, beta0, kind="logistic", num_iters=10):
 
     beta, gmax = jax.lax.scan(body, beta0, None, length=num_iters)
     return beta, gmax
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def glm_forward(X, beta, beta0, kind="logistic"):
+    eta = X @ beta + beta0
+    if kind == "logistic":
+        return _sigmoid(eta)
+    if kind == "poisson":
+        return jnp.exp(eta)
+    return eta
+
+
+@jax.jit
+def logistic_predict_label(X, beta, beta0):
+    return (_sigmoid(X @ beta + beta0) > 0.5).astype(jnp.int32)
 
 
 def fit_logistic(X, y, num_iters=10):

@@ -90,7 +90,11 @@ class GLM:
             opt = {"gd": gd, "sgd": sgd, "block_sgd": block_sgd}[self._opt]
             beta = opt(self, beta, X, y, tol, max_iter, lr)
         elif self._opt in ("newton", "newton-cg"):
-            beta = newton(app, self, beta, X, y, tol, max_iter)
+            fused = self._fused_newton(X, y, beta, max_iter)
+            if fused is not None:
+                beta = fused
+            else:
+                beta = newton(app, self, beta, X, y, tol, max_iter)
         elif self._opt == "irls":
             assert isinstance(self, LogisticRegression)
             beta = irls(app, self, beta, X, y, tol, max_iter)
@@ -99,9 +103,59 @@ class GLM:
         self._beta0 = beta[-1]
         self._beta = beta[:-1]
 
+    _fused_kind = None  # set by subclasses that support the fused solver
+
+    def _fused_newton(self, X, y, beta, max_iter):
+        """Run Newton as ONE on-device while_loop program when supported.
+
+        Numerically identical to the eager loop (same update, same
+        convergence rule) but with zero per-iteration host syncs.
+        Returns None to fall back to the eager solver.
+        """
+        from nums_tpu.core import settings
+
+        if settings.glm_fuse in ("0", "false") or self._fused_kind is None:
+            return None
+        from nums_tpu.models import fast_glm
+
+        lv = self._lambda_vec.data if self._lambda_vec is not None else None
+        beta_data, _, _ = fast_glm.newton_fit(
+            X.data, y.data, beta.data, self._tol,
+            kind=self._fused_kind, max_iter=int(max_iter),
+            penalized=lv is not None, lambda_vec=lv,
+        )
+        from nums_tpu.core.array.blockarray import BlockArray
+
+        return BlockArray.from_jax(
+            beta_data, block_shape=beta.block_shape, backend=beta.backend
+        )
+
+
+    def _fused_enabled(self):
+        from nums_tpu.core import settings
+
+        return (
+            settings.glm_fuse not in ("0", "false")
+            and self._fused_kind is not None
+            and self._beta is not None
+        )
+
+    def _fused_forward(self, X):
+        from nums_tpu.models import fast_glm
+
+        data = fast_glm.glm_forward(
+            X.data, self._beta.data, self._beta0.data, kind=self._fused_kind
+        )
+        return BlockArray.from_jax(
+            data, block_shape=(X.block_shape[0],), backend=X.backend
+        )
+
     def forward(self, X, beta=None):
         if beta:
             return self.link_inv(X @ beta)
+        if self._fused_enabled():
+            # One jitted program instead of an eager op chain.
+            return self._fused_forward(X)
         return self.link_inv(self._beta0 + X @ self._beta)
 
     def grad_norm_sq(self, X, y, beta=None):
@@ -137,6 +191,8 @@ class GLM:
 class LinearRegression(GLM):
     # Canonical link: identity (glms.py:178-208).
 
+    _fused_kind = "linear"
+
     def link_inv(self, eta):
         return eta
 
@@ -162,6 +218,8 @@ class LinearRegression(GLM):
 
 class LogisticRegression(GLM):
     # Canonical link: logit (glms.py:211-251).
+
+    _fused_kind = "logistic"
 
     def link_inv(self, eta):
         app = self._app
@@ -196,6 +254,15 @@ class LogisticRegression(GLM):
         raise NotImplementedError()
 
     def predict(self, X):
+        if self._fused_enabled():
+            from nums_tpu.models import fast_glm
+
+            data = fast_glm.logistic_predict_label(
+                X.data, self._beta.data, self._beta0.data
+            )
+            return BlockArray.from_jax(
+                data, block_shape=(X.block_shape[0],), backend=X.backend
+            ).astype(np.int64)
         return (self.forward(X) > 0.5).astype(np.int64)
 
     def predict_proba(self, X):
@@ -208,6 +275,8 @@ class LogisticRegression(GLM):
 
 class PoissonRegression(GLM):
     # Canonical link: log (glms.py:254-283).
+
+    _fused_kind = "poisson"
 
     def link_inv(self, eta):
         return self._app.exp(eta)

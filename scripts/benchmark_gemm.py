@@ -1,0 +1,64 @@
+"""Square blocked-GEMM benchmark (BASELINE.md target: >=85% of MXU peak
+at 32k x 32k per chip).
+
+Usage: python scripts/benchmark_gemm.py [--n 32768] [--dtype bfloat16|float32]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# v5e peak: ~197 TFLOP/s bf16; fp32 via single-pass bf16 uses the same MXU.
+PEAK_TFLOPS = {"v5e": 197.0, "v5 lite": 197.0}
+
+
+def main(argv=None):
+    sys.path.insert(0, ".")
+    from scripts.utils import benchmark_chained, append_csv
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=32768)
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--out", default="result_gemm_tpu.csv")
+    args = parser.parse_args(argv)
+
+    import nums_tpu
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    app = nums_tpu.init()
+    n = args.n
+    dtype = jnp.dtype(args.dtype)
+
+    @jax.jit
+    def gen(seed):
+        i = jax.lax.broadcasted_iota(jnp.float32, (n, n), 0)
+        j = jax.lax.broadcasted_iota(jnp.float32, (n, n), 1)
+        return (jnp.sin(i * (1e-4 + seed) + j * 0.7) * 0.1).astype(dtype)
+
+    block = max(1, n // max(1, app.backend.num_devices))
+    A = BlockArray.from_jax(gen(0.0), block_shape=(block, n), backend=app.backend)
+    B = BlockArray.from_jax(gen(1e-5), block_shape=(block, n), backend=app.backend)
+
+    tmin, tmean, _ = benchmark_chained(
+        lambda: A @ B, lambda C: float(C[0, 0]), chain=3
+    )
+    flops = 2.0 * n * n * n
+    tflops = flops / tmin / 1e12
+    dev = str(jax.devices()[0])
+    peak = next((v for k, v in PEAK_TFLOPS.items() if k in dev.lower()), None)
+    pct = f" ({100*tflops/peak:.1f}% of {peak} TF peak)" if peak else ""
+    print(f"GEMM {n}x{n} {args.dtype}: min {tmin:.4f}s  {tflops:.1f} TFLOP/s{pct}")
+    append_csv(args.out, {"n": n, "dtype": args.dtype,
+                          "min_s": round(tmin, 5),
+                          "tflops": round(tflops, 1)})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -141,3 +141,30 @@ def test_fast_glm_matches_blockarray_glm(nps_app_inst):
         [model._beta.get(), [float(model._beta0.get())]]
     )
     assert np.allclose(beta_fast, beta_slow, atol=1e-5)
+
+
+def test_fused_vs_eager_newton(nps_app_inst):
+    """The fused while_loop Newton must match the eager per-op loop."""
+    from nums_tpu.core import settings
+    from nums_tpu.models.glms import LogisticRegression, PoissonRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(400, 5)
+    X = nps_app_inst.array(real_X, block_shape=(100, 5))
+    y = nps_app_inst.array(real_y, block_shape=(100,))
+
+    def fit(fuse, cls=LogisticRegression, **kw):
+        prev = settings.glm_fuse
+        settings.glm_fuse = fuse
+        try:
+            m = cls(solver="newton", tol=1e-8, max_iter=8, **kw)
+            m.fit(X, y)
+            return np.concatenate([m._beta.get(), [float(m._beta0.get())]])
+        finally:
+            settings.glm_fuse = prev
+
+    assert np.allclose(fit("1"), fit("0"), atol=1e-9)
+    # l2-penalized path too
+    assert np.allclose(
+        fit("1", penalty="l2", C=0.5), fit("0", penalty="l2", C=0.5),
+        atol=1e-9,
+    )
