@@ -11,7 +11,7 @@ backend. For TPU-speed training loops see ``nums_tpu.models.fast_glm``
 import numpy as np
 
 from nums_tpu.core.application_manager import instance as _instance
-from nums_tpu.core.array import utils as array_utils
+
 from nums_tpu.core.array.blockarray import BlockArray
 from nums_tpu.core.array.random import NumsRandomState
 
