@@ -91,16 +91,59 @@ class FileSystem:
             return pickle.load(f)
 
     def read_fs(self, filename: str) -> BlockArray:
+        """Sharding-aware restore: each device shard is assembled from just
+        the stored blocks it overlaps (``jax.make_array_from_callback``) —
+        host memory stays O(shard), and restore works under ANY current
+        mesh shape regardless of the writer's grid (the TPU equivalent of
+        the reference's placement-aware re-read, application.py:164-171).
+        """
+        import jax
+
         path = _fs_path(filename)
         meta = self.read_meta_fs(filename)
         grid = ArrayGrid.from_meta(meta["grid"])
-        arr = np.empty(grid.shape, dtype=np.dtype(grid.dtype))
-        for grid_entry in grid.get_entry_iterator():
-            block = np.load(os.path.join(path, _block_fname(grid_entry)))
-            arr[grid.get_slice(grid_entry)] = block
-        return BlockArray.from_np(
-            arr, block_shape=grid.block_shape, backend=self.backend
-        )
+        dtype = np.dtype(grid.dtype)
+        sharding = self.backend.sharding_for_grid(grid)
+
+        def load_region(index):
+            # index: tuple of slices into the global array for one shard.
+            starts = [
+                (0 if s.start is None else s.start) for s in index
+            ]
+            stops = [
+                (dim if s.stop is None else s.stop)
+                for s, dim in zip(index, grid.shape)
+            ]
+            out = np.empty(
+                tuple(b - a for a, b in zip(starts, stops)), dtype=dtype
+            )
+            for grid_entry in grid.get_entry_iterator():
+                rect = grid.get_slice_tuples(grid_entry)
+                # overlap of block rect with requested region
+                lo = [max(a, r0) for a, (r0, _) in zip(starts, rect)]
+                hi = [min(b, r1) for b, (_, r1) in zip(stops, rect)]
+                if any(l >= h for l, h in zip(lo, hi)):
+                    continue
+                block = np.load(
+                    os.path.join(path, _block_fname(grid_entry))
+                )
+                src = tuple(
+                    slice(l - r0, h - r0)
+                    for l, h, (r0, _) in zip(lo, hi, rect)
+                )
+                dst = tuple(
+                    slice(l - a, h - a) for l, h, a in zip(lo, hi, starts)
+                )
+                out[dst] = block[src]
+            return out
+
+        if sharding is None or len(grid.shape) == 0:
+            arr = load_region(tuple(slice(0, s) for s in grid.shape))
+            return BlockArray.from_np(
+                arr, block_shape=grid.block_shape, backend=self.backend
+            )
+        data = jax.make_array_from_callback(grid.shape, sharding, load_region)
+        return BlockArray(data, grid, self.backend)
 
     def delete_fs(self, filename: str):
         path = _fs_path(filename)

@@ -236,6 +236,29 @@ def logspace(start, stop, num=50, endpoint=True, base=10.0, dtype=None,
 ############################################
 
 
+def asarray(a, dtype=None):
+    return array(a, dtype=dtype, copy=False)
+
+
+def shape(a):
+    return _to_ba(a).shape
+
+
+def size(a):
+    return _to_ba(a).size
+
+
+def isscalar(element):
+    return np.isscalar(element)
+
+
+# Pure-metadata dtype helpers: defer to numpy (no device work involved).
+result_type = np.result_type
+can_cast = np.can_cast
+promote_types = np.promote_types
+dtype = np.dtype
+
+
 def tensordot(x1, x2, axes=2) -> BlockArray:
     return _instance().tensordot(_to_ba(x1), _to_ba(x2), axes)
 

@@ -96,3 +96,27 @@ def test_s3_unavailable_raises(app_inst):
         pytest.skip("boto3 present; S3 path exercised elsewhere")
     with pytest.raises(RuntimeError):
         app_inst.read_s3("bucket/key")
+
+
+def test_sharded_restore_misaligned_blocks(tmp_path):
+    """Stored blocks misaligned with the reader's shard regions: each
+    shard must be assembled from partial block overlaps."""
+    from nums_tpu.core import settings, application_manager
+
+    path = str(tmp_path / "misaligned")
+    rs = np.random.RandomState(0)
+    x = rs.randn(16, 6)
+
+    settings.backend_name = "serial"
+    application_manager.destroy()
+    app = application_manager.instance()
+    app.write_fs(app.array(x, block_shape=(5, 3)), path)
+
+    settings.backend_name = "mesh"
+    application_manager.destroy()
+    app = application_manager.instance()
+    back = app.read_fs(path)
+    assert np.allclose(back.get(), x)
+    assert back.data.sharding.num_devices == 8
+    application_manager.destroy()
+    settings.backend_name = "serial"
