@@ -1,0 +1,82 @@
+"""Explicit SUMMA GEMM over a 2-D device mesh (shard_map + ICI collectives).
+
+The reference's blocked tensordot is a driver-side SUMMA without the
+broadcast optimization (one Ray task per (i,j,k) block product and a
+sequential add chain, blockarray.py:442-473). XLA's SPMD partitioner
+already produces a good SUMMA automatically for sharded `dot_general`
+(that is the default path); this module is the HAND-SCHEDULED version —
+explicit all-gathers of A's row panels / B's column panels over ICI and a
+local MXU GEMM per shard — for when the auto-partitioner's choice is
+wrong, and as the substrate for future ppermute-pipelined (memory-bound)
+variants.
+
+C[i, j] = Σ_k A[i, k] B[k, j] with A sharded (m0, m1), B sharded (m0, m1),
+C sharded (m0, m1): each (i, j) shard needs A's full row-block-row i
+(all-gather over m1) and B's full column-block-col j (all-gather over m0).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+        )
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+@functools.lru_cache(maxsize=None)
+def summa_matmul(mesh_backend, precision=None):
+    """C = A @ B with explicit collectives over the backend's 2-D mesh.
+
+    Requires A (m, k), B (k, n) with m, k, n divisible by the respective
+    mesh axes. Returns a jitted callable.
+    """
+    mesh = mesh_backend.mesh
+    ax0, ax1 = mesh_backend.device_grid.axis_names[:2]
+
+    def local(a_blk, b_blk):
+        # a_blk: (m/p0, k/p1) ; b_blk: (k/p0, n/p1)
+        a_row = jax.lax.all_gather(
+            a_blk, ax1, axis=1, tiled=True
+        )  # (m/p0, k)
+        b_col = jax.lax.all_gather(
+            b_blk, ax0, axis=0, tiled=True
+        )  # (k, n/p1)
+        return jnp.matmul(a_row, b_col, precision=precision)
+
+    fn = _shard_map(
+        local,
+        mesh,
+        in_specs=(P(ax0, ax1), P(ax0, ax1)),
+        out_specs=P(ax0, ax1),
+    )
+    return jax.jit(fn)
+
+
+def supported(mesh_backend, a_shape, b_shape) -> bool:
+    if mesh_backend.mesh is None:
+        return False
+    ms = mesh_backend.device_grid.mesh_shape
+    if len(ms) < 2 or len(a_shape) != 2 or len(b_shape) != 2:
+        return False
+    p0, p1 = ms[:2]
+    m, k = a_shape
+    k2, n = b_shape
+    return (
+        k == k2
+        and m % p0 == 0
+        and k % p1 == 0
+        and k % p0 == 0
+        and n % p1 == 0
+    )
