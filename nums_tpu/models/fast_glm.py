@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.optimize  # noqa: F401 - registers the lazy submodule
 
 
 def _sigmoid(x):
@@ -133,6 +134,37 @@ def newton_train(X, y, beta0, kind="logistic", num_iters=10):
 
     beta, gmax = jax.lax.scan(body, beta0, None, length=num_iters)
     return beta, gmax
+
+
+def _objective(kind, X, y, beta, lambda_vec):
+    eta = X @ beta
+    if kind == "logistic":
+        # Σ softplus(-(2y-1)·eta): numerically stable NLL.
+        obj = jnp.sum(jax.nn.softplus(jnp.where(y > 0.5, -eta, eta)))
+    elif kind == "linear":
+        obj = 0.5 * jnp.sum((y - eta) ** 2)
+    elif kind == "poisson":
+        obj = jnp.sum(jnp.exp(eta) - y * eta)
+    else:
+        raise ValueError(kind)
+    if lambda_vec is not None:
+        obj = obj + 0.5 * jnp.sum(lambda_vec * beta * beta)
+    return obj
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "max_iter", "penalized"))
+def bfgs_fit(X, y, beta0, tol, kind="logistic", max_iter=100,
+             penalized=False, lambda_vec=None):
+    """Quasi-Newton fit via jax.scipy BFGS — implements the solver the
+    reference stubs out (``lbfgs``, glms.py:393-394). Whole optimization
+    is one on-device program."""
+    lv = lambda_vec if penalized else None
+    fun = lambda b: _objective(kind, X, y, b, lv)
+    res = jax.scipy.optimize.minimize(
+        fun, beta0, method="BFGS",
+        options={"maxiter": max_iter, "gtol": tol},
+    )
+    return res.x
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))

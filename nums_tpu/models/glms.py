@@ -98,6 +98,28 @@ class GLM:
         elif self._opt == "irls":
             assert isinstance(self, LogisticRegression)
             beta = irls(app, self, beta, X, y, tol, max_iter)
+        elif self._opt == "lbfgs":
+            # Implemented (the reference stubs this out, glms.py:393-394):
+            # on-device quasi-Newton over the fused objective.
+            if self._fused_kind is None:
+                raise NotImplementedError(
+                    "lbfgs unsupported for this model family."
+                )
+            from nums_tpu.models import fast_glm
+
+            lv = (
+                self._lambda_vec.data
+                if self._lambda_vec is not None
+                else None
+            )
+            beta_data = fast_glm.bfgs_fit(
+                X.data, y.data, beta.data, self._tol,
+                kind=self._fused_kind, max_iter=int(max_iter),
+                penalized=lv is not None, lambda_vec=lv,
+            )
+            beta = BlockArray.from_jax(
+                beta_data, block_shape=beta.block_shape, backend=beta.backend
+            )
         else:
             raise Exception(f"Unsupported optimizer specified {self._opt}.")
         self._beta0 = beta[-1]

@@ -96,3 +96,39 @@ def test_scalar_result_and_len(app_inst):
     assert len(bx) == 3
     with pytest.raises(TypeError):
         len(bx[0, 0])
+
+
+def test_assignment_sweep(app_inst):
+    """Generative get/set sweep against the NumPy oracle (role of the
+    reference's left/right-mode assignment matrix, test_view.py:147)."""
+    rs = np.random.RandomState(99)
+    shape = (13, 9)
+    subscripts = [
+        (slice(None), slice(None)),
+        (slice(2, 11), slice(1, 8)),
+        (slice(0, 13, 2), slice(None)),
+        (slice(None), slice(8, None, -2)),
+        (slice(-4, None), slice(None, 4)),
+        (5, slice(2, 7)),
+        (slice(3, 4), slice(None)),
+    ]
+    for ss in subscripts:
+        x = rs.randn(*shape)
+        bx = app_inst.array(x.copy(), block_shape=(4, 3))
+        target_shape = np.empty(shape)[ss].shape
+        v = rs.randn(*target_shape) if target_shape else rs.randn()
+        # BlockArray value
+        bv = app_inst.array(np.asarray(v), block_shape=target_shape) \
+            if target_shape else float(v)
+        bx[ss] = bv
+        x[ss] = v
+        assert np.allclose(bx.get(), x), ss
+        # numpy value
+        bx2 = app_inst.array(x.copy(), block_shape=(5, 9))
+        bx2[ss] = np.asarray(v) if target_shape else float(v)
+        assert np.allclose(bx2.get(), x), ss
+        # broadcast scalar
+        bx3 = app_inst.array(x.copy(), block_shape=(13, 2))
+        bx3[ss] = 1.5
+        x[ss] = 1.5
+        assert np.allclose(bx3.get(), x), ss

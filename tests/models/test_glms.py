@@ -168,3 +168,33 @@ def test_fused_vs_eager_newton(nps_app_inst):
         fit("1", penalty="l2", C=0.5), fit("0", penalty="l2", C=0.5),
         atol=1e-9,
     )
+
+
+def test_lbfgs_solver(nps_app_inst):
+    """lbfgs is implemented here (the reference stubs it, glms.py:393-394)."""
+    from nums_tpu.models.glms import LogisticRegression, LinearRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(600, 6)
+    X = nps_app_inst.array(real_X, block_shape=(150, 6))
+    y = nps_app_inst.array(real_y, block_shape=(150,))
+    m = LogisticRegression(solver="lbfgs", tol=1e-8, max_iter=100)
+    m.fit(X, y)
+    acc = np.mean(m.predict(X).get() == real_y)
+    assert acc > 0.95, acc
+    # With l2 the objective is strictly convex: lbfgs and newton must find
+    # the same optimum. (Unpenalized separable data has no finite MLE.)
+    kw = {"penalty": "l2", "C": 1.0, "tol": 1e-10, "max_iter": 200}
+    m_l = LogisticRegression(solver="lbfgs", **kw)
+    m_l.fit(X, y)
+    m_n = LogisticRegression(solver="newton", **kw)
+    m_n.fit(X, y)
+    assert np.allclose(m_l._beta.get(), m_n._beta.get(), atol=1e-3)
+
+    rs = np.random.RandomState(0)
+    theta = rs.randn(6)
+    real_X2, real_y2 = BimodalGaussian.get_dataset(600, 6, theta=theta)
+    X2 = nps_app_inst.array(real_X2, block_shape=(150, 6))
+    y2 = nps_app_inst.array(real_y2, block_shape=(150,))
+    lin = LinearRegression(solver="lbfgs", tol=1e-10, max_iter=200)
+    lin.fit(X2, y2)
+    assert np.allclose(lin.predict(X2).get(), real_y2, atol=1e-3)
