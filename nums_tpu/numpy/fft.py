@@ -38,6 +38,46 @@ ihfft = _make("ihfft")
 
 
 @_functools.lru_cache(maxsize=None)
+def _jit_nd(fname, s, axes, norm):
+    fn = getattr(_jnp.fft, fname)
+    return _jax.jit(lambda x: fn(x, s=s, axes=axes, norm=norm))
+
+
+def _make_nd(fname):
+    def fft_fn(a, s=None, axes=None, norm=None):
+        s = tuple(s) if s is not None else None
+        axes_t = tuple(axes) if axes is not None else None
+        out = _jit_nd(fname, s, axes_t, norm)(a.data)
+        return _BA.from_jax(out, backend=a.backend)
+
+    fft_fn.__name__ = fname
+    fft_fn.__doc__ = f"{fname} via a single jitted XLA FFT kernel."
+    return fft_fn
+
+
+fftn = _make_nd("fftn")
+ifftn = _make_nd("ifftn")
+rfftn = _make_nd("rfftn")
+irfftn = _make_nd("irfftn")
+
+
+def _make_2d(fname):
+    nd = _make_nd(fname.replace("2", "n"))
+
+    def fft2_fn(a, s=None, axes=(-2, -1), norm=None):
+        return nd(a, s=s, axes=axes, norm=norm)
+
+    fft2_fn.__name__ = fname
+    return fft2_fn
+
+
+fft2 = _make_2d("fft2")
+ifft2 = _make_2d("ifft2")
+rfft2 = _make_2d("rfft2")
+irfft2 = _make_2d("irfft2")
+
+
+@_functools.lru_cache(maxsize=None)
 def _jit_shift(fname):
     fn = getattr(_jnp.fft, fname)
     return _jax.jit(lambda x: fn(x))

@@ -105,3 +105,59 @@ def multi_dot(arrays):
     for a in arrays[1:]:
         out = out @ a
     return out
+
+
+def cond(a, p=None):
+    if p is not None:
+        raise NotImplementedError("Only the 2-norm condition number.")
+    return _apply1("cond", a)
+
+
+def svdvals(a):
+    return svd(a, compute_uv=False)
+
+
+def matrix_power(a, n):
+    import functools as _ft
+
+    @_ft.lru_cache(maxsize=None)
+    def _jit(n):
+        return _jax.jit(lambda x: _jnp.linalg.matrix_power(x, n))
+
+    return _BA.from_jax(_jit(int(n))(a.data), backend=a.backend)
+
+
+def diagonal(a):
+    return _apply1("diagonal", a)
+
+
+def matmul(a, b):
+    return a @ b
+
+
+def tensordot(a, b, axes=2):
+    return a.tensordot(b, axes=axes)
+
+
+def outer(a, b):
+    from nums_tpu.numpy import extra as _extra
+
+    return _extra.outer(a, b)
+
+
+def trace(a):
+    from nums_tpu.numpy import extra as _extra
+
+    return _extra.trace(a)
+
+
+def vector_norm(a):
+    return norm(a)
+
+
+def matrix_norm(a, ord="fro"):  # noqa: A002
+    if ord != "fro":
+        raise NotImplementedError("Only the Frobenius norm.")
+    from nums_tpu.core.application_manager import instance as _inst
+
+    return _inst().sqrt((a * a).sum())

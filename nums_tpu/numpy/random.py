@@ -12,8 +12,10 @@ class RandomState:
         self._rs = None
 
     def rs(self):
-        if self._rs is None:
-            self._rs = _instance().random_state(self._seed)
+        app = _instance()
+        # Rebind if the application (and its backend) was recreated.
+        if self._rs is None or self._rs._backend is not app.backend:
+            self._rs = app.random_state(self._seed)
         return self._rs
 
     def seed(self, _seed):
@@ -148,6 +150,16 @@ for _name in _DIST_NAMES:
 _default_random = RandomState()
 seed = _default_random.seed
 random_sample = _default_random.random_sample
+# Legacy np.random aliases.
+sample = _default_random.random_sample
+ranf = _default_random.random_sample
+
+
+def random_integers(low, high=None, size=None):
+    # Legacy inclusive-range API: randint over [low, high].
+    if high is None:
+        low, high = 1, low
+    return _default_random.randint(low, high + 1, size=size)
 random = _default_random.random
 rand = _default_random.rand
 randn = _default_random.randn

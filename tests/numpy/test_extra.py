@@ -126,3 +126,29 @@ def test_predicates_misc():
     assert np.allclose(nps.diff(x).get(), np.diff(x_np))
     u = nps.unique(nps.array(np.array([3, 1, 3, 2, 1])))
     assert np.array_equal(u.get(), [1, 2, 3])
+
+
+def test_fft_nd_and_linalg_extras():
+    rs = np.random.RandomState(7)
+    x_np = rs.randn(16, 8)
+    x = nps.array(x_np)
+    assert np.allclose(nps.fft.fft2(x).get(), np.fft.fft2(x_np))
+    assert np.allclose(nps.fft.ifftn(nps.fft.fftn(x)).get().real, x_np)
+    assert np.allclose(nps.fft.rfft2(x).get(), np.fft.rfft2(x_np))
+    spd = x_np.T @ x_np + np.eye(8)
+    a = nps.array(spd)
+    assert np.allclose(float(nps.linalg.cond(a)), np.linalg.cond(spd))
+    assert np.allclose(
+        nps.linalg.matrix_power(a, 3).get(), np.linalg.matrix_power(spd, 3)
+    )
+    assert np.allclose(nps.linalg.svdvals(a).get(),
+                       np.linalg.svd(spd, compute_uv=False), atol=1e-8)
+    assert np.allclose(nps.linalg.diagonal(a).get(), np.diagonal(spd))
+    assert np.allclose(float(nps.linalg.matrix_norm(a)),
+                       np.linalg.norm(spd, "fro"))
+    # legacy random aliases
+    s = nps.random.sample(10)
+    assert s.shape == (10,)
+    ri = nps.random.random_integers(1, 5, size=(100,))
+    vals = ri.get()
+    assert vals.min() >= 1 and vals.max() <= 5
