@@ -132,3 +132,23 @@ def test_assignment_sweep(app_inst):
         bx3[ss] = 1.5
         x[ss] = 1.5
         assert np.allclose(bx3.get(), x), ss
+
+
+def test_multidim_advanced_indexing(app_inst):
+    """Beyond the reference (which supports 1-D advanced only): full
+    NumPy advanced indexing via XLA gather."""
+    rs = np.random.RandomState(123)
+    x = rs.randn(12, 9)
+    bx = app_inst.array(x, block_shape=(4, 3))
+    rows = np.array([0, 5, 11])
+    cols = np.array([8, 0, 4])
+    assert np.allclose(bx[rows, cols].get(), x[rows, cols])
+    assert np.allclose(
+        bx[rows[:, None], cols[None, :]].get(), x[rows[:, None], cols[None, :]]
+    )
+    # mixed basic+advanced
+    assert np.allclose(bx[2:7, cols].get(), x[2:7, cols])
+    # setitem with advanced index
+    bx[rows, cols] = 0.0
+    x[rows, cols] = 0.0
+    assert np.allclose(bx.get(), x)
