@@ -547,23 +547,30 @@ class BlockArray:
     # Indexing
     # ------------------------------------------------------------------
 
-    def _normalize_subscript(self, item):
+    @staticmethod
+    def _is_bool_mask(s):
+        return (
+            isinstance(s, BlockArray) and s.dtype == np.bool_
+        ) or (isinstance(s, np.ndarray) and s.dtype == np.bool_)
+
+    def _normalize_subscript(self, item, for_set=False):
         if not isinstance(item, tuple):
             item = (item,)
         out = []
         for s in item:
-            if isinstance(s, BlockArray):
-                if s.dtype == np.bool_:
+            if self._is_bool_mask(s):
+                if for_set:
                     raise NotImplementedError(
-                        "Boolean-mask indexing produces dynamic shapes; "
-                        "unsupported (parity: reference raises too)."
+                        "use __setitem__'s dedicated mask path"
                     )
+                # Data-dependent shape: one host sync to resolve indices
+                # (same tradeoff as where(); the reference raises here).
+                mask = s.get() if isinstance(s, BlockArray) else s
+                for idx in np.where(mask):
+                    out.append(jnp.asarray(idx))
+            elif isinstance(s, BlockArray):
                 out.append(s._data)
             elif isinstance(s, np.ndarray):
-                if s.dtype == np.bool_:
-                    raise NotImplementedError(
-                        "Boolean-mask indexing is unsupported."
-                    )
                 out.append(jnp.asarray(s))
             else:
                 out.append(s)
@@ -576,13 +583,39 @@ class BlockArray:
         return self._new(data)
 
     def __setitem__(self, item, value):
-        key = self._normalize_subscript(item)
         if isinstance(value, BlockArray):
             v = value.data
         elif isinstance(value, (np.ndarray, list, tuple)):
             v = jnp.asarray(np.asarray(value))
         else:
             v = value
+        # Boolean-mask assignment: fully on-device select — static shapes,
+        # no host sync (the masked WRITE, unlike the masked read, never
+        # needs the dynamic index set).
+        if not isinstance(item, tuple) and self._is_bool_mask(item):
+            mask = item.data if isinstance(item, BlockArray) else jnp.asarray(item)
+            v_shape = tuple(getattr(v, "shape", ()))
+            broadcastable = array_utils.can_broadcast_shapes(
+                v_shape, self.shape
+            )
+            if broadcastable:
+                if mask.ndim < self.ndim:
+                    mask = jnp.expand_dims(
+                        mask, tuple(range(mask.ndim, self.ndim))
+                    )
+                self._data = jnp.where(mask, v, self.data)
+            else:
+                # Packed-vector form (v has one element per True): the
+                # index set is data-dependent — one host sync.
+                mask_np = (
+                    item.get() if isinstance(item, BlockArray)
+                    else np.asarray(item)
+                )
+                idx = tuple(jnp.asarray(i) for i in np.where(mask_np))
+                self._data = self.data.at[idx].set(v)
+            self._transposed = False
+            return
+        key = self._normalize_subscript(item)
         self._data = self.data.at[key].set(v)
         self._transposed = False
 

@@ -82,11 +82,29 @@ def test_advanced_1d_gather(app_inst):
     assert np.allclose(bx[idx].get(), x[idx])
 
 
-def test_boolean_mask_raises(app_inst):
-    x = np.arange(10)
-    bx = app_inst.array(x, block_shape=(5,))
-    with pytest.raises(NotImplementedError):
-        bx[x > 3]
+def test_boolean_mask(app_inst):
+    """Beyond the reference (which raises): masked read via host-synced
+    gather; masked write fully on-device."""
+    rs = np.random.RandomState(11)
+    x = rs.randn(20, 4)
+    bx = app_inst.array(x.copy(), block_shape=(5, 2))
+    mask = x > 0
+    assert np.allclose(bx[mask].get(), x[mask])
+    # leading-axis mask
+    rowmask = x[:, 0] > 0
+    assert np.allclose(bx[rowmask].get(), x[rowmask])
+    brmask = app_inst.array(rowmask, block_shape=(5,))
+    assert np.allclose(bx[brmask].get(), x[rowmask])
+    # on-device masked write (scalar)
+    bx[mask] = 0.0
+    x[mask] = 0.0
+    assert np.allclose(bx.get(), x)
+    # packed-vector masked write
+    vals = rs.randn(int(rowmask.sum()) * 4)
+    m2 = np.tile(rowmask[:, None], (1, 4))
+    bx[m2] = vals
+    x[m2] = vals
+    assert np.allclose(bx.get(), x)
 
 
 def test_scalar_result_and_len(app_inst):
