@@ -121,3 +121,20 @@ def test_int_ops(app_inst):
     assert np.array_equal((bx // by).get(), x // y)
     assert np.array_equal((bx << 2).get(), x << 2)
     assert np.array_equal((bx >> 1).get(), x >> 1)
+
+
+def test_block_integrity_after_ops(app_inst):
+    from tests.core.array.common import check_block_integrity
+
+    rs = np.random.RandomState(10)
+    a = rs.randn(12, 10)
+    b = rs.randn(10, 6)
+    ba = app_inst.array(a, block_shape=(5, 4))
+    bb = app_inst.array(b, block_shape=(4, 3))
+    check_block_integrity(ba)
+    check_block_integrity(ba + 1.0)
+    check_block_integrity(ba.T)
+    check_block_integrity(ba @ bb)
+    check_block_integrity(ba.sum(axis=0))
+    check_block_integrity(ba.reshape(10, 12, block_shape=(3, 5)))
+    check_block_integrity(ba[1:9, ::2])
