@@ -1,0 +1,100 @@
+"""On-hardware numerical smoke suite.
+
+Runs the core op vocabulary on the REAL default backend (TPU when
+attached) and checks against NumPy at fp32 tolerances. The pytest suite
+forces CPU (deterministic, 8 virtual devices); this script is the
+hardware tier: `python scripts/tpu_smoke.py` → prints PASS/FAIL lines.
+"""
+
+import sys
+
+import numpy as np
+
+
+def check(name, ours, expected, tol=1e-4):
+    """Scaled max-error check: max|a-b| / max|b| <= tol."""
+    expected = np.asarray(expected)
+    scale = max(1e-12, float(np.max(np.abs(expected))))
+    err = float(np.max(np.abs(np.asarray(ours) - expected))) / scale
+    ok = err <= tol
+    print(f"{'PASS' if ok else 'FAIL'} {name}: max rel err {err:.2e} "
+          f"(tol {tol:.0e})")
+    return ok
+
+
+def main():
+    import nums_tpu
+    import nums_tpu.numpy as nps
+    from nums_tpu.models.glms import LogisticRegression
+    from nums_tpu.core.io.datasets import BimodalGaussian
+
+    app = nums_tpu.init()
+    print("backend:", app.backend.name, "devices:", app.backend.num_devices)
+
+    rs = np.random.RandomState(0)
+    ok = True
+
+    x = rs.randn(4096, 256).astype(np.float32)
+    y = rs.randn(256, 128).astype(np.float32)
+    bx = app.array(x, block_shape=(1024, 256))
+    by = app.array(y, block_shape=(256, 128))
+    # Default matmul precision is the fast single-pass MXU path: expect
+    # ~bf16-mantissa relative error (documented in settings.py).
+    ok &= check("matmul (default precision)", (bx @ by).get(), x @ y,
+                tol=5e-3)
+    ok &= check("gram x.T@x (default precision)", (bx.T @ bx).get(),
+                x.T @ x, tol=5e-3)
+    # Full-precision path must be fp32-accurate.
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.jit(
+        lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    )
+    ok &= check("matmul (highest precision)", np.asarray(hi(bx.data, by.data)),
+                x @ y, tol=1e-5)
+    ok &= check("elementwise chain", (nps.exp(bx * 0.01) + 1).get(),
+                np.exp(x * 0.01) + 1, tol=1e-5)
+    ok &= check("sum axis0", bx.sum(axis=0).get(), x.sum(axis=0), tol=1e-5)
+    ok &= check("mean/std", float(app.std(bx)), x.std(), tol=1e-5)
+
+    q, r = app.direct_tsqr(bx)
+    # Reconstruction multiply on host at fp64; Q@R itself carries the
+    # default-precision matmul error of the Q = X R^-1 products.
+    ok &= check("tsqr reconstruct", q.get().astype(np.float64)
+                @ r.get().astype(np.float64), x, tol=5e-3)
+    ok &= check("tsqr orthogonality", q.get().T @ q.get(), np.eye(256),
+                tol=1e-4)
+    u, s, vt = app.svd(bx)
+    ok &= check("svd singular values", np.sort(s.get()),
+                np.sort(np.linalg.svd(x, compute_uv=False)), tol=1e-3)
+
+    spd = (x.T @ x + 256 * np.eye(256)).astype(np.float32)
+    bspd = app.array(spd, block_shape=(256, 256))
+    ok &= check("cholesky", app.cholesky(bspd).get(),
+                np.linalg.cholesky(spd), tol=1e-4)
+
+    # GLM end-to-end
+    real_X, real_y = BimodalGaussian.get_dataset(5000, 10)
+    X = app.array(real_X.astype(np.float32), block_shape=(1250, 10))
+    yb = app.array(real_y.astype(np.float32), block_shape=(1250,))
+    model = LogisticRegression(solver="newton", tol=1e-6, max_iter=10)
+    model.fit(X, yb)
+    acc = float(np.mean(model.predict(X).get() == real_y))
+    print(f"{'PASS' if acc > 0.95 else 'FAIL'} GLM newton accuracy: {acc}")
+    ok &= acc > 0.95
+
+    # RNG moments
+    sample = app.random_state(7).normal(
+        loc=2.0, scale=3.0, shape=(100000,), block_shape=(100000,),
+        dtype=np.float32,
+    ).get()
+    ok &= check("rng normal moments", [sample.mean(), sample.std()],
+                [2.0, 3.0], tol=2e-2)
+
+    print("OVERALL:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
