@@ -29,7 +29,9 @@ __all__ = [
     "atleast_1d", "atleast_2d", "broadcast_to", "triu", "tril", "dot",
     "inner", "outer", "trace", "vdot", "einsum", "kron",
     "matrix_transpose", "isclose", "array_equal", "real", "imag",
-    "nan_to_num", "diff", "unique",
+    "nan_to_num", "diff", "unique", "percentile", "quantile", "histogram",
+    "cov", "corrcoef", "interp", "pad", "bincount", "argwhere",
+    "flatnonzero", "nonzero",
 ]
 
 
@@ -408,3 +410,137 @@ def unique(a):
     out = np.unique(a.get())
     app = _instance()
     return app.array(out, block_shape=out.shape)
+
+
+# -- statistics ----------------------------------------------------------
+
+
+def percentile(a, q, axis=None):
+    a = _to_ba(a)
+    qt = tuple(np.atleast_1d(q).tolist())
+
+    @functools.partial(jax.jit, static_argnames=("qt", "axis"))
+    def impl(x, qt, axis):
+        return jnp.percentile(x, jnp.asarray(qt), axis=axis)
+
+    out = impl(a.data, qt, axis)
+    if np.isscalar(q):
+        out = out[0]
+    return _wrap(a, out)
+
+
+def quantile(a, q, axis=None):
+    a = _to_ba(a)
+    qt = tuple(np.atleast_1d(q).tolist())
+
+    @functools.partial(jax.jit, static_argnames=("qt", "axis"))
+    def impl(x, qt, axis):
+        return jnp.quantile(x, jnp.asarray(qt), axis=axis)
+
+    out = impl(a.data, qt, axis)
+    if np.isscalar(q):
+        out = out[0]
+    return _wrap(a, out)
+
+
+def histogram(a, bins=10, range=None):  # noqa: A002
+    a = _to_ba(a)
+    if not isinstance(bins, int):
+        bins_arr = jnp.asarray(np.asarray(bins))
+
+        @jax.jit
+        def impl_arr(x, b):
+            return jnp.histogram(x, bins=b)
+
+        h, e = impl_arr(a.data, bins_arr)
+    else:
+
+        @functools.partial(jax.jit, static_argnames=("bins", "range"))
+        def impl(x, bins, range):
+            return jnp.histogram(x, bins=bins, range=range)
+
+        h, e = impl(a.data, bins, range)
+    return _wrap(a, h), _wrap(a, e)
+
+
+def cov(m, rowvar=True, ddof=None):
+    m = _to_ba(m)
+
+    @functools.partial(jax.jit, static_argnames=("rowvar", "ddof"))
+    def impl(x, rowvar, ddof):
+        return jnp.cov(x, rowvar=rowvar, ddof=ddof)
+
+    return _wrap(m, impl(m.data, rowvar, ddof))
+
+
+def corrcoef(m, rowvar=True):
+    m = _to_ba(m)
+
+    @functools.partial(jax.jit, static_argnames=("rowvar",))
+    def impl(x, rowvar):
+        return jnp.corrcoef(x, rowvar=rowvar)
+
+    return _wrap(m, impl(m.data, rowvar))
+
+
+def interp(x, xp, fp):
+    x, xp, fp = _to_ba(x), _to_ba(xp), _to_ba(fp)
+
+    @jax.jit
+    def impl(a, b, c):
+        return jnp.interp(a, b, c)
+
+    return _wrap(x, impl(x.data, xp.data, fp.data))
+
+
+def pad(array, pad_width, mode="constant", constant_values=0):
+    a = _to_ba(array)
+    if isinstance(pad_width, int):
+        pw = ((pad_width, pad_width),) * a.ndim
+    else:
+        pw = tuple(
+            (w, w) if isinstance(w, int) else tuple(w) for w in pad_width
+        )
+        if len(pw) == 1:
+            pw = pw * a.ndim
+
+    @functools.partial(
+        jax.jit, static_argnames=("pw", "mode", "constant_values")
+    )
+    def impl(x, pw, mode, constant_values):
+        kw = {"constant_values": constant_values} if mode == "constant" else {}
+        return jnp.pad(x, pw, mode=mode, **kw)
+
+    return _wrap(a, impl(a.data, pw, mode, constant_values))
+
+
+def bincount(x, minlength=0):
+    """Output length is max(x)+1 — data-dependent ⇒ one host sync to size
+    the result; the counting itself runs on device."""
+    x = _to_ba(x)
+    length = max(int(minlength), int(x.max()) + 1 if x.size else 0)
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def impl(v, length):
+        return jnp.bincount(v, length=length)
+
+    return _wrap(x, impl(x.data, length))
+
+
+def argwhere(a):
+    """Data-dependent shape ⇒ host sync (parity tradeoff with where())."""
+    a = _to_ba(a)
+    out = np.argwhere(a.get())
+    return _instance().array(out, block_shape=out.shape)
+
+
+def flatnonzero(a):
+    a = _to_ba(a)
+    out = np.flatnonzero(a.get())
+    return _instance().array(out, block_shape=out.shape)
+
+
+def nonzero(a):
+    from nums_tpu.core.application_manager import instance
+
+    return instance().where(_to_ba(a))

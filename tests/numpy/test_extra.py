@@ -152,3 +152,54 @@ def test_fft_nd_and_linalg_extras():
     ri = nps.random.random_integers(1, 5, size=(100,))
     vals = ri.get()
     assert vals.min() >= 1 and vals.max() <= 5
+
+
+def test_statistics_tranche():
+    rs = np.random.RandomState(8)
+    x_np = rs.randn(200)
+    x = nps.array(x_np)
+    assert np.allclose(float(nps.percentile(x, 50)), np.percentile(x_np, 50))
+    assert np.allclose(
+        nps.percentile(x, [25, 75]).get(), np.percentile(x_np, [25, 75])
+    )
+    assert np.allclose(float(nps.quantile(x, 0.9)), np.quantile(x_np, 0.9))
+    h, e = nps.histogram(x, bins=10)
+    h_np, e_np = np.histogram(x_np, bins=10)
+    assert np.array_equal(h.get(), h_np)
+    assert np.allclose(e.get(), e_np)
+    m_np = rs.randn(4, 50)
+    m = nps.array(m_np)
+    assert np.allclose(nps.cov(m).get(), np.cov(m_np))
+    assert np.allclose(nps.corrcoef(m).get(), np.corrcoef(m_np))
+    xp = np.linspace(0, 10, 11)
+    fp = xp ** 2
+    xs = np.array([0.5, 3.3, 9.9])
+    assert np.allclose(
+        nps.interp(nps.array(xs), nps.array(xp), nps.array(fp)).get(),
+        np.interp(xs, xp, fp),
+    )
+    a2 = nps.array(np.arange(6).reshape(2, 3).astype(float))
+    assert np.allclose(
+        nps.pad(a2, 1).get(), np.pad(np.arange(6).reshape(2, 3).astype(float), 1)
+    )
+    assert np.allclose(
+        nps.pad(a2, ((1, 0), (0, 2))).get(),
+        np.pad(np.arange(6).reshape(2, 3).astype(float), ((1, 0), (0, 2))),
+    )
+    ints = np.array([0, 1, 1, 3, 5, 5, 5])
+    assert np.array_equal(
+        nps.bincount(nps.array(ints)).get(), np.bincount(ints)
+    )
+    assert np.array_equal(
+        nps.bincount(nps.array(ints), minlength=10).get(),
+        np.bincount(ints, minlength=10),
+    )
+    mask2 = np.arange(10) % 3 == 0
+    assert np.array_equal(
+        nps.argwhere(nps.array(mask2)).get(), np.argwhere(mask2)
+    )
+    assert np.array_equal(
+        nps.flatnonzero(nps.array(mask2)).get(), np.flatnonzero(mask2)
+    )
+    nz = nps.nonzero(nps.array(mask2))
+    assert np.array_equal(nz[0].get(), np.nonzero(mask2)[0])
