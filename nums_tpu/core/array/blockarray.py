@@ -264,6 +264,12 @@ class BlockArray:
             data = jax.device_put(data, target)
         return BlockArray(data, grid, self.backend)
 
+    def broadcast_to(self, shape):
+        """Parity: BlockArrayBase.broadcast_to (base.py:362-377)."""
+        shape = tuple(shape)
+        fn = shape_ops.broadcast_to(shape)
+        return self._new(fn(self.data))
+
     def expand_dims(self, axis):
         data = shape_ops.expand_dims(axis)(self.data)
         return self._new(data)

@@ -35,6 +35,11 @@ def where3(condition, x, y):
 
 
 @functools.lru_cache(maxsize=None)
+def broadcast_to(shape: tuple):
+    return jax.jit(lambda x: jnp.broadcast_to(x, shape))
+
+
+@functools.lru_cache(maxsize=None)
 def concatenate(axis: int, n: int):
     del n
     return jax.jit(lambda *arrs: jnp.concatenate(arrs, axis=axis))

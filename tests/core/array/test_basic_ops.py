@@ -134,3 +134,10 @@ def test_argops(app_inst):
     bv = app_inst.array(v, block_shape=(10,))
     assert int(app_inst.argmin(bv)) == int(np.argmin(v))
     assert int(app_inst.argmax(bv)) == int(np.argmax(v))
+
+
+def test_broadcast_to_method(app_inst):
+    x = np.arange(4).astype(float)
+    bx = app_inst.array(x, block_shape=(2,))
+    bb = bx.broadcast_to((3, 4))
+    assert np.allclose(bb.get(), np.broadcast_to(x, (3, 4)))
