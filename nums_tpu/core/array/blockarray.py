@@ -305,6 +305,7 @@ class BlockArray:
         return self._new(data, bs)
 
     def sum(self, axis=None, keepdims=False, dtype=None):
+        trace.log_op("sum", self)
         data = reductions.reduce(
             "sum", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
@@ -313,6 +314,7 @@ class BlockArray:
         return self._new(data, bs)
 
     def mean(self, axis=None, keepdims=False, dtype=None):
+        trace.log_op("mean", self)
         data = reductions.reduce(
             "mean", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
@@ -338,6 +340,7 @@ class BlockArray:
         return self._new(data)
 
     def var(self, axis=None, ddof=0, keepdims=False, dtype=None):
+        trace.log_op("var", self)
         data = reductions.var(
             axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
@@ -346,6 +349,7 @@ class BlockArray:
         return self._new(data, bs)
 
     def std(self, axis=None, ddof=0, keepdims=False, dtype=None):
+        trace.log_op("std", self)
         data = reductions.std(
             axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
