@@ -31,7 +31,8 @@ __all__ = [
     "matrix_transpose", "isclose", "array_equal", "real", "imag",
     "nan_to_num", "diff", "unique", "percentile", "quantile", "histogram",
     "cov", "corrcoef", "interp", "pad", "bincount", "argwhere",
-    "flatnonzero", "nonzero",
+    "flatnonzero", "nonzero", "meshgrid", "cross", "convolve", "correlate",
+    "gradient", "trapezoid", "trapz", "sinc", "ediff1d", "vander", "tri",
 ]
 
 
@@ -525,6 +526,105 @@ def bincount(x, minlength=0):
         return jnp.bincount(v, length=length)
 
     return _wrap(x, impl(x.data, length))
+
+
+# -- signal / misc -------------------------------------------------------
+
+
+def meshgrid(*xi, indexing="xy"):
+    bas = [_to_ba(x) for x in xi]
+    datas = tuple(b.data for b in bas)
+
+    @functools.partial(jax.jit, static_argnames=("indexing",))
+    def impl(indexing, *ds):
+        return jnp.meshgrid(*ds, indexing=indexing)
+
+    outs = impl(indexing, *datas)
+    return [_wrap(bas[0], o) for o in outs]
+
+
+def cross(a, b, axis=-1):
+    a, b = _to_ba(a), _to_ba(b)
+
+    @functools.partial(jax.jit, static_argnames=("axis",))
+    def impl(x, y, axis):
+        return jnp.cross(x, y, axis=axis)
+
+    return _wrap(a, impl(a.data, b.data, axis))
+
+
+def convolve(a, v, mode="full"):
+    a, v = _to_ba(a), _to_ba(v)
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def impl(x, y, mode):
+        return jnp.convolve(x, y, mode=mode)
+
+    return _wrap(a, impl(a.data, v.data, mode))
+
+
+def correlate(a, v, mode="valid"):
+    a, v = _to_ba(a), _to_ba(v)
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def impl(x, y, mode):
+        return jnp.correlate(x, y, mode=mode)
+
+    return _wrap(a, impl(a.data, v.data, mode))
+
+
+def gradient(f, axis=None):
+    f = _to_ba(f)
+    data = _jit_kw("gradient", axis=axis)(f.data)
+    if isinstance(data, (tuple, list)):
+        return [_wrap(f, d) for d in data]
+    return _wrap(f, data)
+
+
+def trapezoid(y, x=None, dx=1.0, axis=-1):
+    y = _to_ba(y)
+    if x is None:
+
+        @functools.partial(jax.jit, static_argnames=("dx", "axis"))
+        def impl(yy, dx, axis):
+            return jnp.trapezoid(yy, dx=dx, axis=axis)
+
+        return _wrap(y, impl(y.data, dx, axis))
+    x = _to_ba(x)
+
+    @functools.partial(jax.jit, static_argnames=("axis",))
+    def impl2(yy, xx, axis):
+        return jnp.trapezoid(yy, xx, axis=axis)
+
+    return _wrap(y, impl2(y.data, x.data, axis))
+
+
+trapz = trapezoid
+
+
+def sinc(x):
+    x = _to_ba(x)
+    return _wrap(x, _jit_kw("sinc")(x.data), x.block_shape)
+
+
+def ediff1d(ary):
+    ary = _to_ba(ary)
+    return _wrap(ary, _jit_kw("ediff1d")(ary.data))
+
+
+def vander(x, N=None, increasing=False):
+    x = _to_ba(x)
+
+    @functools.partial(jax.jit, static_argnames=("N", "increasing"))
+    def impl(v, N, increasing):
+        return jnp.vander(v, N=N, increasing=increasing)
+
+    return _wrap(x, impl(x.data, N, increasing))
+
+
+def tri(N, M=None, k=0, dtype=float):
+    arr = np.tri(N, M, k, dtype=dtype)
+    return _instance().array(arr, block_shape=None)
 
 
 def argwhere(a):

@@ -203,3 +203,33 @@ def test_statistics_tranche():
     )
     nz = nps.nonzero(nps.array(mask2))
     assert np.array_equal(nz[0].get(), np.nonzero(mask2)[0])
+
+
+def test_signal_misc_tranche():
+    rs = np.random.RandomState(9)
+    x_np = rs.randn(20)
+    v_np = rs.randn(5)
+    x, v = nps.array(x_np), nps.array(v_np)
+    assert np.allclose(nps.convolve(x, v).get(), np.convolve(x_np, v_np))
+    assert np.allclose(
+        nps.correlate(x, v, mode="valid").get(),
+        np.correlate(x_np, v_np, mode="valid"),
+    )
+    g = nps.gradient(x)
+    assert np.allclose(g.get(), np.gradient(x_np))
+    assert np.allclose(float(nps.trapezoid(x)), np.trapezoid(x_np))
+    assert np.allclose(nps.sinc(x).get(), np.sinc(x_np))
+    assert np.allclose(nps.ediff1d(x).get(), np.ediff1d(x_np))
+    assert np.allclose(
+        nps.vander(nps.array(np.arange(1.0, 4.0))).get(),
+        np.vander(np.arange(1.0, 4.0)),
+    )
+    assert np.allclose(nps.tri(4, 5, 1).get(), np.tri(4, 5, 1))
+    a3 = np.array([1.0, 0.0, 0.0])
+    b3 = np.array([0.0, 1.0, 0.0])
+    assert np.allclose(
+        nps.cross(nps.array(a3), nps.array(b3)).get(), np.cross(a3, b3)
+    )
+    mx, my = nps.meshgrid(nps.array(np.arange(3.0)), nps.array(np.arange(4.0)))
+    ex, ey = np.meshgrid(np.arange(3.0), np.arange(4.0))
+    assert np.allclose(mx.get(), ex) and np.allclose(my.get(), ey)
