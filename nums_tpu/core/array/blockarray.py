@@ -28,6 +28,13 @@ def _normalize_shape(shape_args):
     return tuple(int(s) for s in shape_args)
 
 
+def _norm_axis(axis):
+    """Hashable axis spec for the lru-cached reduction kernels."""
+    if axis is None or isinstance(axis, int):
+        return axis
+    return tuple(int(a) for a in axis)
+
+
 def compute_shape(size: int, shape) -> tuple:
     """Resolve a reshape spec with at most one -1 (parity: blockarray.py:704-728)."""
     shape = tuple(shape)
@@ -306,6 +313,7 @@ class BlockArray:
 
     def sum(self, axis=None, keepdims=False, dtype=None):
         trace.log_op("sum", self)
+        axis = _norm_axis(axis)
         data = reductions.reduce(
             "sum", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
@@ -315,6 +323,7 @@ class BlockArray:
 
     def mean(self, axis=None, keepdims=False, dtype=None):
         trace.log_op("mean", self)
+        axis = _norm_axis(axis)
         data = reductions.reduce(
             "mean", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
@@ -341,6 +350,7 @@ class BlockArray:
 
     def var(self, axis=None, ddof=0, keepdims=False, dtype=None):
         trace.log_op("var", self)
+        axis = _norm_axis(axis)
         data = reductions.var(
             axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
@@ -350,6 +360,7 @@ class BlockArray:
 
     def std(self, axis=None, ddof=0, keepdims=False, dtype=None):
         trace.log_op("std", self)
+        axis = _norm_axis(axis)
         data = reductions.std(
             axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,

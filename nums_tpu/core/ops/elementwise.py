@@ -88,9 +88,3 @@ def touch(x):
 def allclose(a, b, rtol=1.0e-5, atol=1.0e-8, equal_nan=False):
     """Parity: kernel ``allclose`` (numpy_compute.py:261-263)."""
     return jnp.allclose(a, b, rtol=rtol, atol=atol, equal_nan=equal_nan)
-
-
-@functools.partial(jax.jit, static_argnames=("shape",))
-def clip_scalar(x, shape):
-    del shape
-    return x

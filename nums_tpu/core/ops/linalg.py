@@ -17,8 +17,6 @@ across devices with ICI all-gathers. Zero-row padding is exact for R
 
 import functools
 
-import numpy as np
-
 import jax
 import jax.numpy as jnp
 
@@ -224,11 +222,6 @@ def cholesky(x):
     return jnp.linalg.cholesky(x)
 
 
-@jax.jit
-def lu_solve(a, b):
-    return jnp.linalg.solve(a, b)
-
-
 def _lstsq_impl(x, y, chunk):
     q, r = _direct_tsqr_impl(x, chunk)
     return jax.scipy.linalg.solve_triangular(r, q.T @ y, lower=False)
@@ -263,17 +256,3 @@ def choose_chunk(m: int, n: int) -> int:
     """Pick a leaf panel size: a few MXU-rich panels per level."""
     base = max(int(n), DEFAULT_CHUNK)
     return int(min(m, base)) if m > 0 else base
-
-
-def qr_block_shapes(m, n, block_m):
-    del m, n, block_m
-    return None
-
-
-def is_tall_skinny(shape) -> bool:
-    return len(shape) == 2 and shape[0] >= shape[1]
-
-
-def np_chunk_for(shape) -> int:
-    m, n = shape
-    return choose_chunk(int(m), int(n))

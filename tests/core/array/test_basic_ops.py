@@ -141,3 +141,15 @@ def test_broadcast_to_method(app_inst):
     bx = app_inst.array(x, block_shape=(2,))
     bb = bx.broadcast_to((3, 4))
     assert np.allclose(bb.get(), np.broadcast_to(x, (3, 4)))
+
+
+def test_axis_tuple_and_list(app_inst):
+    rs = np.random.RandomState(5)
+    x = rs.randn(4, 5, 6)
+    bx = app_inst.array(x, block_shape=(2, 5, 3))
+    assert np.allclose(bx.sum(axis=(0, 2)).get(), x.sum(axis=(0, 2)))
+    assert np.allclose(bx.sum(axis=[0, 2]).get(), x.sum(axis=(0, 2)))
+    assert np.allclose(
+        bx.mean(axis=[1], keepdims=True).get(), x.mean(axis=(1,), keepdims=True)
+    )
+    assert np.allclose(bx.std(axis=(0, 1)).get(), x.std(axis=(0, 1)))
