@@ -145,6 +145,24 @@ class MeshBackend(Backend):
         one node.
         """
         mesh_shape = self.device_grid.mesh_shape
+        # 1-D arrays: shard over the FULL flattened mesh when divisible
+        # (sharding only over m0 would idle the other mesh axes).
+        if len(shape) == 1:
+            total = self.device_grid.num_devices
+            dim = shape[0]
+            if total > 1 and dim >= total and dim % total == 0 and (
+                grid_shape is None or grid_shape[0] > 1
+            ):
+                return PartitionSpec(self.device_grid.axis_names)
+            if (
+                mesh_shape
+                and mesh_shape[0] > 1
+                and dim >= mesh_shape[0]
+                and dim % mesh_shape[0] == 0
+                and (grid_shape is None or grid_shape[0] > 1)
+            ):
+                return PartitionSpec(self.device_grid.axis_names[0])
+            return PartitionSpec(None)
         spec = []
         for k, dim in enumerate(shape):
             if k >= len(mesh_shape):

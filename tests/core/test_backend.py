@@ -24,8 +24,12 @@ def test_spec_rules(mesh_backend):
     assert b.spec_for_shape((8, 3)) == PartitionSpec("m0", None)
     # too-small axis replicated
     assert b.spec_for_shape((2, 4)) == PartitionSpec(None, "m1")
-    # 1-D arrays shard over m0 only
-    assert b.spec_for_shape((16,)) == PartitionSpec("m0")
+    # 1-D arrays shard over the full flattened mesh when divisible
+    assert b.spec_for_shape((16,)) == PartitionSpec(("m0", "m1"))
+    # divisible by m0 but not the full mesh -> m0 only
+    assert b.spec_for_shape((12,)) == PartitionSpec("m0")
+    # indivisible -> replicated
+    assert b.spec_for_shape((7,)) == PartitionSpec(None)
     # single-block grid hint keeps axis replicated
     assert b.spec_for_shape((8, 4), grid_shape=(1, 2)) == PartitionSpec(
         None, "m1"
