@@ -209,6 +209,53 @@ class GLM:
         dev_null = self.deviance(y, y_mean)
         return 1 - dev / dev_null
 
+    # -- model checkpointing (absent in the reference: SURVEY §5 notes it
+    #    keeps _beta as a live object with no persistence) ---------------
+
+    def save(self, filename: str):
+        """Persist fitted parameters + hyperparameters to a directory."""
+        import json
+        import os
+
+        assert self._beta is not None, "fit must be called before save"
+        from nums_tpu.core.io.filesystem import _fs_path
+
+        path = _fs_path(filename)
+        os.makedirs(path, exist_ok=True)
+        self._app.write_fs(self._beta, os.path.join(path, "beta"))
+        meta = {
+            "model": type(self).__name__,
+            "beta0": float(self._beta0.get()),
+            "penalty": self._penalty or "none",
+            "C": 1.0 / self._lambda,
+            "tol": self._tol,
+            "max_iter": self._max_iter,
+            "solver": self._opt,
+            "lr": self._lr,
+        }
+        with open(os.path.join(path, "model.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, filename: str):
+        """Restore a fitted GLM (any subclass) from ``save`` output."""
+        import json
+        import os
+
+        from nums_tpu.core.io.filesystem import _fs_path
+
+        path = _fs_path(filename)
+        with open(os.path.join(path, "model.json")) as f:
+            meta = json.load(f)
+        model_cls = _MODEL_REGISTRY[meta["model"]]
+        model = model_cls(
+            penalty=meta["penalty"], C=meta["C"], tol=meta["tol"],
+            max_iter=meta["max_iter"], solver=meta["solver"], lr=meta["lr"],
+        )
+        model._beta = model._app.read_fs(os.path.join(path, "beta"))
+        model._beta0 = model._app.scalar(meta["beta0"])
+        return model
+
 
 class LinearRegression(GLM):
     # Canonical link: identity (glms.py:178-208).
@@ -427,3 +474,11 @@ def lbfgs():
 
 def admm():
     raise NotImplementedError()
+
+
+_MODEL_REGISTRY = {
+    "LinearRegression": LinearRegression,
+    "LogisticRegression": LogisticRegression,
+    "PoissonRegression": PoissonRegression,
+    "ExponentialRegression": ExponentialRegression,
+}

@@ -198,3 +198,23 @@ def test_lbfgs_solver(nps_app_inst):
     lin = LinearRegression(solver="lbfgs", tol=1e-10, max_iter=200)
     lin.fit(X2, y2)
     assert np.allclose(lin.predict(X2).get(), real_y2, atol=1e-3)
+
+
+def test_model_save_load(nps_app_inst, tmp_path):
+    """Model checkpointing (absent in the reference)."""
+    from nums_tpu.models.glms import GLM, LogisticRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(400, 5)
+    X = nps_app_inst.array(real_X, block_shape=(100, 5))
+    y = nps_app_inst.array(real_y, block_shape=(100,))
+    m = LogisticRegression(solver="newton", tol=1e-8, max_iter=10)
+    m.fit(X, y)
+    path = str(tmp_path / "model1")
+    m.save(path)
+    m2 = GLM.load(path)
+    assert type(m2).__name__ == "LogisticRegression"
+    assert np.allclose(m2._beta.get(), m._beta.get())
+    assert np.allclose(m2.predict(X).get(), m.predict(X).get())
+    assert np.allclose(
+        m2.predict_proba(X).get(), m.predict_proba(X).get(), atol=1e-12
+    )
