@@ -413,7 +413,11 @@ class ArrayApplication:
     def _tsqr_chunk(self, X):
         return linalg.choose_chunk(X.shape[0], X.shape[1])
 
-    def _use_cholqr(self) -> bool:
+    def _use_cholqr(self, X=None) -> bool:
+        # CholeskyQR needs full column rank (m >= n); wide matrices take
+        # the Householder path on any backend.
+        if X is not None and X.shape[0] < X.shape[1]:
+            return False
         method = settings.tsqr_method
         if method == "cholqr2":
             return True
@@ -433,7 +437,7 @@ class ArrayApplication:
         """R factor via TSQR reduction tree (parity: application.py:772-823)."""
         assert X.ndim == 2
         del reshape_output
-        if self._use_cholqr():
+        if self._use_cholqr(X):
             r = linalg.cholqr_r()(X.data)
         else:
             r = linalg.tsqr_r(self._tsqr_chunk(X))(X.data)
@@ -461,7 +465,7 @@ class ArrayApplication:
             q, r = linalg.cholqr2_stream()(X.data)
             X._data = q  # X's old buffer is donated; repoint defensively.
             X._transposed = False
-        elif self._use_cholqr():
+        elif self._use_cholqr(X):
             q, r = linalg.cholqr2()(X.data)
         else:
             q, r = linalg.direct_tsqr(self._tsqr_chunk(X))(X.data)
@@ -478,7 +482,7 @@ class ArrayApplication:
     def svd(self, X: BlockArray):
         """Tall-skinny SVD via TSQR (parity: application.py:935-954)."""
         assert X.ndim == 2
-        if self._use_cholqr():
+        if self._use_cholqr(X):
             u, s, vt = linalg.svd_cholqr()(X.data)
         else:
             u, s, vt = linalg.svd(self._tsqr_chunk(X))(X.data)
@@ -526,7 +530,7 @@ class ArrayApplication:
     def linear_regression(self, X: BlockArray, y: BlockArray):
         """Parity: application.py:1019-1031; via direct TSQR + tri solve."""
         assert X.ndim == 2 and y.ndim == 1
-        if self._use_cholqr():
+        if self._use_cholqr(X):
             theta = linalg.lstsq_cholqr()(X.data, y.data)
         else:
             theta = linalg.lstsq(self._tsqr_chunk(X))(X.data, y.data)

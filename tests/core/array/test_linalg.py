@@ -103,3 +103,16 @@ def test_norm(app_inst):
     v = rs.randn(100)
     bv = app_inst.array(v, block_shape=(25,))
     assert np.allclose(float(app_inst.norm(bv)), np.linalg.norm(v))
+
+
+def test_wide_matrix_qr(app_inst):
+    """m < n routes to the Householder path (CholeskyQR needs full column
+    rank)."""
+    rs = np.random.RandomState(7)
+    x = rs.randn(6, 20)
+    bx = app_inst.array(x, block_shape=(3, 10))
+    q, r = app_inst.direct_tsqr(bx)
+    assert q.shape == (6, 6) and r.shape == (6, 20)
+    assert np.allclose(q.get() @ r.get(), x, atol=1e-9)
+    u, s, vt = app_inst.svd(bx)
+    assert np.allclose(u.get() @ np.diag(s.get()) @ vt.get(), x, atol=1e-9)
