@@ -12,8 +12,8 @@ def main():
     X = rs.normal(shape=(m, n), block_shape=(m // 8, n))
 
     Q, R = app.direct_tsqr(X)
-    err = float(app.max(app.abs(Q @ R - X)))
-    print(f"TSQR {m}x{n}: max |QR - X| = {err:.2e}")
+    err = float(app.max(app.abs(Q @ R - X))) / float(app.max(app.abs(X)))
+    print(f"TSQR {m}x{n}: max rel |QR - X| = {err:.2e}")
 
     U, S, VT = app.svd(X)
     top = S.get()[:4]
