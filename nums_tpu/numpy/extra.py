@@ -33,6 +33,13 @@ __all__ = [
     "cov", "corrcoef", "interp", "pad", "bincount", "argwhere",
     "flatnonzero", "nonzero", "meshgrid", "cross", "convolve", "correlate",
     "gradient", "trapezoid", "trapz", "sinc", "ediff1d", "vander", "tri",
+    "full_like", "geomspace", "append", "array_split", "vsplit", "hsplit",
+    "dsplit", "atleast_3d", "diagonal", "diagflat", "digitize", "angle",
+    "fix", "divmod", "compress", "extract", "broadcast_arrays",
+    "broadcast_shapes", "asanyarray", "astype", "acos", "acosh", "asin",
+    "asinh", "atan", "atanh", "atan2", "bitwise_invert",
+    "bitwise_left_shift", "bitwise_right_shift", "concat", "pow",
+    "permute_dims",
 ]
 
 
@@ -526,6 +533,192 @@ def bincount(x, minlength=0):
         return jnp.bincount(v, length=length)
 
     return _wrap(x, impl(x.data, length))
+
+
+# -- remaining manipulation / misc ---------------------------------------
+
+
+def full_like(a, fill_value, dtype=None, shape=None):
+    a = _to_ba(a)
+    app = _instance()
+    shape = tuple(shape) if shape is not None else a.shape
+    dtype = dtype if dtype is not None else a.dtype
+    block_shape = app.get_block_shape(shape, dtype)
+    return app.full(shape, block_shape, fill_value, dtype)
+
+
+def geomspace(start, stop, num=50, endpoint=True, dtype=None):
+    from nums_tpu.numpy import api as _api
+
+    return _api.logspace(
+        float(np.log10(start)), float(np.log10(stop)), num=num,
+        endpoint=endpoint, dtype=dtype,
+    )
+
+
+def append(arr, values, axis=None):
+    arr, values = _to_ba(arr), _to_ba(values)
+
+    @functools.partial(jax.jit, static_argnames=("axis",))
+    def impl(x, v, axis):
+        return jnp.append(x, v, axis=axis)
+
+    return _wrap(arr, impl(arr.data, values.data, axis))
+
+
+def array_split(ary, indices_or_sections, axis=0):
+    ary = _to_ba(ary)
+    if isinstance(indices_or_sections, int):
+        bounds = np.array_split(np.arange(ary.shape[axis]),
+                                indices_or_sections)
+        cuts = [(int(b[0]), int(b[-1]) + 1) for b in bounds if len(b)]
+    else:
+        idx = [0] + list(indices_or_sections) + [ary.shape[axis]]
+        cuts = [(idx[i], idx[i + 1]) for i in range(len(idx) - 1)]
+    out = []
+    for lo, hi in cuts:
+        sel = tuple(
+            slice(lo, hi) if ax == axis else slice(None)
+            for ax in range(ary.ndim)
+        )
+        out.append(ary[sel])
+    return out
+
+
+def vsplit(ary, n):
+    return array_split(ary, n, axis=0)
+
+
+def hsplit(ary, n):
+    return array_split(ary, n, axis=1)
+
+
+def dsplit(ary, n):
+    return array_split(ary, n, axis=2)
+
+
+def atleast_3d(a):
+    a = _to_ba(a)
+    if a.ndim >= 3:
+        return a
+    if a.ndim == 2:
+        return a.reshape(a.shape[0], a.shape[1], 1)
+    if a.ndim == 1:
+        return a.reshape(1, a.shape[0], 1)
+    return a.reshape(1, 1, 1)
+
+
+def diagonal(a, offset=0):
+    a = _to_ba(a)
+    data = _jit_kw("diagonal", offset=offset)(a.data)
+    return _wrap(a, data)
+
+
+def diagflat(v, k=0):
+    v = _to_ba(v)
+    data = _jit_kw("diagflat", k=k)(v.data)
+    return _wrap(v, data)
+
+
+def digitize(x, bins, right=False):
+    x, bins = _to_ba(x), _to_ba(bins)
+
+    @functools.partial(jax.jit, static_argnames=("right",))
+    def impl(xx, bb, right):
+        return jnp.digitize(xx, bb, right=right)
+
+    return _wrap(x, impl(x.data, bins.data, right))
+
+
+def angle(z, deg=False):
+    z = _to_ba(z)
+    data = _jit_kw("angle", deg=deg)(z.data)
+    return _wrap(z, data, z.block_shape)
+
+
+def fix(x):
+    x = _to_ba(x)
+    return _wrap(x, _jit_kw("fix")(x.data), x.block_shape)
+
+
+def divmod(x1, x2):  # noqa: A001
+    x1 = _to_ba(x1)
+    x2v = _to_ba(x2)
+    x2d = x2v.data if isinstance(x2v, type(x1)) else x2v
+
+    @jax.jit
+    def impl(a, b):
+        return jnp.divmod(a, b)
+
+    q, r = impl(x1.data, x2d)
+    return _wrap(x1, q), _wrap(x1, r)
+
+
+def compress(condition, a, axis=None):
+    """Data-dependent output shape ⇒ host sync for the mask indices."""
+    a = _to_ba(a)
+    cond = np.asarray(
+        condition.get() if hasattr(condition, "get") else condition
+    ).astype(bool)
+    idx = np.where(cond)[0]
+    if axis is None:
+        return ravel(a)[idx]
+    sel = tuple(
+        idx if ax == axis else slice(None) for ax in range(a.ndim)
+    )
+    return a[sel]
+
+
+def extract(condition, arr):
+    arr = _to_ba(arr)
+    cond = _to_ba(condition)
+    return ravel(arr)[np.where(np.ravel(cond.get()))[0]]
+
+
+def broadcast_arrays(*args):
+    bas = [_to_ba(a) for a in args]
+    target = np.broadcast_shapes(*[b.shape for b in bas])
+    return [b.broadcast_to(target) for b in bas]
+
+
+broadcast_shapes = np.broadcast_shapes
+
+
+def asanyarray(a, dtype=None):
+    from nums_tpu.numpy import api as _api
+
+    return _api.asarray(a, dtype=dtype)
+
+
+def astype(x, dtype):
+    return _to_ba(x).astype(dtype)
+
+
+# NumPy 2 operator aliases.
+def _alias_of(target_name, module=None):
+    def alias(*args, **kwargs):
+        from nums_tpu.numpy import api as _api
+
+        mod = module if module is not None else _api
+        return getattr(mod, target_name)(*args, **kwargs)
+
+    alias.__name__ = target_name
+    return alias
+
+
+acos = _alias_of("arccos")
+acosh = _alias_of("arccosh")
+asin = _alias_of("arcsin")
+asinh = _alias_of("arcsinh")
+atan = _alias_of("arctan")
+atanh = _alias_of("arctanh")
+atan2 = _alias_of("arctan2")
+bitwise_invert = _alias_of("invert")
+bitwise_left_shift = _alias_of("left_shift")
+bitwise_right_shift = _alias_of("right_shift")
+concat = _alias_of("concatenate")
+pow = _alias_of("power")  # noqa: A001
+permute_dims = _alias_of("transpose")
 
 
 # -- signal / misc -------------------------------------------------------

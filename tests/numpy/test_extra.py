@@ -233,3 +233,53 @@ def test_signal_misc_tranche():
     mx, my = nps.meshgrid(nps.array(np.arange(3.0)), nps.array(np.arange(4.0)))
     ex, ey = np.meshgrid(np.arange(3.0), np.arange(4.0))
     assert np.allclose(mx.get(), ex) and np.allclose(my.get(), ey)
+
+
+def test_remaining_tranche():
+    rs = np.random.RandomState(10)
+    x_np = rs.randn(12, 6)
+    x = nps.array(x_np)
+    assert np.allclose(nps.full_like(x, 3.5).get(), np.full_like(x_np, 3.5))
+    assert np.allclose(nps.geomspace(1, 1000, 4).get(),
+                       np.geomspace(1, 1000, 4))
+    assert np.allclose(
+        nps.append(x, x, axis=0).get(), np.append(x_np, x_np, axis=0)
+    )
+    parts = nps.array_split(x, 5, axis=0)
+    ref = np.array_split(x_np, 5, axis=0)
+    assert len(parts) == len(ref)
+    for p, r in zip(parts, ref):
+        assert np.allclose(p.get(), r)
+    v, h = nps.vsplit(x, 3), nps.hsplit(x, 2)
+    assert np.allclose(v[0].get(), np.vsplit(x_np, 3)[0])
+    assert np.allclose(h[1].get(), np.hsplit(x_np, 2)[1])
+    assert nps.atleast_3d(nps.array(np.arange(3))).shape == (1, 3, 1)
+    assert np.allclose(nps.diagonal(x).get(), np.diagonal(x_np))
+    dv = np.arange(4.0)
+    assert np.allclose(nps.diagflat(nps.array(dv)).get(), np.diagflat(dv))
+    bins = np.array([-1.0, 0.0, 1.0])
+    assert np.array_equal(
+        nps.digitize(x, nps.array(bins)).get(), np.digitize(x_np, bins)
+    )
+    assert np.allclose(nps.fix(x).get(), np.fix(x_np))
+    q, r = nps.divmod(nps.array(np.arange(1.0, 10.0)), 4.0)
+    eq, er = np.divmod(np.arange(1.0, 10.0), 4.0)
+    assert np.allclose(q.get(), eq) and np.allclose(r.get(), er)
+    cond = np.array([True, False, True])
+    assert np.allclose(
+        nps.compress(nps.array(cond), x[:3], axis=0).get(),
+        np.compress(cond, x_np[:3], axis=0),
+    )
+    assert np.allclose(
+        nps.extract(nps.array(x_np > 0), x).get(), np.extract(x_np > 0, x_np)
+    )
+    ba = nps.broadcast_arrays(x[:1], x)
+    assert ba[0].shape == x.shape
+    assert nps.broadcast_shapes((3, 1), (1, 4)) == (3, 4)
+    assert np.allclose(nps.acos(nps.array(np.array([0.5]))).get(),
+                       np.arccos([0.5]))
+    assert np.allclose(nps.atan2(x, x + 3.0).get(), np.arctan2(x_np, x_np + 3.0))
+    assert np.allclose(nps.concat([x, x]).get(), np.concatenate([x_np, x_np]))
+    assert np.allclose(nps.pow(nps.abs(x), 2.0).get(), np.abs(x_np) ** 2)
+    assert np.allclose(nps.permute_dims(x).get(), x_np.T)
+    assert nps.astype(x, np.float32).dtype == np.float32
