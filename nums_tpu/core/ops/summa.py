@@ -64,6 +64,70 @@ def summa_matmul(mesh_backend, precision=None):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def ring_matmul(mesh_backend, precision=None):
+    """C = A @ B via a 1-D ring over mesh axis m0 (lax.ppermute).
+
+    A is row-sharded (m/p, k); B is k-sharded (k/p, n); C comes out
+    row-sharded. Each of the p steps multiplies the matching k-slice of
+    the local A panel with the circulating B shard — the collective is
+    p-1 neighbor ppermutes instead of an all-gather, so communication
+    overlaps compute step-by-step (the scalable pattern for pod-scale
+    GEMM; on small meshes XLA's auto-SPMD all-gather is usually faster).
+    """
+    mesh = mesh_backend.mesh
+    ax0 = mesh_backend.device_grid.axis_names[0]
+    p = mesh_backend.device_grid.mesh_shape[0]
+
+    def local(a_blk, b_blk):
+        # a_blk: (m/p, k); b_blk: (k/p, n)
+        i = jax.lax.axis_index(ax0)
+        kp = b_blk.shape[0]
+
+        def body(t, carry):
+            b_cur, acc = carry
+            j = (i.astype(jnp.int32) - t) % p
+            a_slice = jax.lax.dynamic_slice(
+                a_blk, (jnp.int32(0), j * kp), (a_blk.shape[0], kp)
+            )
+            acc = acc + jnp.matmul(a_slice, b_cur, precision=precision)
+            b_next = jax.lax.ppermute(
+                b_cur, ax0, [(s, (s + 1) % p) for s in range(p)]
+            )
+            return b_next, acc
+
+        acc0 = jnp.zeros((a_blk.shape[0], b_blk.shape[1]),
+                         dtype=jnp.result_type(a_blk.dtype, b_blk.dtype))
+        # Mark the fresh accumulator device-varying so the loop carry
+        # types match (shard_map varying-manual-axes rule).
+        try:
+            acc0 = jax.lax.pcast(acc0, ax0, to="varying")
+        except (AttributeError, TypeError):  # older jax spells it pvary
+            acc0 = jax.lax.pvary(acc0, ax0)
+        _, acc = jax.lax.fori_loop(0, p, body, (b_blk, acc0))
+        return acc
+
+    fn = _shard_map(
+        local,
+        mesh,
+        in_specs=(P(ax0, None), P(ax0, None)),
+        out_specs=P(ax0, None),
+    )
+    return jax.jit(fn)
+
+
+def ring_supported(mesh_backend, a_shape, b_shape) -> bool:
+    if mesh_backend.mesh is None:
+        return False
+    ms = mesh_backend.device_grid.mesh_shape
+    if len(a_shape) != 2 or len(b_shape) != 2:
+        return False
+    p = ms[0]
+    m, k = a_shape
+    k2, n = b_shape
+    return k == k2 and p > 1 and m % p == 0 and k % p == 0
+
+
 def supported(mesh_backend, a_shape, b_shape) -> bool:
     if mesh_backend.mesh is None:
         return False

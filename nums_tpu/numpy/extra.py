@@ -637,8 +637,9 @@ def angle(z, deg=False):
 
 
 def fix(x):
+    # jnp.fix is deprecated (jax 0.9); trunc is the replacement.
     x = _to_ba(x)
-    return _wrap(x, _jit_kw("fix")(x.data), x.block_shape)
+    return _wrap(x, _jit_kw("trunc")(x.data), x.block_shape)
 
 
 def divmod(x1, x2):  # noqa: A001

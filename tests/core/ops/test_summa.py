@@ -39,3 +39,35 @@ def test_summa_supported_predicate(mesh_backend):
     from nums_tpu.core.backend import SerialBackend
 
     assert not summa.supported(SerialBackend().init(), (16, 8), (8, 6))
+
+def test_ring_matmul_matches_numpy(mesh_backend):
+    from nums_tpu.core.ops import summa
+
+    rs = np.random.RandomState(1)
+    a = rs.randn(16, 12)
+    b = rs.randn(12, 5)
+    assert summa.ring_supported(mesh_backend, a.shape, b.shape)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_backend.mesh
+    aj = jax.device_put(a, NamedSharding(mesh, P("m0", None)))
+    bj = jax.device_put(b, NamedSharding(mesh, P("m0", None)))
+    c = summa.ring_matmul(mesh_backend)(aj, bj)
+    assert np.allclose(np.asarray(c), a @ b)
+
+
+def test_ring_matmul_1d_mesh():
+    from nums_tpu.core.ops import summa
+
+    be = MeshBackend(cluster_shape=(8,)).init()
+    rs = np.random.RandomState(2)
+    a = rs.randn(24, 16)
+    b = rs.randn(16, 6)
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    aj = jax.device_put(a, NamedSharding(be.mesh, P("m0", None)))
+    bj = jax.device_put(b, NamedSharding(be.mesh, P("m0", None)))
+    c = summa.ring_matmul(be)(aj, bj)
+    assert np.allclose(np.asarray(c), a @ b)
