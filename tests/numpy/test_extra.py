@@ -283,3 +283,62 @@ def test_remaining_tranche():
     assert np.allclose(nps.pow(nps.abs(x), 2.0).get(), np.abs(x_np) ** 2)
     assert np.allclose(nps.permute_dims(x).get(), x_np.T)
     assert nps.astype(x, np.float32).dtype == np.float32
+
+
+def test_third_tranche():
+    rs = np.random.RandomState(11)
+    x_np = rs.randn(30)
+    x = nps.array(x_np)
+    assert np.array_equal(
+        nps.isin(nps.array(np.array([1, 2, 3])), nps.array(np.array([2]))).get(),
+        np.isin([1, 2, 3], [2]),
+    )
+    assert bool(nps.all(nps.isreal(x)))
+    assert not bool(nps.any(nps.iscomplex(x)))
+    inf_arr = np.array([np.inf, -np.inf, 1.0])
+    assert np.array_equal(nps.isneginf(nps.array(inf_arr)).get(),
+                          np.isneginf(inf_arr))
+    assert np.array_equal(nps.isposinf(nps.array(inf_arr)).get(),
+                          np.isposinf(inf_arr))
+    xn = x_np.copy(); xn[3] = np.nan
+    bn = nps.array(xn)
+    assert int(nps.nanargmax(bn)) == np.nanargmax(xn)
+    assert np.allclose(nps.nancumsum(bn).get(), np.nancumsum(xn))
+    assert np.allclose(nps.nanprod(bn).get(), np.nanprod(xn))
+    assert np.allclose(float(nps.nanpercentile(bn, 50)),
+                       np.nanpercentile(xn, 50))
+    m_np = rs.randn(4, 5)
+    m = nps.array(m_np)
+    idx = np.argsort(m_np, axis=1)
+    assert np.allclose(
+        nps.take_along_axis(m, nps.array(idx), axis=1).get(),
+        np.take_along_axis(m_np, idx, axis=1),
+    )
+    sel = nps.select([m > 0.5, m < -0.5], [m, -m], default=0.0)
+    assert np.allclose(
+        sel.get(), np.select([m_np > 0.5, m_np < -0.5], [m_np, -m_np], 0.0)
+    )
+    flat = np.array([0, 7, 13])
+    ur = nps.unravel_index(nps.array(flat), (4, 5))
+    er = np.unravel_index(flat, (4, 5))
+    assert np.array_equal(ur[0].get(), er[0]) and np.array_equal(ur[1].get(), er[1])
+    rm = nps.ravel_multi_index([nps.array(er[0]), nps.array(er[1])], (4, 5))
+    assert np.array_equal(rm.get(), flat)
+    tr, tc = nps.tril_indices(4)
+    er2 = np.tril_indices(4)
+    assert np.array_equal(tr.get(), er2[0]) and np.array_equal(tc.get(), er2[1])
+    p = np.array([2.0, 0.0, 1.0])
+    assert np.allclose(nps.polyval(nps.array(p), x).get(), np.polyval(p, x_np))
+    xs = np.linspace(0, 1, 50)
+    ys = 3 * xs ** 2 + 1
+    fit = nps.polyfit(nps.array(xs), nps.array(ys), 2).get()
+    assert np.allclose(fit, [3.0, 0.0, 1.0], atol=1e-6)
+    assert np.allclose(nps.hamming(8).get(), np.hamming(8))
+    assert np.allclose(nps.kaiser(8, 3.0).get(), np.kaiser(8, 3.0))
+    assert np.allclose(nps.i0(x).get(), np.i0(x_np))
+    e = nps.histogram_bin_edges(x, bins=5)
+    assert np.allclose(e.get(), np.histogram_bin_edges(x_np, bins=5))
+    h2, ex, ey = nps.histogram2d(x, nps.array(rs.randn(30)), bins=4)
+    assert h2.shape == (4, 4)
+    ph = np.linspace(0, 4 * np.pi, 20) % (2 * np.pi)
+    assert np.allclose(nps.unwrap(nps.array(ph)).get(), np.unwrap(ph))
