@@ -342,3 +342,73 @@ def test_third_tranche():
     assert h2.shape == (4, 4)
     ph = np.linspace(0, 4 * np.pi, 20) % (2 * np.pi)
     assert np.allclose(nps.unwrap(nps.array(ph)).get(), np.unwrap(ph))
+
+
+def test_fourth_tranche():
+    rs = np.random.RandomState(12)
+    x_np = rs.randn(20)
+    x = nps.array(x_np)
+    assert np.allclose(np.sort(nps.partition(x, 5).get()[:5]),
+                       np.sort(np.partition(x_np, 5)[:5]))
+    ap = nps.argpartition(x, 5).get()
+    assert set(x_np[ap[:5]]) == set(np.partition(x_np, 5)[:5])
+    k1, k2 = rs.randint(0, 3, 20), rs.randint(0, 3, 20)
+    assert np.array_equal(
+        nps.lexsort([nps.array(k1), nps.array(k2)]).get(),
+        np.lexsort([k1, k2]),
+    )
+    f, w = nps.modf(x)
+    ef, ew = np.modf(x_np)
+    assert np.allclose(f.get(), ef) and np.allclose(w.get(), ew)
+    m_np = rs.randn(3, 4)
+    m = nps.array(m_np)
+    assert np.allclose(nps.rot90(m).get(), np.rot90(m_np))
+    a3 = rs.randn(2, 3, 4)
+    assert np.allclose(nps.rollaxis(nps.array(a3), 2).get(),
+                       np.rollaxis(a3, 2))
+    assert np.allclose(
+        nps.vecdot(m, m).get(), np.vecdot(m_np, m_np)
+    )
+    blk = nps.block([[nps.array(np.ones((2, 2))), nps.array(np.zeros((2, 2)))]])
+    assert blk.shape == (2, 4)
+    idx = np.array([0, 1, 0])
+    ch = nps.choose(nps.array(idx), [nps.array(np.zeros(3)), nps.array(np.ones(3))])
+    assert np.allclose(ch.get(), np.choose(idx, [np.zeros(3), np.ones(3)]))
+    assert np.allclose(nps.delete(x, 3).get(), np.delete(x_np, 3))
+    assert np.allclose(
+        nps.insert(x, 2, 99.0).get(), np.insert(x_np, 2, 99.0)
+    )
+    assert bool(nps.array_equiv(x, x))
+    a_set = np.array([1, 2, 3, 4])
+    b_set = np.array([3, 4, 5])
+    assert np.array_equal(
+        nps.intersect1d(nps.array(a_set), nps.array(b_set)).get(),
+        np.intersect1d(a_set, b_set),
+    )
+    assert np.array_equal(
+        nps.setdiff1d(nps.array(a_set), nps.array(b_set)).get(),
+        np.setdiff1d(a_set, b_set),
+    )
+    assert np.array_equal(
+        nps.union1d(nps.array(a_set), nps.array(b_set)).get(),
+        np.union1d(a_set, b_set),
+    )
+    assert np.array_equal(
+        nps.in1d(nps.array(a_set), nps.array(b_set)).get(),
+        np.in1d(a_set, b_set),
+    )
+    uc = nps.unique_counts(nps.array(np.array([1, 1, 2, 3, 3, 3])))
+    assert np.array_equal(uc.values.get(), [1, 2, 3])
+    assert np.array_equal(uc.counts.get(), [2, 1, 3])
+    tz = nps.trim_zeros(nps.array(np.array([0.0, 0.0, 1.0, 2.0, 0.0])))
+    assert np.array_equal(tz.get(), [1.0, 2.0])
+    p1, p2 = np.array([1.0, 2.0]), np.array([1.0, -1.0])
+    assert np.allclose(nps.polymul(nps.array(p1), nps.array(p2)).get(),
+                       np.polymul(p1, p2))
+    assert np.allclose(nps.polyadd(nps.array(p1), nps.array(p2)).get(),
+                       np.polyadd(p1, p2))
+    assert np.allclose(nps.polyder(nps.array(np.array([3.0, 0.0, 1.0]))).get(),
+                       np.polyder(np.array([3.0, 0.0, 1.0])))
+    r = nps.roots(nps.array(np.array([1.0, -3.0, 2.0]))).get()
+    assert np.allclose(np.sort(r.real), [1.0, 2.0])
+    assert nps.issubdtype(x.dtype, np.floating)
