@@ -395,7 +395,7 @@ def test_fourth_tranche():
     )
     assert np.array_equal(
         nps.in1d(nps.array(a_set), nps.array(b_set)).get(),
-        np.in1d(a_set, b_set),
+        np.isin(a_set, b_set),
     )
     uc = nps.unique_counts(nps.array(np.array([1, 1, 2, 3, 3, 3])))
     assert np.array_equal(uc.values.get(), [1, 2, 3])
