@@ -155,6 +155,58 @@ def vector_norm(a):
     return norm(a)
 
 
+def cross(x1, x2, axis=-1):
+    from nums_tpu.numpy import extra as _extra
+
+    return _extra.cross(x1, x2, axis=axis)
+
+
+def vecdot(x1, x2, axis=-1):
+    from nums_tpu.numpy import extra3 as _extra3
+
+    return _extra3.vecdot(x1, x2, axis=axis)
+
+
+def tensorinv(a, ind=2):
+    import functools as _ft
+
+    @_ft.lru_cache(maxsize=None)
+    def _jit(ind):
+        return _jax.jit(lambda x: _jnp.linalg.tensorinv(x, ind=ind))
+
+    return _BA.from_jax(_jit(int(ind))(a.data), backend=a.backend)
+
+
+def tensorsolve(a, b):
+    @_functools.lru_cache(maxsize=None)
+    def _jit():
+        return _jax.jit(lambda x, y: _jnp.linalg.tensorsolve(x, y))
+
+    return _BA.from_jax(_jit()(a.data, b.data), backend=a.backend)
+
+
+def eig(a):
+    """General (non-symmetric) eig: XLA supports it on CPU only — host
+    NumPy fallback (complex results)."""
+    import numpy as _np
+    from nums_tpu.core.application_manager import instance as _inst
+
+    w, v = _np.linalg.eig(a.get())
+    app = _inst()
+    return (
+        app.array(w, block_shape=w.shape),
+        app.array(v, block_shape=v.shape),
+    )
+
+
+def eigvals(a):
+    import numpy as _np
+    from nums_tpu.core.application_manager import instance as _inst
+
+    w = _np.linalg.eigvals(a.get())
+    return _inst().array(w, block_shape=w.shape)
+
+
 def matrix_norm(a, ord="fro"):  # noqa: A002
     if ord != "fro":
         raise NotImplementedError("Only the Frobenius norm.")

@@ -160,6 +160,21 @@ def random_integers(low, high=None, size=None):
     if high is None:
         low, high = 1, low
     return _default_random.randint(low, high + 1, size=size)
+
+
+# Generator-style API: RandomState implements the overlapping surface;
+# `integers` is the Generator spelling of randint.
+RandomState.integers = RandomState.randint
+Generator = RandomState
+
+
+def default_rng(seed=None):
+    return RandomState(seed)
+
+
+def bytes(length):  # noqa: A001 - numpy-compatible name
+    """Random bytes (host-side; parity with np.random.bytes)."""
+    return _default_random.rs().numpy().bytes(length)
 random = _default_random.random
 rand = _default_random.rand
 randn = _default_random.randn

@@ -412,3 +412,31 @@ def test_fourth_tranche():
     r = nps.roots(nps.array(np.array([1.0, -3.0, 2.0]))).get()
     assert np.allclose(np.sort(r.real), [1.0, 2.0])
     assert nps.issubdtype(x.dtype, np.floating)
+
+
+def test_random_generator_api_and_linalg_gaps():
+    rng = nps.random.default_rng(42)
+    v = rng.integers(0, 10, size=(50,))
+    assert ((0 <= v.get()) & (v.get() < 10)).all()
+    raw = nps.random.bytes(16)
+    assert isinstance(raw, bytes) and len(raw) == 16
+    a3 = np.array([1.0, 0.0, 0.0])
+    b3 = np.array([0.0, 1.0, 0.0])
+    assert np.allclose(
+        nps.linalg.cross(nps.array(a3), nps.array(b3)).get(),
+        np.cross(a3, b3),
+    )
+    rs = np.random.RandomState(3)
+    a = rs.randn(4, 6, 8, 3)
+    at = nps.array(a.reshape(24, 24) + 24 * np.eye(24)).reshape((4, 6, 8, 3))
+    b_np = rs.randn(4, 6)
+    x = nps.linalg.tensorsolve(at, nps.array(b_np))
+    expected = np.linalg.tensorsolve(at.get(), b_np)
+    assert np.allclose(x.get(), expected, atol=1e-8)
+    spd = a.reshape(24, 24); spd = spd @ spd.T + 24 * np.eye(24)
+    w, vv = nps.linalg.eig(nps.array(spd))
+    assert np.allclose(np.sort(w.get().real), np.sort(np.linalg.eigvalsh(spd)),
+                       atol=1e-8)
+    wv = nps.linalg.eigvals(nps.array(spd))
+    assert np.allclose(np.sort(wv.get().real), np.sort(np.linalg.eigvalsh(spd)),
+                       atol=1e-8)
