@@ -22,8 +22,23 @@ IGNORE = {
 }
 
 
+# Functions implemented with a host-NumPy round trip (data-dependent
+# output shapes or CPU-only algorithms) — the analogue of the reference's
+# curated "fallback" list (api_coverage.py:115-196 there).
+HOST_FALLBACK = {
+    "unique", "argwhere", "flatnonzero", "nonzero", "where", "compress",
+    "extract", "insert", "intersect1d", "setdiff1d", "setxor1d", "union1d",
+    "unique_all", "unique_counts", "unique_inverse", "unique_values",
+    "trim_zeros", "sort_complex", "poly", "roots", "real_if_close",
+    "eig", "eigvals", "bytes", "multinomial", "hypergeometric",
+    "logseries", "vonmises", "zipf", "tri", "tril_indices", "triu_indices",
+    "diag_indices", "indices", "hamming", "hanning", "blackman",
+    "bartlett", "kaiser", "bincount",
+}
+
+
 def _module_coverage(np_module, our_module):
-    implemented, fallback, missing = [], [], []
+    implemented, fallback, stubs, missing = [], [], [], []
     for name in sorted(dir(np_module)):
         if name.startswith("_") or name in IGNORE:
             continue
@@ -34,10 +49,12 @@ def _module_coverage(np_module, our_module):
         if ours is None:
             missing.append(name)
         elif getattr(ours, "_nums_tpu_stub", False):
+            stubs.append(name)
+        elif name in HOST_FALLBACK:
             fallback.append(name)
         else:
             implemented.append(name)
-    return implemented, fallback, missing
+    return implemented, fallback, stubs, missing
 
 
 def coverage_report():
@@ -51,12 +68,13 @@ def coverage_report():
     ]
     lines = []
     for name, np_mod, our_mod in sections:
-        impl, fb, miss = _module_coverage(np_mod, our_mod)
-        total = len(impl) + len(fb) + len(miss)
-        pct = 100.0 * len(impl) / total if total else 0.0
+        impl, fb, stubs, miss = _module_coverage(np_mod, our_mod)
+        total = len(impl) + len(fb) + len(stubs) + len(miss)
+        pct = 100.0 * (len(impl) + len(fb)) / total if total else 0.0
         lines.append(
-            f"{name}: implemented {len(impl)}/{total} ({pct:.1f}%), "
-            f"stubs {len(fb)}, missing {len(miss)}"
+            f"{name}: implemented {len(impl) + len(fb)}/{total} "
+            f"({pct:.1f}%; {len(fb)} via host fallback), "
+            f"stubs {len(stubs)}, missing {len(miss)}"
         )
         if miss:
             lines.append(f"  missing: {', '.join(miss[:25])}"

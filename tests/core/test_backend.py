@@ -83,3 +83,22 @@ def test_serial_backend_basics():
 def test_mesh_requires_enough_devices():
     with pytest.raises(AssertionError):
         MeshBackend(cluster_shape=(64, 64)).init()
+
+
+def test_ragged_shapes_on_mesh(mesh_backend):
+    """Non-divisible shapes replicate (pad-and-mask is roadmapped) but must
+    stay CORRECT end-to-end on the mesh."""
+    from nums_tpu.core.array.application import ArrayApplication
+
+    app = ArrayApplication(mesh_backend)
+    rs = np.random.RandomState(0)
+    x = rs.randn(998, 7)  # neither axis divides the (4,2) mesh
+    bx = app.array(x, block_shape=(250, 7))
+    assert np.allclose((bx.T @ bx).get(), x.T @ x)
+    assert np.allclose(app.sum(bx, axis=0).get(), x.sum(axis=0))
+    q, r = app.direct_tsqr(bx)
+    assert np.allclose(q.get() @ r.get(), x, atol=1e-9)
+    y = rs.randn(998)
+    by = app.array(y, block_shape=(250,))
+    theta = app.linear_regression(bx, by)
+    assert theta.shape == (7,)
