@@ -1,0 +1,63 @@
+"""Dtype coverage: complex, integer, bool arithmetic + promotion."""
+
+import numpy as np
+
+
+def test_complex_support(app_inst):
+    z = np.array([1 + 2j, 3 - 1j, -2 + 0.5j])
+    bz = app_inst.array(z, block_shape=(3,))
+    assert bz.dtype == np.complex128
+    assert np.allclose((bz * bz).get(), z * z)
+    assert np.allclose(app_inst.abs(bz).get(), np.abs(z))
+    assert np.allclose(app_inst.map_uop("conj", bz).get(), np.conj(z))
+    assert np.allclose(bz.sum().get(), z.sum())
+    m = np.array([[1 + 1j, 2], [3, 4 - 2j]])
+    bm = app_inst.array(m, block_shape=(2, 2))
+    assert np.allclose((bm @ bm).get(), m @ m)
+    assert np.allclose(bm.T.get(), m.T)  # transpose (not conjugate)
+
+
+def test_promotion_matches_numpy(app_inst):
+    cases = [
+        (np.int32, np.int64),
+        (np.float32, np.float64),
+        (np.bool_, np.int32),
+        (np.float32, np.complex64),
+    ]
+    for dt1, dt2 in cases:
+        a = np.ones(4, dtype=dt1)
+        b = np.ones(4, dtype=dt2)
+        ba = app_inst.array(a, block_shape=(4,))
+        bb = app_inst.array(b, block_shape=(4,))
+        out = (ba + bb).get()
+        assert out.dtype == (a + b).dtype, (dt1, dt2, out.dtype)
+    # Documented divergence: int64 + float32 gives float32 under jax's
+    # promotion rules (NumPy would upcast to float64).
+    a = np.ones(4, dtype=np.int64)
+    b = np.ones(4, dtype=np.float32)
+    out = (
+        app_inst.array(a, block_shape=(4,))
+        + app_inst.array(b, block_shape=(4,))
+    ).get()
+    assert out.dtype == np.float32
+
+
+def test_weak_scalar_promotion(app_inst):
+    # Python scalars must not upcast arrays (NumPy value-based semantics).
+    a = np.ones(4, dtype=np.float32)
+    ba = app_inst.array(a, block_shape=(4,))
+    assert (ba + 1).dtype == np.float32
+    assert (ba * 2.5).dtype == np.float32
+    ai = np.ones(4, dtype=np.int32)
+    bi = app_inst.array(ai, block_shape=(4,))
+    assert (bi + 1).dtype == np.int32
+
+
+def test_int_matmul(app_inst):
+    a = np.arange(12, dtype=np.int64).reshape(3, 4)
+    b = np.arange(8, dtype=np.int64).reshape(4, 2)
+    ba = app_inst.array(a, block_shape=(3, 2))
+    bb = app_inst.array(b, block_shape=(2, 2))
+    out = (ba @ bb).get()
+    assert out.dtype == np.int64
+    assert np.array_equal(out, a @ b)
