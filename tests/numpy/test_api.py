@@ -116,7 +116,7 @@ def test_where_allclose():
 
 def test_not_implemented_stub():
     with pytest.raises(NotImplementedError):
-        nps.apply_along_axis(lambda r: r, 0, nps.zeros((2, 2)))
+        nps.busday_count("2026-01-01", "2026-02-01")
 
 
 def test_random_module():

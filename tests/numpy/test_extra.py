@@ -440,3 +440,44 @@ def test_random_generator_api_and_linalg_gaps():
     wv = nps.linalg.eigvals(nps.array(spd))
     assert np.allclose(np.sort(wv.get().real), np.sort(np.linalg.eigvalsh(spd)),
                        atol=1e-8)
+
+
+def test_mutation_family():
+    rs = np.random.RandomState(13)
+    x_np = rs.randn(4, 5)
+    x = nps.array(x_np.copy())
+    e = x_np.copy()
+    nps.put(x, nps.array(np.array([0, 7])), nps.array(np.array([9.0, 8.0])))
+    np.put(e, [0, 7], [9.0, 8.0])
+    assert np.allclose(x.get(), e)
+
+    x = nps.array(x_np.copy()); e = x_np.copy()
+    idx = np.argmax(e, axis=1, keepdims=True)
+    nps.put_along_axis(x, nps.array(idx), nps.array(np.array([[0.0]]*4)), 1)
+    np.put_along_axis(e, idx, 0.0, 1)
+    assert np.allclose(x.get(), e)
+
+    x = nps.array(x_np.copy()); e = x_np.copy()
+    mask = e > 0
+    nps.place(x, nps.array(mask), nps.array(np.array([1.0, 2.0])))
+    np.place(e, mask, [1.0, 2.0])
+    assert np.allclose(x.get(), e)
+
+    x = nps.array(x_np.copy()); e = x_np.copy()
+    nps.putmask(x, nps.array(mask), nps.array(e * 10))
+    np.putmask(e, mask, e * 10)
+    assert np.allclose(x.get(), e)
+
+    x = nps.array(x_np.copy()); e = x_np.copy()
+    nps.copyto(x, nps.array(np.zeros(5)))
+    np.copyto(e, np.zeros(5))
+    assert np.allclose(x.get(), e)
+
+    sq = nps.array(x_np[:4, :4].copy()); esq = x_np[:4, :4].copy()
+    nps.fill_diagonal(sq, 7.0)
+    np.fill_diagonal(esq, 7.0)
+    assert np.allclose(sq.get(), esq)
+
+    import jax.numpy as jnp
+    out = nps.apply_along_axis(jnp.sum, 1, nps.array(x_np))
+    assert np.allclose(out.get(), x_np.sum(axis=1))
