@@ -19,15 +19,11 @@ from nums_tpu.core.ops import random_ops
 
 
 # Distributions with no practical jit transform; sampled on host with a
-# deterministically-derived NumPy generator, then device_put. These are
-# rare, small-n draws in practice.
+# deterministically-derived NumPy generator, then device_put.
 _HOST_DISTS = {
     "hypergeometric": lambda rng, args, shape: rng.hypergeometric(
         *args, size=shape
     ),
-    "logseries": lambda rng, args, shape: rng.logseries(*args, size=shape),
-    "vonmises": lambda rng, args, shape: rng.vonmises(*args, size=shape),
-    "zipf": lambda rng, args, shape: rng.zipf(*args, size=shape),
 }
 
 

@@ -96,7 +96,105 @@ _DISTS = {
         (_noncentral_chisquare(key, shape, dtype, dfnum, nonc) / dfnum)
         / (jr.chisquare(jr.fold_in(key, 1), dfden, shape, dtype) / dfden)
     ),
+    # Device-side rejection/inversion samplers (the reference jumps PCG64
+    # per block on the host for these).
+    "vonmises": lambda key, shape, dtype, mu, kappa: _vonmises(
+        key, shape, dtype, mu, kappa
+    ),
+    "zipf": lambda key, shape, dtype, a: _zipf(key, shape, dtype, a),
+    "logseries": lambda key, shape, dtype, p: _logseries(
+        key, shape, dtype, p
+    ),
 }
+
+
+_REJECTION_ROUNDS = 32  # per-element failure prob < 1e-9 for our samplers
+
+
+def _rejection_sample(key, shape, dtype, propose_accept, fallback):
+    """Fixed-round rejection sampling (jittable: static shapes + masks).
+
+    propose_accept(subkey) -> (proposal, accepted_mask); after
+    _REJECTION_ROUNDS rounds any still-unaccepted elements (probability
+    ~1e-9 per element) take `fallback`.
+    """
+    out = jnp.full(shape, fallback, dtype)
+    done = jnp.zeros(shape, jnp.bool_)
+
+    def body(i, carry):
+        out, done = carry
+        sub = jr.fold_in(key, i)
+        proposal, accept = propose_accept(sub)
+        take = jnp.logical_and(accept, jnp.logical_not(done))
+        return jnp.where(take, proposal, out), jnp.logical_or(done, accept)
+
+    out, _ = jax.lax.fori_loop(0, _REJECTION_ROUNDS, body, (out, done))
+    return out
+
+
+def _vonmises(key, shape, dtype, mu, kappa):
+    """Best–Fisher (1979) rejection sampler for the von Mises circle."""
+    kappa = jnp.maximum(jnp.asarray(kappa, dtype), 1e-8)
+    tau = 1.0 + jnp.sqrt(1.0 + 4.0 * kappa * kappa)
+    rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * kappa)
+    r = (1.0 + rho * rho) / (2.0 * rho)
+
+    def propose(sub):
+        k1, k2, k3 = jr.split(sub, 3)
+        u1 = jr.uniform(k1, shape, dtype, minval=1e-7, maxval=1.0)
+        u2 = jr.uniform(k2, shape, dtype, minval=1e-7, maxval=1.0)
+        u3 = jr.uniform(k3, shape, dtype)
+        z = jnp.cos(jnp.pi * u1)
+        f = (1.0 + r * z) / (r + z)
+        c = kappa * (r - f)
+        accept = jnp.logical_or(
+            c * (2.0 - c) - u2 > 0.0, jnp.log(c / u2) + 1.0 - c >= 0.0
+        )
+        theta = jnp.where(u3 < 0.5, -jnp.arccos(f), jnp.arccos(f))
+        return mu + theta, accept
+
+    raw = _rejection_sample(key, shape, dtype, propose, 0.0)
+    # wrap to [-pi, pi) like np.random.vonmises
+    return jnp.mod(raw + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+
+
+def _zipf(key, shape, dtype, a):
+    """Devroye's rejection sampler for the Zipf(a) distribution."""
+    am1 = a - 1.0
+    b = 2.0 ** am1
+
+    def propose(sub):
+        k1, k2 = jr.split(sub)
+        u = jr.uniform(k1, shape, jnp.float32, minval=1e-7, maxval=1.0)
+        v = jr.uniform(k2, shape, jnp.float32)
+        # cap x to avoid overflow; tail mass beyond 1e9 is negligible
+        x = jnp.floor(jnp.minimum(u ** (-1.0 / am1), 1e9))
+        t = (1.0 + 1.0 / x) ** am1
+        accept = v * x * (t - 1.0) / (b - 1.0) <= t / b
+        return x.astype(dtype), accept
+
+    return _rejection_sample(key, shape, dtype, propose, 1.0)
+
+
+def _logseries(key, shape, dtype, p):
+    """Kemp's inversion sampler for the log-series distribution."""
+    k1, k2 = jr.split(key)
+    r = jnp.log1p(-p)
+    v = jr.uniform(k1, shape, jnp.float32, minval=1e-7, maxval=1.0)
+    u = jr.uniform(k2, shape, jnp.float32, minval=1e-7, maxval=1.0)
+    q = -jnp.expm1(r * u)
+    # Kemp's branch order: V>=p -> 1; V<=q^2 -> floor(1+lnV/lnq);
+    # V>=q -> 1; else -> 2.
+    x = jnp.where(
+        v >= p,
+        1.0,
+        jnp.where(
+            v <= q * q,
+            jnp.floor(1.0 + jnp.log(v) / jnp.log(q)),
+            jnp.where(v >= q, 1.0, 2.0),
+        ),
+    )
+    return x.astype(dtype)
 
 
 def _negative_binomial(key, shape, dtype, n, p):

@@ -100,3 +100,27 @@ def test_generator_extras(app_inst):
     x = app_inst.array(np.arange(30.0), block_shape=(10,))
     sh = rs.shuffle(x)
     assert np.array_equal(np.sort(sh.get()), np.arange(30.0))
+
+
+def test_device_rejection_samplers_stats(app_inst):
+    """vonmises/zipf/logseries now sample ON DEVICE (rejection/inversion);
+    check pmf/moments against NumPy's generators."""
+    rs = app_inst.random_state(0)
+    n = 50000
+    vm = rs.vonmises(1.0, 4.0, shape=(n,), block_shape=(n,)).get()
+    assert ((-np.pi <= vm) & (vm <= np.pi)).all()
+    # circular mean near mu=1.0
+    assert abs(np.angle(np.exp(1j * vm).mean()) - 1.0) < 0.05
+    z = rs.zipf(3.0, shape=(n,), block_shape=(n,)).get()
+    zref = np.random.default_rng(0).zipf(3.0, n)
+    assert (z >= 1).all()
+    for k in (1, 2, 3):
+        assert abs((z == k).mean() - (zref == k).mean()) < 0.02, k
+    ls = rs.logseries(0.6, shape=(n,), block_shape=(n,)).get()
+    lref = np.random.default_rng(0).logseries(0.6, n)
+    for k in (1, 2, 3):
+        assert abs((ls == k).mean() - (lref == k).mean()) < 0.02, k
+    # reproducible across block shapes (now structural for these too)
+    a = app_inst.random_state(5).zipf(2.5, shape=(100,), block_shape=(10,))
+    b = app_inst.random_state(5).zipf(2.5, shape=(100,), block_shape=(100,))
+    assert np.array_equal(a.get(), b.get())
