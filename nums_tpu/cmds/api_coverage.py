@@ -31,7 +31,7 @@ HOST_FALLBACK = {
     "unique_all", "unique_counts", "unique_inverse", "unique_values",
     "trim_zeros", "sort_complex", "poly", "roots", "real_if_close",
     "eig", "eigvals", "bytes", "multinomial", "hypergeometric",
-     "tri", "tril_indices", "triu_indices",
+    "tri", "tril_indices", "triu_indices",
     "diag_indices", "indices", "hamming", "hanning", "blackman",
     "bartlett", "kaiser", "bincount",
 }
