@@ -120,3 +120,36 @@ def test_sharded_restore_misaligned_blocks(tmp_path):
     assert back.data.sharding.num_devices == 8
     application_manager.destroy()
     settings.backend_name = "serial"
+
+
+def test_loadtxt_parallel_with_comments(app_inst, tmp_path):
+    rs = np.random.RandomState(4)
+    arr = rs.randn(300, 3)
+    path = str(tmp_path / "c.txt")
+    with open(path, "w") as f:
+        f.write("# header comment\n")
+        for i, row in enumerate(arr):
+            if i % 50 == 0:
+                f.write("# interior comment\n")
+            f.write(" ".join(f"{v:.17g}" for v in row) + "\n")
+    ba = app_inst.loadtxt(path, num_workers=4)
+    assert ba.shape == (300, 3)
+    assert np.allclose(ba.get(), arr, atol=1e-12)
+
+
+def test_loadtxt_1d(app_inst, tmp_path):
+    arr = np.arange(100).astype(float)
+    path = str(tmp_path / "v.txt")
+    np.savetxt(path, arr)
+    ba = app_inst.loadtxt(path, num_workers=3)
+    assert ba.shape == (100,)
+    assert np.allclose(ba.get(), arr)
+
+
+def test_loadtxt_fancy_args_fallback(app_inst, tmp_path):
+    rs = np.random.RandomState(5)
+    arr = rs.randn(40, 4)
+    path = str(tmp_path / "f.txt")
+    np.savetxt(path, arr)
+    ba = app_inst.loadtxt(path, usecols=(1, 3), skiprows=2)
+    assert np.allclose(ba.get(), arr[2:, [1, 3]], atol=1e-12)
