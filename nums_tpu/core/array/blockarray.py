@@ -669,6 +669,120 @@ class BlockArray:
     def __complex__(self):
         return complex(self._scalar_value())
 
+    # ------------------------------------------------------------------
+    # ndarray-style convenience methods (drop-in friendliness; delegate
+    # to the facade's jitted implementations)
+    # ------------------------------------------------------------------
+
+    def all(self, axis=None):
+        from nums_tpu.numpy import extra
+
+        return extra.all(self, axis=axis)
+
+    def any(self, axis=None):
+        from nums_tpu.numpy import extra
+
+        return extra.any(self, axis=axis)
+
+    def clip(self, a_min=None, a_max=None):
+        from nums_tpu.numpy import extra
+
+        return extra.clip(self, a_min, a_max)
+
+    def round(self, decimals=0):
+        from nums_tpu.numpy import extra
+
+        return extra.around(self, decimals)
+
+    def cumsum(self, axis=None):
+        from nums_tpu.numpy import extra
+
+        return extra.cumsum(self, axis=axis)
+
+    def cumprod(self, axis=None):
+        from nums_tpu.numpy import extra
+
+        return extra.cumprod(self, axis=axis)
+
+    def take(self, indices, axis=None):
+        from nums_tpu.numpy import extra
+
+        return extra.take(self, indices, axis=axis)
+
+    def repeat(self, repeats, axis=None):
+        from nums_tpu.numpy import extra
+
+        return extra.repeat(self, repeats, axis=axis)
+
+    def ravel(self):
+        return self.reshape(self.size)
+
+    def flatten(self):
+        return self.reshape(self.size)
+
+    def swapaxes(self, axis1, axis2):
+        from nums_tpu.numpy import extra
+
+        return extra.swapaxes(self, axis1, axis2)
+
+    def sort(self, axis=-1):
+        # NumPy sorts in place; rebind the wrapper (same convention as
+        # __setitem__).
+        from nums_tpu.numpy import extra
+
+        out = extra.sort(self, axis=axis)
+        self._data = out.data
+        self._transposed = False
+        return None
+
+    def argsort(self, axis=-1):
+        from nums_tpu.numpy import extra
+
+        return extra.argsort(self, axis=axis)
+
+    def nonzero(self):
+        from nums_tpu.numpy import extra
+
+        return extra.nonzero(self)
+
+    def conj(self):
+        return self.ufunc("conj")
+
+    conjugate = conj
+
+    @property
+    def real(self):
+        from nums_tpu.numpy import extra
+
+        return extra.real(self)
+
+    @property
+    def imag(self):
+        from nums_tpu.numpy import extra
+
+        return extra.imag(self)
+
+    def dot(self, other):
+        from nums_tpu.numpy import extra
+
+        return extra.dot(self, other)
+
+    def trace(self, offset=0):
+        from nums_tpu.numpy import extra
+
+        return extra.trace(self, offset=offset)
+
+    def diagonal(self, offset=0):
+        from nums_tpu.numpy import extra
+
+        return extra.diagonal(self, offset=offset)
+
+    def item(self):
+        return self._scalar_value()
+
+    def tolist(self):
+        return self.get().tolist()
+
     def __repr__(self):
         return f"BlockArray({self.get()})"
 
