@@ -209,6 +209,22 @@ class GLM:
         dev_null = self.deviance(y, y_mean)
         return 1 - dev / dev_null
 
+    # -- sklearn-style conveniences (beyond the reference) ---------------
+
+    @property
+    def coef_(self):
+        return self._beta
+
+    @property
+    def intercept_(self):
+        return self._beta0
+
+    def score(self, X, y):
+        """Classification accuracy for classifiers; R² otherwise."""
+        if isinstance(self, LogisticRegression):
+            return (self.predict(X) == y.astype(np.int64)).mean()
+        return self.deviance_sqr(X, y)
+
     # -- model checkpointing (absent in the reference: SURVEY §5 notes it
     #    keeps _beta as a live object with no persistence) ---------------
 

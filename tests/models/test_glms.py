@@ -218,3 +218,24 @@ def test_model_save_load(nps_app_inst, tmp_path):
     assert np.allclose(
         m2.predict_proba(X).get(), m.predict_proba(X).get(), atol=1e-12
     )
+
+
+def test_sklearn_conveniences(nps_app_inst):
+    from nums_tpu.models.glms import LogisticRegression, LinearRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(400, 5)
+    X = nps_app_inst.array(real_X, block_shape=(100, 5))
+    y = nps_app_inst.array(real_y, block_shape=(100,))
+    m = LogisticRegression(solver="newton", tol=1e-8, max_iter=10)
+    m.fit(X, y)
+    assert m.coef_.shape == (5,)
+    assert m.intercept_.shape == ()
+    assert float(m.score(X, y)) > 0.95
+    rs = np.random.RandomState(0)
+    theta = rs.randn(5)
+    X2r, y2r = BimodalGaussian.get_dataset(400, 5, theta=theta)
+    X2 = nps_app_inst.array(X2r, block_shape=(100, 5))
+    y2 = nps_app_inst.array(y2r, block_shape=(100,))
+    lin = LinearRegression(solver="newton", max_iter=10)
+    lin.fit(X2, y2)
+    assert float(lin.score(X2, y2)) > 0.999
