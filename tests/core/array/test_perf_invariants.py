@@ -1,0 +1,60 @@
+"""White-box guards for the perf-critical invariants.
+
+These pin design properties the benchmarks depend on; breaking one
+silently costs memory or bandwidth long before a correctness test fails.
+"""
+
+import numpy as np
+
+
+def test_transpose_is_zero_copy(app_inst):
+    x = app_inst.array(np.ones((8, 4)), block_shape=(4, 4))
+    t = x.T
+    # metadata-only: same device buffer, flipped flag
+    assert t.raw is x.raw
+    assert t.is_transposed and not x.is_transposed
+    assert t.shape == (4, 8)
+    # double transpose returns to untransposed view of the SAME buffer
+    tt = t.T
+    assert tt.raw is x.raw and not tt.is_transposed
+
+
+def test_elementwise_preserves_lazy_transpose(app_inst):
+    x = app_inst.array(np.random.RandomState(0).randn(6, 4), (3, 2))
+    t = x.T
+    y = t.ufunc("exp")
+    # unary ops compute on the raw buffer and carry the flag — no
+    # materialized transpose in HBM
+    assert y.is_transposed
+    assert np.allclose(y.get(), np.exp(x.get().T))
+
+
+def test_gram_uses_single_argument_kernel(app_inst):
+    """x.T @ x must dispatch the one-argument gram program (duplicate
+    arguments are double-counted by some PJRT transports — OOM at 10GB)."""
+    from nums_tpu.core.ops import linear
+
+    linear.tensordot_same.cache_clear()
+    x = app_inst.array(np.random.RandomState(1).randn(16, 4), (8, 4))
+    g = x.T @ x
+    assert np.allclose(g.get(), x.get().T @ x.get())
+    assert linear.tensordot_same.cache_info().currsize == 1
+
+
+def test_get_on_transposed_is_host_view(app_inst):
+    x = app_inst.array(np.arange(12.0).reshape(3, 4), (3, 2))
+    t = x.T
+    out = t.get()
+    assert out.shape == (4, 3)
+    # the fetch pulled the raw layout and transposed on host (a view)
+    assert not out.flags["OWNDATA"]
+
+
+def test_reduction_fuses_transpose(app_inst):
+    x = app_inst.array(np.random.RandomState(2).randn(6, 4), (3, 2))
+    t = x.T
+    s = t.sum(axis=0)
+    # the reduction consumed the RAW buffer (flag passed into the kernel),
+    # leaving the source untouched and unmaterialized
+    assert t.is_transposed
+    assert np.allclose(s.get(), x.get().T.sum(axis=0))
