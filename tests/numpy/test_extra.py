@@ -481,3 +481,40 @@ def test_mutation_family():
     import jax.numpy as jnp
     out = nps.apply_along_axis(jnp.sum, 1, nps.array(x_np))
     assert np.allclose(out.get(), x_np.sum(axis=1))
+
+
+def test_compat_tranche():
+    rs = np.random.RandomState(14)
+    x_np = rs.randn(4, 4)
+    x = nps.array(x_np)
+    assert np.allclose(nps.asarray_chkfinite(x).get(), x_np)
+    bad = nps.array(np.array([1.0, np.nan]))
+    with pytest.raises(ValueError):
+        nps.asarray_chkfinite(bad)
+    assert np.allclose(nps.ascontiguousarray(x).get(), x_np)
+    assert nps.isfortran(x) is False
+    assert np.allclose(nps.resize(x, (2, 8)).get(), np.resize(x_np, (2, 8)))
+    bits = np.array([1, 0, 1, 1, 0, 0, 0, 1], dtype=np.uint8)
+    packed = nps.packbits(nps.array(bits))
+    assert np.array_equal(packed.get(), np.packbits(bits))
+    assert np.array_equal(
+        nps.unpackbits(packed).get(), np.unpackbits(np.packbits(bits))
+    )
+    s2 = rs.randn(100, 2)
+    h, edges = nps.histogramdd(nps.array(s2), bins=4)
+    eh, eedges = np.histogramdd(s2, bins=4)
+    assert np.allclose(h.get(), eh)
+    assert np.allclose(edges[0].get(), eedges[0])
+    tr = nps.tril_indices_from(x)
+    er = np.tril_indices_from(x_np)
+    assert np.array_equal(tr[0].get(), er[0])
+    dg = nps.diag_indices_from(x)
+    assert np.array_equal(dg[0].get(), np.diag_indices_from(x_np)[0])
+    assert "1." in nps.array_str(x)
+    assert nps.base_repr(10, 2) == "1010"
+    assert nps.common_type(x) in (np.float64, np.float32)
+    path = nps.einsum_path("ij,jk->ik", x, x)
+    assert isinstance(path[0], list)
+    mi = nps.mask_indices(3, np.triu)
+    emi = np.mask_indices(3, np.triu)
+    assert np.array_equal(mi[0].get(), emi[0])
