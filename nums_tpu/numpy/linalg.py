@@ -213,3 +213,7 @@ def matrix_norm(a, ord="fro"):  # noqa: A002
     from nums_tpu.core.application_manager import instance as _inst
 
     return _inst().sqrt((a * a).sum())
+
+
+def matrix_transpose(x):
+    return x.transpose()
