@@ -19,7 +19,8 @@ __all__ = [
     "base_repr", "binary_repr", "typename", "min_scalar_type",
     "mintypecode", "common_type", "einsum_path", "get_printoptions",
     "set_printoptions", "printoptions", "array_equiv", "format_float_positional",
-    "format_float_scientific",
+    "format_float_scientific", "fromfunction", "fromiter", "frombuffer",
+    "fromstring",
 ]
 
 # Pure-metadata / printing passthroughs.
@@ -145,6 +146,35 @@ def common_type(*arrays):
     return np.common_type(
         *[np.empty(0, dtype=_to_ba(a).dtype) for a in arrays]
     )
+
+
+def fromfunction(function, shape, dtype=float):
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def impl(shape):
+        return jnp.fromfunction(function, shape, dtype=dtype)
+
+    out = impl(tuple(shape))
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    return BlockArray.from_jax(out, backend=_instance().backend)
+
+
+def fromiter(iterable, dtype, count=-1):
+    out = np.fromiter(iterable, dtype, count)
+    return _instance().array(out, block_shape=out.shape)
+
+
+def frombuffer(buffer, dtype=float, count=-1, offset=0):
+    out = np.frombuffer(buffer, dtype, count, offset)
+    return _instance().array(out, block_shape=out.shape)
+
+
+def fromstring(string, dtype=float, sep=" "):
+    out = np.array(
+        [np.dtype(dtype).type(v) for v in string.split(sep) if v],
+        dtype=dtype,
+    )
+    return _instance().array(out, block_shape=out.shape)
 
 
 def einsum_path(subscripts, *operands, optimize="greedy"):

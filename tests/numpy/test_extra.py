@@ -518,3 +518,16 @@ def test_compat_tranche():
     mi = nps.mask_indices(3, np.triu)
     emi = np.mask_indices(3, np.triu)
     assert np.array_equal(mi[0].get(), emi[0])
+
+
+def test_from_constructors():
+    import jax.numpy as jnp
+    f = nps.fromfunction(lambda i, j: i + j, (3, 3))
+    assert np.allclose(f.get(), np.fromfunction(lambda i, j: i + j, (3, 3)))
+    it = nps.fromiter(range(5), dtype=np.int64)
+    assert np.array_equal(it.get(), np.arange(5))
+    buf = np.arange(4.0).tobytes()
+    fb = nps.frombuffer(buf, dtype=np.float64)
+    assert np.allclose(fb.get(), np.arange(4.0))
+    fs = nps.fromstring("1 2 3", dtype=np.float64)
+    assert np.allclose(fs.get(), [1.0, 2.0, 3.0])
