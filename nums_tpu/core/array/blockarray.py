@@ -783,6 +783,14 @@ class BlockArray:
     def tolist(self):
         return self.get().tolist()
 
+    def __array__(self, dtype=None, copy=None):
+        """NumPy interop: np.asarray(ba) fetches the materialized array
+        (host sync). Binary numpy-op dispatch still defers to our
+        operators via __array_ufunc__ = None."""
+        del copy
+        out = self.get()
+        return out.astype(dtype) if dtype is not None else out
+
     def __repr__(self):
         return f"BlockArray({self.get()})"
 

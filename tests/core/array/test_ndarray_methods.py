@@ -36,3 +36,17 @@ def test_methods_match_numpy(app_inst):
     s = app_inst.array(x[0].copy(), (4,))
     s.sort()
     assert np.allclose(s.get(), np.sort(x[0]))
+
+
+def test_array_protocol(app_inst):
+    x_np = np.arange(6.0).reshape(2, 3)
+    b = app_inst.array(x_np, block_shape=(2, 3))
+    assert np.allclose(np.asarray(b), x_np)
+    assert np.asarray(b, dtype=np.float32).dtype == np.float32
+    # reflected numpy-scalar ops still route through our operators
+    out = np.float64(2.0) * b
+    from nums_tpu.core.array.blockarray import BlockArray
+    assert isinstance(out, BlockArray)
+    assert np.allclose(out.get(), 2.0 * x_np)
+    # lazy transpose fetches correctly through the protocol
+    assert np.allclose(np.asarray(b.T), x_np.T)
