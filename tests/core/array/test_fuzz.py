@@ -72,3 +72,19 @@ def test_op_sequence_fuzz(app_inst, seed):
         assert np.allclose(
             ba_x.get(), np_x, atol=1e-8, equal_nan=True
         ), (seed, step)
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(8, 40))
+def test_op_sequence_fuzz_deep(app_inst, seed):
+    rng = np.random.RandomState(seed)
+    np_x = rng.randn(8, 6)
+    ba_x = app_inst.array(np_x, block_shape=(4, 3))
+    for step in range(25):
+        np_x, ba_x = _apply(rng, np_x, ba_x, app_inst)
+        if np.max(np.abs(np_x)) > 1e3:
+            np_x = np_x / 1e3
+            ba_x = ba_x / 1e3
+        assert ba_x.shape == np_x.shape, (seed, step)
+        assert np.allclose(
+            ba_x.get(), np_x, atol=1e-8, equal_nan=True
+        ), (seed, step)
