@@ -69,8 +69,14 @@ class Block:
         self.dtype = parent.dtype
 
     def get(self) -> np.ndarray:
-        sl = self._parent.grid.get_slice(self.grid_entry)
-        return np.asarray(jax.device_get(self._parent.data[sl]))
+        parent = self._parent
+        sl = parent.grid.get_slice(self.grid_entry)
+        if parent.is_transposed:
+            # Slice the RAW buffer (reversed coords) and transpose the
+            # small block on host — never materializes the full transpose.
+            raw_block = jax.device_get(parent.raw[tuple(reversed(sl))])
+            return np.asarray(raw_block).transpose()
+        return np.asarray(jax.device_get(parent.data[sl]))
 
 
 class BlockArray:

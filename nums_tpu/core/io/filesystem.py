@@ -65,17 +65,15 @@ class FileSystem:
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
         # One .npy per block, fetched block-at-a-time from the device
-        # (parallel IO threads): peak host memory stays O(block), not
-        # O(array) — arrays can exceed host RAM when sharded over a pod.
-        data = ba.data
+        # (parallel IO threads): peak memory stays O(block), not O(array)
+        # — and lazily-transposed arrays are read via transpose-aware
+        # Block.get, so no full transpose materializes in HBM either.
+        from nums_tpu.core.array.blockarray import Block
+
         entries = list(ba.grid.get_entry_iterator())
 
         def write_block(grid_entry):
-            import jax
-
-            block = np.asarray(
-                jax.device_get(data[ba.grid.get_slice(grid_entry)])
-            )
+            block = Block(ba, grid_entry).get()
             np.save(os.path.join(path, _block_fname(grid_entry)), block)
             return True
 

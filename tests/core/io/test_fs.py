@@ -153,3 +153,18 @@ def test_loadtxt_fancy_args_fallback(app_inst, tmp_path):
     np.savetxt(path, arr)
     ba = app_inst.loadtxt(path, usecols=(1, 3), skiprows=2)
     assert np.allclose(ba.get(), arr[2:, [1, 3]], atol=1e-12)
+
+
+def test_write_transposed_no_materialization(app_inst, tmp_path):
+    """Persisting a lazily-transposed array must not materialize the
+    transpose (block reads slice the raw buffer)."""
+    rs = np.random.RandomState(9)
+    x = rs.randn(12, 8)
+    bx = app_inst.array(x, block_shape=(4, 4))
+    t = bx.T
+    path = str(tmp_path / "tarr")
+    app_inst.write_fs(t, path)
+    assert t.is_transposed  # write did NOT force materialization
+    back = app_inst.read_fs(path)
+    assert back.shape == (8, 12)
+    assert np.allclose(back.get(), x.T)
