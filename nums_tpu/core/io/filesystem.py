@@ -169,10 +169,11 @@ class FileSystem:
         client.put_object(
             Bucket=bucket, Key=f"{key}_meta", Body=pickle.dumps(meta)
         )
-        arr = ba.get()
+        from nums_tpu.core.array.blockarray import Block
+
         results = []
         for grid_entry in ba.grid.get_entry_iterator():
-            block = np.ascontiguousarray(arr[ba.grid.get_slice(grid_entry)])
+            block = np.ascontiguousarray(Block(ba, grid_entry).get())
             suffix = "_".join(map(str, grid_entry))
             client.put_object(
                 Bucket=bucket,
