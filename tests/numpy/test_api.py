@@ -155,3 +155,19 @@ def test_loadtxt(tmp_path):
     np.savetxt(path, arr)
     ba = nps.loadtxt(path)
     assert np.allclose(ba.get(), arr, atol=1e-12)
+
+
+def test_random_seed_determinism():
+    nps.random.seed(123)
+    a = nps.random.randn(50).get()
+    nps.random.seed(123)
+    b = nps.random.randn(50).get()
+    assert np.array_equal(a, b)
+    nps.random.seed(124)
+    c = nps.random.randn(50).get()
+    assert not np.array_equal(a, c)
+    # sequential draws differ
+    nps.random.seed(123)
+    d1 = nps.random.randn(50).get()
+    d2 = nps.random.randn(50).get()
+    assert not np.array_equal(d1, d2)
