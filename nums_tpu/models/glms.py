@@ -393,19 +393,46 @@ class PoissonRegression(GLM):
 
 
 class ExponentialRegression(GLM):
-    # Stub parity: glms.py:286-304.
+    """Exponential GLM with LOG link (implemented here; the reference is a
+    stub, glms.py:286-304, and its canonical-link sketch is numerically
+    untrainable from beta=0 since mu=-1/eta diverges at eta=0).
+
+    y ~ Exp(rate=1/mu), mu = exp(eta):
+      NLL      = sum(log mu + y/mu)
+      gradient = X^T (1 - y/mu)
+      hessian  = X^T diag(y/mu) X  (observed information)
+    """
+
+    _fused_kind = None  # eager Newton only (observed-information step)
 
     def link_inv(self, eta):
-        raise NotImplementedError()
+        return self._app.exp(eta)
 
     def objective(self, X, y, beta=None):
-        raise NotImplementedError()
+        app = self._app
+        mu = self.forward(X, beta)
+        return app.sum(app.log(mu) + y / mu)
 
     def gradient(self, X, y, mu=None, beta=None):
-        raise NotImplementedError()
+        if mu is None:
+            mu = self.forward(X)
+        return X.T @ (self._app.one - y / mu)
 
     def hessian(self, X, y, mu=None):
-        raise NotImplementedError()
+        if mu is None:
+            mu = self.forward(X)
+        w = y / mu
+        dim, block_dim = w.shape[0], w.block_shape[0]
+        w2 = w.reshape((dim, 1), block_shape=(block_dim, 1))
+        return X.T @ (w2 * X)
+
+    def deviance(self, y, y_pred):
+        app = self._app
+        r = y / y_pred
+        return app.sum(app.two * (r - app.log(r) - app.one))
+
+    def predict(self, X):
+        return self.forward(X)
 
 
 # Scikit-Learn alias (parity: glms.py:307).

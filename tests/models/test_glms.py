@@ -118,12 +118,23 @@ def test_logistic_cv(nps_app_inst):
     assert np.mean(accs) > 0.9
 
 
-def test_exponential_stub(nps_app_inst):
+def test_exponential(nps_app_inst):
+    """ExponentialRegression is trainable here (the reference stubs it)."""
     from nums_tpu.models.glms import ExponentialRegression
 
-    model = ExponentialRegression()
-    with pytest.raises(NotImplementedError):
-        model.link_inv(None)
+    rs = np.random.RandomState(77)
+    n, d = 2000, 3
+    beta_true = rs.rand(d) * 0.4
+    X_real = rs.randn(n, d)
+    mu = np.exp(X_real @ beta_true)
+    y_real = rs.exponential(scale=mu)
+    X = nps_app_inst.array(X_real, block_shape=(500, d))
+    y = nps_app_inst.array(y_real, block_shape=(500,))
+    model = ExponentialRegression(solver="newton", tol=1e-8, max_iter=25)
+    model.fit(X, y)
+    assert np.allclose(model._beta.get(), beta_true, atol=0.15)
+    dev = model.deviance(y, model.predict(X)).get()
+    assert np.isfinite(dev) and dev >= 0
 
 
 def test_fast_glm_matches_blockarray_glm(nps_app_inst):
