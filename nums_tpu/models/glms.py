@@ -152,7 +152,6 @@ class GLM:
             beta_data, block_shape=beta.block_shape, backend=beta.backend
         )
 
-
     def _fused_enabled(self):
         from nums_tpu.core import settings
 
