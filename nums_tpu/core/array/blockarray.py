@@ -99,6 +99,12 @@ class BlockArray:
             assert tuple(data.shape) == tuple(grid.shape), (
                 data.shape, grid.shape,
             )
+        if data.dtype.name != grid.dtype:
+            # The device may have coerced the requested dtype (e.g. x64
+            # auto-off on TPU downcasts float64→float32). Metadata must
+            # report the ACTUAL on-device dtype, or a.dtype, checkpoints
+            # and derived ops disagree with a.get().dtype.
+            grid = ArrayGrid(grid.shape, grid.block_shape, data.dtype.name)
         self._data = data
         self._transposed = transposed
         self.grid = grid
@@ -622,10 +628,11 @@ class BlockArray:
         if not isinstance(item, tuple) and self._is_bool_mask(item):
             mask = item.data if isinstance(item, BlockArray) else jnp.asarray(item)
             v_shape = tuple(getattr(v, "shape", ()))
-            broadcastable = array_utils.can_broadcast_shapes(
-                v_shape, self.shape
-            )
-            if broadcastable:
+            # NumPy semantics: a[mask] = v broadcasts only when v is
+            # scalar-like; any non-scalar v assigns PACKED (row-major
+            # True-position order), never positionally via broadcast.
+            scalar_like = int(np.prod(v_shape, dtype=np.int64)) == 1
+            if scalar_like:
                 if mask.ndim < self.ndim:
                     mask = jnp.expand_dims(
                         mask, tuple(range(mask.ndim, self.ndim))

@@ -44,6 +44,12 @@ class ArrayGrid:
         )
         assert isinstance(dtype, str), "dtype must be a string name"
         self.dtype = dtype
+        for s, b in zip(self.shape, self.block_shape):
+            assert s >= 0, f"negative dim in shape {self.shape}"
+            assert b > 0 or s == 0, (
+                f"non-positive block dim {b} for axis of size {s} "
+                f"(unresolved -1 in a reshape spec?)"
+            )
         self.grid_shape = tuple(
             cdiv(s, b) if s > 0 else 1
             for s, b in zip(self.shape, self.block_shape)

@@ -18,8 +18,10 @@ extern "C" {
 
 // Parse `len` bytes of text: rows separated by '\n', fields by `delim`.
 // Writes up to max_vals doubles to out. Returns number of values parsed,
-// or -1 if out capacity was exceeded, -2 on a malformed field.
-// *n_rows/*n_cols receive the parsed row count and (first-row) width.
+// or -1 if out capacity was exceeded, -2 on a malformed field, -3 when a
+// row's width differs from the first row's (ragged input — numpy's
+// loadtxt raises on this, so the caller must not accept it silently).
+// *n_rows/*n_cols receive the parsed row count and row width.
 long nums_parse_csv(const char* buf, long len, char delim, double* out,
                     long max_vals, long* n_rows, long* n_cols) {
     long count = 0;
@@ -49,6 +51,7 @@ long nums_parse_csv(const char* buf, long len, char delim, double* out,
                 p++;
         }
         if (cols < 0) cols = row_cols;
+        else if (row_cols != cols) return -3;
         rows++;
         if (p < end) p++;  // consume '\n'
     }

@@ -272,6 +272,11 @@ def ndim(x):
 
 
 def reshape(x: BlockArray, shape):
+    from nums_tpu.core.array import blockarray as _blockarray
+
+    # Resolve any -1 before the block-shape policy sees the spec: an
+    # unresolved -1 would flow into ArrayGrid as a negative block dim.
+    shape = _blockarray.compute_shape(x.size, shape)
     block_shape = _instance().compute_block_shape(shape, x.dtype)
     return x.reshape(shape, block_shape=block_shape)
 

@@ -135,8 +135,16 @@ round_ = around
 
 # -- sorting / searching ------------------------------------------------
 
-sort = _unary_kw("sort")
-argsort = _unary_kw("argsort")
+def sort(a, axis=-1, **kwargs):
+    """np.sort parity: default axis is -1 (NOT None — None flattens)."""
+    a = _to_ba(a)
+    return _wrap(a, _jit_kw("sort", axis=axis, **kwargs)(a.data))
+
+
+def argsort(a, axis=-1, **kwargs):
+    """np.argsort parity: default axis is -1."""
+    a = _to_ba(a)
+    return _wrap(a, _jit_kw("argsort", axis=axis, **kwargs)(a.data))
 
 
 def searchsorted(a, v, side="left"):

@@ -170,3 +170,30 @@ def test_multidim_advanced_indexing(app_inst):
     bx[rows, cols] = 0.0
     x[rows, cols] = 0.0
     assert np.allclose(bx.get(), x)
+
+
+def test_boolean_mask_packed_assignment(app_inst):
+    """Advisor regression: a[mask] = v with non-scalar v must assign in
+    packed (row-major True-position) order, exactly as NumPy — never via
+    positional where-broadcast, even when v's shape happens to broadcast
+    against a.shape."""
+    x = np.array([[1.0, 2.0], [3.0, 4.0]])
+    mask = np.array([[False, True], [True, False]])
+    bx = app_inst.array(x.copy(), block_shape=(1, 2))
+    bx[mask] = np.array([10.0, 20.0])
+    expect = x.copy()
+    expect[mask] = np.array([10.0, 20.0])
+    assert np.allclose(bx.get(), expect)  # [[1,10],[20,4]]
+    # Row-mask with per-row vectors (packed rows).
+    x2 = np.arange(12, dtype=float).reshape(4, 3)
+    rowmask = np.array([True, False, True, False])
+    bx2 = app_inst.array(x2.copy(), block_shape=(2, 3))
+    v = np.array([[100.0, 101.0, 102.0], [200.0, 201.0, 202.0]])
+    bx2[rowmask] = v
+    e2 = x2.copy()
+    e2[rowmask] = v
+    assert np.allclose(bx2.get(), e2)
+    # Scalar-like still broadcasts to every True position.
+    bx2[rowmask] = np.array([5.0])
+    e2[rowmask] = np.array([5.0])
+    assert np.allclose(bx2.get(), e2)

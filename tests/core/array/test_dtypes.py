@@ -61,3 +61,18 @@ def test_int_matmul(app_inst):
     out = (ba @ bb).get()
     assert out.dtype == np.int64
     assert np.array_equal(out, a @ b)
+
+
+def test_grid_dtype_reflects_actual_device_dtype(app_inst):
+    """Advisor regression: with x64 off the device downcasts 64→32-bit;
+    grid metadata must report the ACTUAL on-device dtype so a.dtype,
+    checkpoint meta and a.get().dtype agree."""
+    import jax
+
+    try:
+        jax.config.update("jax_enable_x64", False)
+        x = app_inst.array(np.arange(6, dtype=np.float64), block_shape=(3,))
+        assert x.dtype == x.get().dtype
+        assert x.grid.dtype == x.data.dtype.name
+    finally:
+        jax.config.update("jax_enable_x64", True)

@@ -168,3 +168,19 @@ def test_write_transposed_no_materialization(app_inst, tmp_path):
     back = app_inst.read_fs(path)
     assert back.shape == (8, 12)
     assert np.allclose(back.get(), x.T)
+
+
+def test_native_parser_rejects_ragged_rows(tmp_path):
+    """Advisor regression: ragged rows must not silently parse as a clean
+    rectangle (previously '1,2,3\\n4,5\\n6,7,8,9\\n' parsed as 3x3 with
+    values shifted across rows)."""
+    from nums_tpu.core.io import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("no C compiler available")
+    arr, ok = _native.parse_bytes(b"1,2,3\n4,5\n6,7,8,9\n", ",")
+    assert not ok and arr is None
+    # Clean input still parses natively.
+    arr, ok = _native.parse_bytes(b"1,2,3\n4,5,6\n", ",")
+    assert ok and arr.shape == (2, 3)
+    assert np.allclose(arr, [[1, 2, 3], [4, 5, 6]])

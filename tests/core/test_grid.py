@@ -56,3 +56,16 @@ def test_partition_helpers():
     assert cdiv(10, 3) == 4
     assert array_split_partitions(10, 4) == [(0, 4), (4, 8), (8, 10)]
     assert array_split_partitions(0, 4) == [(0, 0)]
+
+def test_grid_rejects_nonpositive_block_dims():
+    """Advisor backstop: an unresolved -1 (or 0) block dim must fail loudly
+    at ArrayGrid construction, not produce a zero-block grid."""
+    import pytest
+
+    with pytest.raises(AssertionError):
+        ArrayGrid((12, 2), (-1, 2), "float64")
+    with pytest.raises(AssertionError):
+        ArrayGrid((12, 2), (0, 2), "float64")
+    # Zero-size axes remain legal (block dim 0 allowed only when size 0).
+    g = ArrayGrid((0, 3), (0, 3), "float64")
+    assert g.grid_shape == (1, 1)

@@ -171,3 +171,19 @@ def test_random_seed_determinism():
     d1 = nps.random.randn(50).get()
     d2 = nps.random.randn(50).get()
     assert not np.array_equal(d1, d2)
+
+
+def test_reshape_negative_one():
+    """Advisor regression: reshape specs with -1 must be resolved before
+    they reach the block-shape policy (previously produced a zero-block
+    grid that silently broke write_fs / block_sgd / mesh sharding)."""
+    x_np = np.arange(24, dtype=float)
+    x = nps.array(x_np)
+    y = nps.reshape(x, (-1, 2))
+    assert y.shape == (12, 2)
+    assert all(b > 0 for b in y.block_shape)
+    assert y.grid.num_blocks >= 1
+    assert np.allclose(y.get(), x_np.reshape(-1, 2))
+    z = nps.reshape(nps.array(x_np.reshape(4, 6)), (3, -1))
+    assert z.shape == (3, 8)
+    assert np.allclose(z.get(), x_np.reshape(3, 8))

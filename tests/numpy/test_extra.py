@@ -531,3 +531,14 @@ def test_from_constructors():
     assert np.allclose(fb.get(), np.arange(4.0))
     fs = nps.fromstring("1 2 3", dtype=np.float64)
     assert np.allclose(fs.get(), [1.0, 2.0, 3.0])
+
+
+def test_sort_default_axis_matches_numpy():
+    """Advisor regression: np.sort/argsort default to axis=-1 (NOT None)."""
+    rs = np.random.RandomState(3)
+    x_np = rs.randn(4, 5)
+    x = nps.array(x_np)
+    assert np.allclose(nps.sort(x).get(), np.sort(x_np))
+    assert np.array_equal(nps.argsort(x).get(), np.argsort(x_np))
+    assert np.allclose(nps.sort(x, axis=None).get(), np.sort(x_np, axis=None))
+    assert np.allclose(nps.sort(x, axis=0).get(), np.sort(x_np, axis=0))
