@@ -20,6 +20,7 @@ from nums_tpu.core.ops import (
     elementwise,
     linalg,
     linear,
+    padded,
     shape_ops,
 )
 
@@ -127,13 +128,21 @@ class ArrayApplication:
             array, block_shape=block_shape, copy=False, backend=self.backend
         )
 
+    def _grid_physical(self, grid):
+        """(physical_shape, sharding) for a grid — creation kernels compile
+        straight into the padded at-rest shape (pads are never read)."""
+        return (
+            self.backend.physical_shape(grid.shape, grid.grid_shape),
+            self.backend.sharding_for_grid(grid),
+        )
+
     def _new_array(self, op_name, shape, block_shape, dtype=None):
         if dtype is None:
             dtype = settings.default_float
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
-        sharding = self.backend.sharding_for_grid(grid)
-        data = creation.new_array(op_name, grid.shape, dtype_name, sharding)()
+        pshape, sharding = self._grid_physical(grid)
+        data = creation.new_array(op_name, pshape, dtype_name, sharding)()
         return BlockArray(data, grid, self.backend)
 
     def zeros(self, shape, block_shape, dtype=None):
@@ -150,8 +159,8 @@ class ArrayApplication:
             dtype = np.asarray(fill_value).dtype
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
-        sharding = self.backend.sharding_for_grid(grid)
-        data = creation.full(grid.shape, dtype_name, sharding)(fill_value)
+        pshape, sharding = self._grid_physical(grid)
+        data = creation.full(pshape, dtype_name, sharding)(fill_value)
         return BlockArray(data, grid, self.backend)
 
     def eye(self, shape, block_shape, dtype=None):
@@ -165,8 +174,10 @@ class ArrayApplication:
             dtype = settings.default_float
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
-        sharding = self.backend.sharding_for_grid(grid)
-        data = creation.eye(grid.shape, int(k), dtype_name, sharding)()
+        # eye is slice-stable: eye(P, Q, k)[:n, :m] == eye(n, m, k), so
+        # generating at the padded shape is exact.
+        pshape, sharding = self._grid_physical(grid)
+        data = creation.eye(pshape, int(k), dtype_name, sharding)()
         return BlockArray(data, grid, self.backend)
 
     def diag(self, X: BlockArray) -> BlockArray:
@@ -187,8 +198,9 @@ class ArrayApplication:
         assert step == 1
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
-        sharding = self.backend.sharding_for_grid(grid)
-        data = creation.arange(0, grid.shape[0], step, dtype_name, sharding)()
+        # arange is slice-stable: iota values in the pad are never read.
+        pshape, sharding = self._grid_physical(grid)
+        data = creation.arange(0, pshape[0], step, dtype_name, sharding)()
         return BlockArray(data, grid, self.backend)
 
     def linspace(
@@ -198,9 +210,11 @@ class ArrayApplication:
         assert axis == 0 and retstep is False
         dtype_name = array_utils.to_dtype_name(dtype) if dtype else "float64"
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
-        sharding = self.backend.sharding_for_grid(grid)
+        # linspace is NOT slice-stable (step depends on num): generate at
+        # the logical length, pad inside the same program.
+        pshape, sharding = self._grid_physical(grid)
         data = creation.linspace(
-            grid.shape[0], bool(endpoint), dtype_name, 0, sharding
+            grid.shape[0], bool(endpoint), dtype_name, 0, sharding, pshape
         )(start, stop)
         return BlockArray(data, grid, self.backend)
 
@@ -433,16 +447,29 @@ class ArrayApplication:
         except Exception:  # pragma: no cover
             return False
 
+    def _fused_linalg(self, kernel, *arrays):
+        """Run a linalg kernel on logical inputs with pad-stripping (and
+        any lazy transpose) fused into the same program."""
+        return padded.call(
+            kernel,
+            tuple(a.raw for a in arrays),
+            tuple(a._raw_logical_shape() for a in arrays),
+            self.backend,
+            transposes=tuple(a.is_transposed for a in arrays),
+        )
+
     def indirect_tsr(self, X: BlockArray, reshape_output=True) -> BlockArray:
         """R factor via TSQR reduction tree (parity: application.py:772-823)."""
         assert X.ndim == 2
         del reshape_output
         if self._use_cholqr(X):
-            r = linalg.cholqr_r()(X.data)
+            r, lshape = self._fused_linalg(linalg.cholqr_r(), X)
         else:
-            r = linalg.tsqr_r(self._tsqr_chunk(X))(X.data)
-        bs = (min(X.block_shape[1], r.shape[0]), X.block_shape[1])
-        grid = ArrayGrid(tuple(r.shape), bs, r.dtype.name)
+            r, lshape = self._fused_linalg(
+                linalg.tsqr_r(self._tsqr_chunk(X)), X
+            )
+        bs = (min(X.block_shape[1], lshape[0]), X.block_shape[1])
+        grid = ArrayGrid(lshape, bs, r.dtype.name)
         return BlockArray(r, grid, self.backend)
 
     def indirect_tsqr(self, X: BlockArray, reshape_output=True):
@@ -462,20 +489,24 @@ class ArrayApplication:
         assert X.ndim == 2
         del reshape_output
         if overwrite_x:
+            # Donated streaming path: peak HBM ~1x X. Uses .data (logical)
+            # directly — donation semantics need the raw jitted kernel.
             q, r = linalg.cholqr2_stream()(X.data)
-            X._data = q  # X's old buffer is donated; repoint defensively.
-            X._transposed = False
+            X._store(q)  # X's old buffer is donated; repoint defensively.
+            (q_l, r_l) = (tuple(q.shape), tuple(r.shape))
         elif self._use_cholqr(X):
-            q, r = linalg.cholqr2()(X.data)
+            (q, r), (q_l, r_l) = self._fused_linalg(linalg.cholqr2(), X)
         else:
-            q, r = linalg.direct_tsqr(self._tsqr_chunk(X))(X.data)
-        q_bs = (X.block_shape[0], min(X.block_shape[1], q.shape[1]))
-        r_bs = (min(X.block_shape[1], r.shape[0]), X.block_shape[1])
+            (q, r), (q_l, r_l) = self._fused_linalg(
+                linalg.direct_tsqr(self._tsqr_chunk(X)), X
+            )
+        q_bs = (X.block_shape[0], min(X.block_shape[1], q_l[1]))
+        r_bs = (min(X.block_shape[1], r_l[0]), X.block_shape[1])
         Q = BlockArray(
-            q, ArrayGrid(tuple(q.shape), q_bs, q.dtype.name), self.backend
+            q, ArrayGrid(q_l, q_bs, q.dtype.name), self.backend
         )
         R = BlockArray(
-            r, ArrayGrid(tuple(r.shape), r_bs, r.dtype.name), self.backend
+            r, ArrayGrid(r_l, r_bs, r.dtype.name), self.backend
         )
         return Q, R
 
@@ -483,16 +514,19 @@ class ArrayApplication:
         """Tall-skinny SVD via TSQR (parity: application.py:935-954)."""
         assert X.ndim == 2
         if self._use_cholqr(X):
-            u, s, vt = linalg.svd_cholqr()(X.data)
+            (u, s, vt), lshapes = self._fused_linalg(linalg.svd_cholqr(), X)
         else:
-            u, s, vt = linalg.svd(self._tsqr_chunk(X))(X.data)
-        mk = lambda d, bs: BlockArray(
-            d, ArrayGrid(tuple(d.shape), bs, d.dtype.name), self.backend
+            (u, s, vt), lshapes = self._fused_linalg(
+                linalg.svd(self._tsqr_chunk(X)), X
+            )
+        u_l, s_l, vt_l = lshapes
+        mk = lambda d, ls, bs: BlockArray(
+            d, ArrayGrid(ls, bs, d.dtype.name), self.backend
         )
         n = X.shape[1]
-        U = mk(u, (X.block_shape[0], min(X.block_shape[1], u.shape[1])))
-        S = mk(s, (min(X.block_shape[1], n),))
-        VT = mk(vt, (min(X.block_shape[1], n), min(X.block_shape[1], n)))
+        U = mk(u, u_l, (X.block_shape[0], min(X.block_shape[1], u_l[1])))
+        S = mk(s, s_l, (min(X.block_shape[1], n),))
+        VT = mk(vt, vt_l, (min(X.block_shape[1], n), min(X.block_shape[1], n)))
         return U, S, VT
 
     def inv(self, X: BlockArray) -> BlockArray:
@@ -531,14 +565,16 @@ class ArrayApplication:
         """Parity: application.py:1019-1031; via direct TSQR + tri solve."""
         assert X.ndim == 2 and y.ndim == 1
         if self._use_cholqr(X):
-            theta = linalg.lstsq_cholqr()(X.data, y.data)
+            theta, lshape = self._fused_linalg(linalg.lstsq_cholqr(), X, y)
         else:
-            theta = linalg.lstsq(self._tsqr_chunk(X))(X.data, y.data)
+            theta, lshape = self._fused_linalg(
+                linalg.lstsq(self._tsqr_chunk(X)), X, y
+            )
         return BlockArray(
             theta,
             ArrayGrid(
-                tuple(theta.shape),
-                (min(X.block_shape[1], theta.shape[0]),),
+                lshape,
+                (min(X.block_shape[1], lshape[0]),),
                 theta.dtype.name,
             ),
             self.backend,

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from nums_tpu.core.grid import ArrayGrid
 from nums_tpu.core.array import utils as array_utils
-from nums_tpu.core.ops import elementwise, linear, reductions, shape_ops
+from nums_tpu.core.ops import elementwise, linear, padded, reductions, shape_ops
 from nums_tpu.core import trace
 
 
@@ -76,7 +76,10 @@ class Block:
             # small block on host — never materializes the full transpose.
             raw_block = jax.device_get(parent.raw[tuple(reversed(sl))])
             return np.asarray(raw_block).transpose()
-        return np.asarray(jax.device_get(parent.data[sl]))
+        # Block rects lie within the logical extent, so slicing the raw
+        # (possibly padded) buffer directly is always valid and avoids
+        # materializing the unpadded array.
+        return np.asarray(jax.device_get(parent.raw[sl]))
 
 
 class BlockArray:
@@ -91,14 +94,27 @@ class BlockArray:
         # (parity with the reference's zero-copy metadata transpose,
         # base.py:72-85) — it is never materialized in HBM unless an op
         # needs the layout (indexing, reshape, I/O).
-        if transposed:
-            assert tuple(reversed(data.shape)) == tuple(grid.shape), (
-                data.shape, grid.shape,
+        raw_logical = (
+            tuple(reversed(grid.shape)) if transposed else tuple(grid.shape)
+        )
+        raw_shape = tuple(data.shape)
+        if raw_shape == raw_logical:
+            # Logical-shaped buffer: re-pad to the backend's at-rest rule
+            # (pad-and-mask: mesh-indivisible axes round up to the mesh
+            # multiple; pads are never read).
+            hint = (
+                tuple(reversed(grid.grid_shape)) if transposed
+                else grid.grid_shape
             )
+            pshape = backend.physical_shape(raw_logical, hint)
+            if pshape != raw_shape:
+                data = padded.pad_to(pshape, backend)(data)
         else:
-            assert tuple(data.shape) == tuple(grid.shape), (
-                data.shape, grid.shape,
-            )
+            # Already-padded buffer (from a fused kernel / device_put):
+            # must cover the logical extent on every axis.
+            assert len(raw_shape) == len(raw_logical) and all(
+                p >= s for p, s in zip(raw_shape, raw_logical)
+            ), (data.shape, grid.shape, transposed)
         if data.dtype.name != grid.dtype:
             # The device may have coerced the requested dtype (e.g. x64
             # auto-off on TPU downcasts float64→float32). Metadata must
@@ -141,35 +157,75 @@ class BlockArray:
         grid = ArrayGrid(tuple(data.shape), block_shape, data.dtype.name)
         return cls(data, grid, backend)
 
-    def _new(self, data, block_shape=None):
-        """Wrap a derived jax.Array, deriving block metadata from self."""
+    def _new(self, data, block_shape=None, shape=None):
+        """Wrap a derived jax.Array, deriving block metadata from self.
+
+        ``shape`` is the LOGICAL shape; required when ``data`` came from a
+        pad-and-mask fused kernel (its buffer shape may exceed logical).
+        """
+        shape = tuple(shape) if shape is not None else tuple(data.shape)
         if block_shape is None:
             block_shape = array_utils.default_block_shape_for(
-                tuple(data.shape), self.block_shape
+                shape, self.block_shape
             )
-        grid = ArrayGrid(tuple(data.shape), block_shape, data.dtype.name)
+        grid = ArrayGrid(shape, block_shape, data.dtype.name)
         return BlockArray(data, grid, self.backend)
 
     # ------------------------------------------------------------------
     # Properties
     # ------------------------------------------------------------------
 
+    def _raw_logical_shape(self):
+        """Logical extent of the raw buffer (reversed when lazily transposed)."""
+        if self._transposed:
+            return tuple(reversed(self.grid.shape))
+        return tuple(self.grid.shape)
+
+    @property
+    def is_padded(self):
+        return tuple(self._data.shape) != self._raw_logical_shape()
+
     @property
     def data(self):
-        """Materialized (logical-layout) jax.Array."""
-        if self._transposed:
+        """Materialized (logical-layout, logical-shape) jax.Array.
+
+        On a padded at-rest buffer this returns a fresh sliced array and
+        does NOT cache it (caching would replace the sharded padded buffer
+        with an unshardable uneven one). Hot paths avoid this property and
+        fuse the slice into their kernels via ops.padded.
+        """
+        raw_logical = self._raw_logical_shape()
+        if not self._transposed:
+            if tuple(self._data.shape) == raw_logical:
+                return self._data
+            return shape_ops.slice_to(raw_logical)(self._data)
+        if tuple(self._data.shape) == raw_logical:
             self._data = elementwise.materialize_t()(self._data)
             self._transposed = False
-        return self._data
+            return self._data
+        return shape_ops.slice_t(raw_logical)(self._data)
 
     @property
     def raw(self):
-        """Underlying buffer, possibly in transposed layout."""
+        """Underlying buffer, possibly transposed-layout and/or padded."""
         return self._data
 
     @property
     def is_transposed(self):
         return self._transposed
+
+    def _store(self, data, transposed=False):
+        """Rebind the buffer, re-padding to the at-rest rule if needed."""
+        raw_logical = (
+            tuple(reversed(self.grid.shape)) if transposed
+            else tuple(self.grid.shape)
+        )
+        if tuple(data.shape) == raw_logical:
+            pshape = self.backend.physical_shape(raw_logical)
+            if pshape != raw_logical:
+                data = padded.pad_to(pshape, self.backend)(data)
+        self._data = data
+        self._transposed = transposed
 
     @property
     def shape(self):
@@ -219,6 +275,10 @@ class BlockArray:
 
     def get(self) -> np.ndarray:
         arr = np.asarray(jax.device_get(self._data))
+        raw_logical = self._raw_logical_shape()
+        if arr.shape != raw_logical:
+            # Strip at-rest padding (host-side view, no copy).
+            arr = arr[tuple(slice(0, d) for d in raw_logical)]
         # Host-side transpose is a zero-copy view.
         return arr.transpose() if self._transposed else arr
 
@@ -228,7 +288,10 @@ class BlockArray:
         return self
 
     def copy(self):
-        return self._new(elementwise.touch(self.data), self.block_shape)
+        return BlockArray(
+            elementwise.touch(self._data), self.grid.copy(), self.backend,
+            transposed=self._transposed,
+        )
 
     # ------------------------------------------------------------------
     # Structure ops
@@ -278,9 +341,13 @@ class BlockArray:
         grid = ArrayGrid(new_shape, block_shape, data.dtype.name)
         # Re-block = change of sharding only; move shards if the backend
         # maps the new grid differently (resharding collective under mesh).
-        target = self.backend.sharding_for_grid(grid)
-        if target is not None and data.sharding != target:
-            data = jax.device_put(data, target)
+        # Ragged shapes skip the explicit device_put (uneven explicit
+        # shardings are illegal) — __init__ re-pads and shards instead.
+        pshape = self.backend.physical_shape(new_shape, grid.grid_shape)
+        if pshape == tuple(data.shape):
+            target = self.backend.sharding_for_grid(grid)
+            if target is not None and data.sharding != target:
+                data = jax.device_put(data, target)
         return BlockArray(data, grid, self.backend)
 
     def broadcast_to(self, shape):
@@ -315,33 +382,38 @@ class BlockArray:
         return BlockArray(data, grid, self.backend,
                           transposed=self._transposed)
 
+    def _reduce_call(self, kernel, axis, keepdims):
+        """Run a reduction kernel with pad-stripping fused in."""
+        data, lshape = padded.call(
+            kernel, (self._data,), (self._raw_logical_shape(),), self.backend
+        )
+        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
+        return self._new(data, bs, shape=lshape)
+
     def reduce_axis(self, op_name, axis, keepdims=False):
         trace.log_op(op_name, self)
-        data = reductions.reduce(
+        kernel = reductions.reduce(
             op_name, axis, bool(keepdims), None, self._transposed
-        )(self._data)
-        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
-        return self._new(data, bs)
+        )
+        return self._reduce_call(kernel, axis, keepdims)
 
     def sum(self, axis=None, keepdims=False, dtype=None):
         trace.log_op("sum", self)
         axis = _norm_axis(axis)
-        data = reductions.reduce(
+        kernel = reductions.reduce(
             "sum", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
-        )(self._data)
-        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
-        return self._new(data, bs)
+        )
+        return self._reduce_call(kernel, axis, keepdims)
 
     def mean(self, axis=None, keepdims=False, dtype=None):
         trace.log_op("mean", self)
         axis = _norm_axis(axis)
-        data = reductions.reduce(
+        kernel = reductions.reduce(
             "mean", axis, bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
-        )(self._data)
-        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
-        return self._new(data, bs)
+        )
+        return self._reduce_call(kernel, axis, keepdims)
 
     def min(self, axis=None, keepdims=False):
         return self.reduce_axis("min", axis, keepdims)
@@ -353,32 +425,36 @@ class BlockArray:
         return self.reduce_axis("prod", axis, keepdims)
 
     def argmin(self, axis=None):
-        data = reductions.arg_op("argmin", axis, self._transposed)(self._data)
-        return self._new(data)
+        kernel = reductions.arg_op("argmin", axis, self._transposed)
+        data, lshape = padded.call(
+            kernel, (self._data,), (self._raw_logical_shape(),), self.backend
+        )
+        return self._new(data, shape=lshape)
 
     def argmax(self, axis=None):
-        data = reductions.arg_op("argmax", axis, self._transposed)(self._data)
-        return self._new(data)
+        kernel = reductions.arg_op("argmax", axis, self._transposed)
+        data, lshape = padded.call(
+            kernel, (self._data,), (self._raw_logical_shape(),), self.backend
+        )
+        return self._new(data, shape=lshape)
 
     def var(self, axis=None, ddof=0, keepdims=False, dtype=None):
         trace.log_op("var", self)
         axis = _norm_axis(axis)
-        data = reductions.var(
+        kernel = reductions.var(
             axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
-        )(self._data)
-        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
-        return self._new(data, bs)
+        )
+        return self._reduce_call(kernel, axis, keepdims)
 
     def std(self, axis=None, ddof=0, keepdims=False, dtype=None):
         trace.log_op("std", self)
         axis = _norm_axis(axis)
-        data = reductions.std(
+        kernel = reductions.std(
             axis, int(ddof), bool(keepdims), array_utils.to_dtype_name(dtype),
             self._transposed,
-        )(self._data)
-        bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
-        return self._new(data, bs)
+        )
+        return self._reduce_call(kernel, axis, keepdims)
 
     # ------------------------------------------------------------------
     # Binary ops
@@ -407,20 +483,26 @@ class BlockArray:
         if isinstance(other, BlockArray):
             o_data, o_shape, o_bs = other._data, other.shape, other.block_shape
             o_t = other._transposed
+            o_logical = other._raw_logical_shape()
         else:
             o_data, o_shape, o_bs = other, (), ()
             o_t = False
+            o_logical = None
+        s_logical = self._raw_logical_shape()
         if reverse:
             a, b, ta, tb = o_data, self._data, o_t, self._transposed
+            la, lb = o_logical, s_logical
         else:
             a, b, ta, tb = self._data, o_data, self._transposed, o_t
+            la, lb = s_logical, o_logical
         trace.log_op(op_name, self, other)
-        data = elementwise.bop(op_name, ta, tb)(a, b)
-        result_shape = tuple(data.shape)
-        bs = array_utils.broadcast_block_shape(
-            result_shape, self.shape, self.block_shape, o_shape, o_bs
+        data, lshape = padded.call(
+            elementwise.bop(op_name, ta, tb), (a, b), (la, lb), self.backend
         )
-        return self._new(data, bs)
+        bs = array_utils.broadcast_block_shape(
+            lshape, self.shape, self.block_shape, o_shape, o_bs
+        )
+        return self._new(data, bs, shape=lshape)
 
     # Arithmetic
     def __add__(self, other):
@@ -546,28 +628,44 @@ class BlockArray:
             static_axes = tuple(tuple(a) for a in axes)
         trace.log_op("tensordot", self, other)
         if other._data is self._data:
-            data = linear.tensordot_same(
-                static_axes, self._transposed, other._transposed
-            )(self._data)
+            data, lshape = padded.call(
+                linear.tensordot_same(
+                    static_axes, self._transposed, other._transposed
+                ),
+                (self._data,), (self._raw_logical_shape(),), self.backend,
+            )
         else:
-            data = linear.tensordot(
-                static_axes, self._transposed, other._transposed
-            )(self._data, other._data)
+            data, lshape = padded.call(
+                linear.tensordot(
+                    static_axes, self._transposed, other._transposed
+                ),
+                (self._data, other._data),
+                (self._raw_logical_shape(), other._raw_logical_shape()),
+                self.backend,
+            )
         if isinstance(static_axes, int):
             bs = array_utils.tensordot_block_shape(
                 self.block_shape, other.block_shape, static_axes
             )
         else:
-            bs = array_utils.default_block_shape_for(tuple(data.shape))
-        return self._new(data, bs)
+            bs = array_utils.default_block_shape_for(lshape)
+        return self._new(data, bs, shape=lshape)
 
     def __matmul__(self, other):
         other = self.check_or_convert_other(other)
         if self.ndim > 2 or (isinstance(other, BlockArray) and other.ndim > 2):
-            o = other._data if isinstance(other, BlockArray) else other
-            o_t = other._transposed if isinstance(other, BlockArray) else False
-            data = linear.matmul(self._transposed, o_t)(self._data, o)
-            return self._new(data)
+            if isinstance(other, BlockArray):
+                o, o_t, o_l = other._data, other._transposed, (
+                    other._raw_logical_shape()
+                )
+            else:
+                o, o_t, o_l = other, False, None
+            data, lshape = padded.call(
+                linear.matmul(self._transposed, o_t),
+                (self._data, o), (self._raw_logical_shape(), o_l),
+                self.backend,
+            )
+            return self._new(data, shape=lshape)
         return self.tensordot(other, axes=1)
 
     def __rmatmul__(self, other):
@@ -602,7 +700,7 @@ class BlockArray:
                 for idx in np.where(mask):
                     out.append(jnp.asarray(idx))
             elif isinstance(s, BlockArray):
-                out.append(s._data)
+                out.append(s.data)
             elif isinstance(s, np.ndarray):
                 out.append(jnp.asarray(s))
             else:
@@ -637,7 +735,7 @@ class BlockArray:
                     mask = jnp.expand_dims(
                         mask, tuple(range(mask.ndim, self.ndim))
                     )
-                self._data = jnp.where(mask, v, self.data)
+                self._store(jnp.where(mask, v, self.data))
             else:
                 # Packed-vector form (v has one element per True): the
                 # index set is data-dependent — one host sync.
@@ -646,12 +744,10 @@ class BlockArray:
                     else np.asarray(item)
                 )
                 idx = tuple(jnp.asarray(i) for i in np.where(mask_np))
-                self._data = self.data.at[idx].set(v)
-            self._transposed = False
+                self._store(self.data.at[idx].set(v))
             return
         key = self._normalize_subscript(item)
-        self._data = self.data.at[key].set(v)
-        self._transposed = False
+        self._store(self.data.at[key].set(v))
 
     # ------------------------------------------------------------------
     # Scalar conversions
@@ -744,8 +840,7 @@ class BlockArray:
         from nums_tpu.numpy import extra
 
         out = extra.sort(self, axis=axis)
-        self._data = out.data
-        self._transposed = False
+        self._store(out.data)
         return None
 
     def argsort(self, axis=-1):

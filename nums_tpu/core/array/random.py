@@ -62,9 +62,10 @@ class NumsRandomState:
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = self._grid(shape, block_shape, dtype_name)
         sharding = self._backend.sharding_for_grid(grid)
+        pshape = self._backend.physical_shape(grid.shape, grid.grid_shape)
         if random_ops.supported(rfunc_name):
             fn = random_ops.sample(
-                rfunc_name, grid.shape, dtype_name, sharding
+                rfunc_name, grid.shape, dtype_name, sharding, pshape
             )
             data = fn(self._next_key(), *[float(a) for a in rfunc_args])
         elif rfunc_name in _HOST_DISTS:
@@ -96,7 +97,10 @@ class NumsRandomState:
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = self._grid(shape, block_shape, dtype_name)
         sharding = self._backend.sharding_for_grid(grid)
-        fn = random_ops.integers(grid.shape, dtype_name, bool(endpoint), sharding)
+        pshape = self._backend.physical_shape(grid.shape, grid.grid_shape)
+        fn = random_ops.integers(
+            grid.shape, dtype_name, bool(endpoint), sharding, pshape
+        )
         data = fn(self._next_key(), int(low), int(high))
         return BlockArray(data, grid, self._backend)
 
@@ -302,7 +306,10 @@ class NumsRandomState:
         """Parity: random.py:181-195."""
         grid = self._grid((size,), (block_size or size,), "int64")
         sharding = self._backend.sharding_for_grid(grid)
-        data = random_ops.permutation(int(size), sharding)(self._next_key())
+        pshape = self._backend.physical_shape(grid.shape, grid.grid_shape)
+        data = random_ops.permutation(int(size), sharding, pshape)(
+            self._next_key()
+        )
         # permutation dtype follows jax (int32 without x64); normalize grid.
         grid = ArrayGrid(grid.shape, grid.block_shape, data.dtype.name)
         return BlockArray(data, grid, self._backend)

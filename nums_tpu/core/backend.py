@@ -47,8 +47,26 @@ class Backend:
         """Sharding for an array described by ``grid`` (None = default)."""
         raise NotImplementedError
 
+    def physical_shape(self, shape: tuple, grid_shape: tuple = None):
+        """At-rest buffer shape for a logical ``shape``.
+
+        Backends that shard may round axes up to the mesh multiple
+        (pad-and-mask: jax requires even divisibility for explicit
+        shardings, so ragged axes are padded at rest and every consumer
+        slices back to the logical shape — pads are never read).
+        """
+        del grid_shape
+        return tuple(shape)
+
     def device_put(self, array: np.ndarray, grid: ArrayGrid = None):
         sharding = self.sharding_for_grid(grid) if grid is not None else None
+        if grid is not None:
+            pshape = self.physical_shape(grid.shape, grid.grid_shape)
+            if pshape != tuple(array.shape):
+                array = np.pad(
+                    array,
+                    [(0, p - s) for p, s in zip(pshape, array.shape)],
+                )
         if sharding is None:
             return jax.device_put(array)
         return jax.device_put(array, sharding)
@@ -134,50 +152,68 @@ class MeshBackend(Backend):
     def cluster_shape(self):
         return self.device_grid.mesh_shape
 
-    def spec_for_shape(self, shape: tuple, grid_shape: tuple = None):
-        """PartitionSpec for a logical shape.
+    def _axis_plan(self, shape: tuple, grid_shape: tuple = None):
+        """Per-axis plan: list of (physical_dim, mesh_axis_name_or_None).
 
         Axis ``k`` of the array maps to mesh axis ``m{k}`` when the array is
         at least as long as the mesh on that axis (so no device holds only
         padding); otherwise the axis is replicated. ``grid_shape`` (when
         given) adds the block-level hint: a single-block axis stays
         replicated, matching the reference's placement of an unsplit axis on
-        one node.
+        one node. With pad_shard (default), mesh-indivisible axes are
+        rounded up to the mesh multiple (the reference's ragged grids,
+        storage.py:36-52, become pad-and-mask under uniform shards);
+        without it they are replicated.
         """
+        pad = settings.pad_shard
+
+        def fit(dim, m):
+            # Can axis of length `dim` shard over a mesh axis of size `m`?
+            # Returns the physical (possibly padded) length, or None.
+            if m <= 1 or dim < m:
+                return None
+            if dim % m == 0:
+                return dim
+            return -(-dim // m) * m if pad else None
+
         mesh_shape = self.device_grid.mesh_shape
-        # 1-D arrays: shard over the FULL flattened mesh when divisible
+        # 1-D arrays: shard over the FULL flattened mesh when possible
         # (sharding only over m0 would idle the other mesh axes).
         if len(shape) == 1:
-            total = self.device_grid.num_devices
             dim = shape[0]
-            if total > 1 and dim >= total and dim % total == 0 and (
-                grid_shape is None or grid_shape[0] > 1
-            ):
-                return PartitionSpec(self.device_grid.axis_names)
-            if (
-                mesh_shape
-                and mesh_shape[0] > 1
-                and dim >= mesh_shape[0]
-                and dim % mesh_shape[0] == 0
-                and (grid_shape is None or grid_shape[0] > 1)
-            ):
-                return PartitionSpec(self.device_grid.axis_names[0])
-            return PartitionSpec(None)
-        spec = []
+            hint_ok = grid_shape is None or grid_shape[0] > 1
+            if hint_ok:
+                p = fit(dim, self.device_grid.num_devices)
+                if p is not None:
+                    return [(p, self.device_grid.axis_names)]
+                p = fit(dim, mesh_shape[0] if mesh_shape else 1)
+                if p is not None:
+                    return [(p, self.device_grid.axis_names[0])]
+            return [(dim, None)]
+        plan = []
         for k, dim in enumerate(shape):
-            if k >= len(mesh_shape):
-                spec.append(None)
-                continue
-            m = mesh_shape[k]
-            # jax requires even divisibility for explicit shardings; ragged
-            # axes are replicated (pad-and-mask is a later optimization).
-            if m <= 1 or dim < m or dim % m != 0:
-                spec.append(None)
-            elif grid_shape is not None and grid_shape[k] <= 1:
-                spec.append(None)
+            hint_ok = grid_shape is None or grid_shape[k] > 1
+            p = (
+                fit(dim, mesh_shape[k])
+                if k < len(mesh_shape) and hint_ok
+                else None
+            )
+            if p is None:
+                plan.append((dim, None))
             else:
-                spec.append(self.device_grid.axis_names[k])
-        return PartitionSpec(*spec)
+                plan.append((p, self.device_grid.axis_names[k]))
+        return plan
+
+    def spec_for_shape(self, shape: tuple, grid_shape: tuple = None):
+        """PartitionSpec for a shape (same decision for logical/physical)."""
+        return PartitionSpec(
+            *[ax for _, ax in self._axis_plan(shape, grid_shape)]
+        )
+
+    def physical_shape(self, shape: tuple, grid_shape: tuple = None):
+        if len(shape) == 0:
+            return ()
+        return tuple(p for p, _ in self._axis_plan(shape, grid_shape))
 
     def sharding_for_grid(self, grid: ArrayGrid):
         if grid is None or len(grid.shape) == 0:
@@ -185,6 +221,11 @@ class MeshBackend(Backend):
         return NamedSharding(
             self._mesh, self.spec_for_shape(grid.shape, grid.grid_shape)
         )
+
+    def sharding_for_shape(self, shape: tuple, grid_shape: tuple = None):
+        if len(shape) == 0:
+            return NamedSharding(self._mesh, PartitionSpec())
+        return NamedSharding(self._mesh, self.spec_for_shape(shape, grid_shape))
 
     def replicated_sharding(self):
         return NamedSharding(self._mesh, PartitionSpec())

@@ -102,17 +102,20 @@ class FileSystem:
         grid = ArrayGrid.from_meta(meta["grid"])
         dtype = np.dtype(grid.dtype)
         sharding = self.backend.sharding_for_grid(grid)
+        # At-rest buffers are padded to the mesh multiple (pad-and-mask);
+        # shard regions beyond the logical extent stay zero.
+        pshape = self.backend.physical_shape(grid.shape, grid.grid_shape)
 
         def load_region(index):
-            # index: tuple of slices into the global array for one shard.
+            # index: tuple of slices into the PHYSICAL array for one shard.
             starts = [
                 (0 if s.start is None else s.start) for s in index
             ]
             stops = [
                 (dim if s.stop is None else s.stop)
-                for s, dim in zip(index, grid.shape)
+                for s, dim in zip(index, pshape)
             ]
-            out = np.empty(
+            out = np.zeros(
                 tuple(b - a for a, b in zip(starts, stops)), dtype=dtype
             )
             for grid_entry in grid.get_entry_iterator():
@@ -140,7 +143,7 @@ class FileSystem:
             return BlockArray.from_np(
                 arr, block_shape=grid.block_shape, backend=self.backend
             )
-        data = jax.make_array_from_callback(grid.shape, sharding, load_region)
+        data = jax.make_array_from_callback(pshape, sharding, load_region)
         return BlockArray(data, grid, self.backend)
 
     def delete_fs(self, filename: str):

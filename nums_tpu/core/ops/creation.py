@@ -59,14 +59,24 @@ def eye(shape: tuple, k: int, dtype_name: str, sharding):
 
 
 @functools.lru_cache(maxsize=None)
-def linspace(num: int, endpoint: bool, dtype_name, axis: int, sharding):
+def linspace(num: int, endpoint: bool, dtype_name, axis: int, sharding,
+             pshape: tuple = None):
+    """linspace at the LOGICAL length, zero-padded to the at-rest shape
+    (step depends on num, so generating at the padded length would be
+    wrong — pad-and-mask instead; pads are never read)."""
     dtype = jnp.dtype(dtype_name) if dtype_name is not None else None
-    return jax.jit(
-        lambda start, stop: jnp.linspace(
+
+    def impl(start, stop):
+        out = jnp.linspace(
             start, stop, num, endpoint=endpoint, dtype=dtype, axis=axis
-        ),
-        out_shardings=sharding,
-    )
+        )
+        if pshape is not None and tuple(pshape) != tuple(out.shape):
+            out = jnp.pad(
+                out, [(0, p - s) for p, s in zip(pshape, out.shape)]
+            )
+        return out
+
+    return jax.jit(impl, out_shardings=sharding)
 
 
 @jax.jit

@@ -214,30 +214,46 @@ def supported(name: str) -> bool:
     return name in _DISTS
 
 
+def _pad_phys(out, pshape):
+    """Zero-pad a logical sample to the at-rest (padded) shape.
+
+    Samples MUST be drawn at the logical shape — threefry counters map to
+    flat positions, so drawing at the padded shape would break the
+    "same seed ⇒ same array under any sharding/backend" invariant. The
+    pad region is never read.
+    """
+    if pshape is None or tuple(pshape) == tuple(out.shape):
+        return out
+    return jnp.pad(out, [(0, p - s) for p, s in zip(pshape, out.shape)])
+
+
 @functools.lru_cache(maxsize=None)
-def sample(dist_name: str, shape: tuple, dtype_name: str, sharding):
+def sample(dist_name: str, shape: tuple, dtype_name: str, sharding,
+           pshape: tuple = None):
     impl = _DISTS[dist_name]
     dtype = jnp.dtype(dtype_name)
     fn = jax.jit(
-        lambda key, *args: impl(key, shape, dtype, *args),
+        lambda key, *args: _pad_phys(impl(key, shape, dtype, *args), pshape),
         out_shardings=sharding,
     )
     return fn
 
 
 @functools.lru_cache(maxsize=None)
-def integers(shape: tuple, dtype_name: str, endpoint: bool, sharding):
+def integers(shape: tuple, dtype_name: str, endpoint: bool, sharding,
+             pshape: tuple = None):
     dtype = jnp.dtype(dtype_name)
 
     def impl(key, low, high):
         hi = high + 1 if endpoint else high
-        return jr.randint(key, shape, low, hi, dtype)
+        return _pad_phys(jr.randint(key, shape, low, hi, dtype), pshape)
 
     return jax.jit(impl, out_shardings=sharding)
 
 
 @functools.lru_cache(maxsize=None)
-def permutation(n: int, sharding):
+def permutation(n: int, sharding, pshape: tuple = None):
     return jax.jit(
-        lambda key: jr.permutation(key, n), out_shardings=sharding
+        lambda key: _pad_phys(jr.permutation(key, n), pshape),
+        out_shardings=sharding,
     )

@@ -35,6 +35,20 @@ def where3(condition, x, y):
 
 
 @functools.lru_cache(maxsize=None)
+def slice_to(logical_shape: tuple):
+    """Strip at-rest padding: physical buffer -> logical-shape array."""
+    idx = tuple(slice(0, d) for d in logical_shape)
+    return jax.jit(lambda x: x[idx])
+
+
+@functools.lru_cache(maxsize=None)
+def slice_t(raw_logical_shape: tuple):
+    """Strip padding then materialize a lazy transpose, in one program."""
+    idx = tuple(slice(0, d) for d in raw_logical_shape)
+    return jax.jit(lambda x: jnp.transpose(x[idx]))
+
+
+@functools.lru_cache(maxsize=None)
 def broadcast_to(shape: tuple):
     return jax.jit(lambda x: jnp.broadcast_to(x, shape))
 

@@ -143,6 +143,12 @@ np_pairwise_reduction_map = {
 # Householder tree is the robust fallback for ill-conditioned inputs.
 tsqr_method = os.environ.get("NUMS_TPU_TSQR", "auto")
 
+# Pad-and-mask ragged sharding (SURVEY hard-part #5): mesh-indivisible
+# axes are rounded up to the mesh multiple at rest and sliced back to the
+# logical shape inside every consuming program (pads are never read).
+# "0" reverts to replicating ragged axes.
+pad_shard = os.environ.get("NUMS_TPU_PAD_SHARD", "1") == "1"
+
 # Fuse GLM Newton training into one on-device while_loop program
 # (zero per-iteration host syncs). "1" (default) fuses supported
 # configurations; "0" forces the eager per-op solver loop.

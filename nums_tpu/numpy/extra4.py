@@ -22,8 +22,8 @@ __all__ = [
 
 
 def _rebind(ba, data):
-    ba._data = data
-    ba._transposed = False
+    # _store re-pads to the backend's at-rest rule (pad-and-mask).
+    ba._store(data)
 
 
 def put(a, ind, v):

@@ -19,21 +19,42 @@ def test_spec_rules(mesh_backend):
     b = mesh_backend
     # divisible on both axes -> fully sharded
     assert b.spec_for_shape((8, 4)) == PartitionSpec("m0", "m1")
-    # non-divisible axis replicated
-    assert b.spec_for_shape((10, 4)) == PartitionSpec(None, "m1")
-    assert b.spec_for_shape((8, 3)) == PartitionSpec("m0", None)
-    # too-small axis replicated
+    # non-divisible axes shard too (pad-and-mask rounds up at rest)
+    assert b.spec_for_shape((10, 4)) == PartitionSpec("m0", "m1")
+    assert b.physical_shape((10, 4)) == (12, 4)
+    assert b.spec_for_shape((8, 3)) == PartitionSpec("m0", "m1")
+    assert b.physical_shape((8, 3)) == (8, 4)
+    # too-small axis replicated (a device would hold ONLY padding)
     assert b.spec_for_shape((2, 4)) == PartitionSpec(None, "m1")
+    assert b.physical_shape((2, 4)) == (2, 4)
     # 1-D arrays shard over the full flattened mesh when divisible
     assert b.spec_for_shape((16,)) == PartitionSpec(("m0", "m1"))
-    # divisible by m0 but not the full mesh -> m0 only
-    assert b.spec_for_shape((12,)) == PartitionSpec("m0")
-    # indivisible -> replicated
-    assert b.spec_for_shape((7,)) == PartitionSpec(None)
+    # 1-D at least mesh-size long -> padded onto the full mesh
+    assert b.spec_for_shape((12,)) == PartitionSpec(("m0", "m1"))
+    assert b.physical_shape((12,)) == (16,)
+    # shorter than the full mesh but at least m0 -> padded onto m0
+    assert b.spec_for_shape((7,)) == PartitionSpec("m0")
+    assert b.physical_shape((7,)) == (8,)
+    # shorter than every mesh axis -> replicated
+    assert b.spec_for_shape((3,)) == PartitionSpec(None)
+    assert b.physical_shape((3,)) == (3,)
     # single-block grid hint keeps axis replicated
     assert b.spec_for_shape((8, 4), grid_shape=(1, 2)) == PartitionSpec(
         None, "m1"
     )
+    assert b.physical_shape((8, 4), grid_shape=(1, 2)) == (8, 4)
+
+
+def test_spec_rules_pad_disabled(mesh_backend, monkeypatch):
+    """NUMS_TPU_PAD_SHARD=0 restores round-1 behavior: ragged replicated."""
+    from nums_tpu.core import settings
+
+    monkeypatch.setattr(settings, "pad_shard", False)
+    b = mesh_backend
+    assert b.spec_for_shape((10, 4)) == PartitionSpec(None, "m1")
+    assert b.physical_shape((10, 4)) == (10, 4)
+    assert b.spec_for_shape((12,)) == PartitionSpec("m0")
+    assert b.spec_for_shape((7,)) == PartitionSpec(None)
 
 
 def test_creation_is_sharded(mesh_backend):
