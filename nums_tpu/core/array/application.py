@@ -340,8 +340,11 @@ class ArrayApplication:
     def where(self, condition: BlockArray, x=None, y=None):
         """Parity: application.py:566-613.
 
-        ``where(c)`` -> per-axis index arrays (data-dependent shape ⇒ one
-        host sync, same as the reference's shape fetch).
+        ``where(c)`` -> per-axis index arrays, resolved ON DEVICE: one
+        scalar host sync (the true-count) + a capacity-padded
+        ``jnp.nonzero`` — O(result) bytes moved, never O(condition)
+        (round-1 fetched the whole condition array to host; the reference
+        computes per-block indices worker-side, numpy_compute.py:188-201).
         ``where(c, x, y)`` -> elementwise select, fully on-device.
         """
         if x is not None or y is not None:
@@ -359,16 +362,23 @@ class ArrayApplication:
                 data.dtype.name,
             )
             return BlockArray(data, grid, self.backend)
-        cond_np = condition.get()
-        index_arrays = np.where(cond_np)
+        from nums_tpu.core.ops import masking
+
+        count, index_arrays = masking.device_where(condition)
         result = []
         for arr in index_arrays:
-            arr = arr.astype(np.int64)
-            if arr.size == 0:
-                result.append(self.array(arr, block_shape=(0,)))
-            else:
-                bs = self.compute_block_shape(arr.shape, np.int64)
-                result.append(self.array(arr, block_shape=bs))
+            if count == 0:
+                result.append(
+                    self.array(np.zeros((0,), np.int64), block_shape=(0,))
+                )
+                continue
+            bs = self.compute_block_shape((count,), np.int64)
+            result.append(
+                BlockArray.from_jax(
+                    arr.astype(np.int64), block_shape=bs,
+                    backend=self.backend,
+                )
+            )
         return tuple(result)
 
     def map_uop(

@@ -694,11 +694,18 @@ class BlockArray:
                     raise NotImplementedError(
                         "use __setitem__'s dedicated mask path"
                     )
-                # Data-dependent shape: one host sync to resolve indices
-                # (same tradeoff as where(); the reference raises here).
-                mask = s.get() if isinstance(s, BlockArray) else s
-                for idx in np.where(mask):
-                    out.append(jnp.asarray(idx))
+                if isinstance(s, BlockArray):
+                    # Device-side resolution: ONE scalar host sync (the
+                    # true-count); index arrays never leave the device
+                    # (the reference raises here; round-1 fetched the
+                    # whole mask to host).
+                    from nums_tpu.core.ops import masking
+
+                    _, idx_arrays = masking.device_where(s)
+                    out.extend(idx_arrays)
+                else:
+                    for idx in np.where(s):
+                        out.append(jnp.asarray(idx))
             elif isinstance(s, BlockArray):
                 out.append(s.data)
             elif isinstance(s, np.ndarray):

@@ -830,16 +830,30 @@ def tri(N, M=None, k=0, dtype=float):
 
 
 def argwhere(a):
-    """Data-dependent shape ⇒ host sync (parity tradeoff with where())."""
+    """Device-resolved (one scalar sync); indices stay on device."""
+    from nums_tpu.core.ops import masking
+
     a = _to_ba(a)
-    out = np.argwhere(a.get())
-    return _instance().array(out, block_shape=out.shape)
+    if a.ndim == 0:
+        out = np.argwhere(a.get())
+        return _instance().array(out, block_shape=out.shape)
+    count, idx = masking.device_where(a != 0)
+    data = jnp.stack(idx, axis=-1).astype(jnp.int64)
+    return BlockArray.from_jax(data, block_shape=tuple(data.shape),
+                               backend=a.backend)
 
 
 def flatnonzero(a):
+    from nums_tpu.core.ops import masking
+
     a = _to_ba(a)
-    out = np.flatnonzero(a.get())
-    return _instance().array(out, block_shape=out.shape)
+    if a.ndim == 0:
+        out = np.flatnonzero(a.get())
+        return _instance().array(out, block_shape=out.shape)
+    flat = ravel(a)
+    _, idx = masking.device_where(flat != 0)
+    return BlockArray.from_jax(idx[0].astype(jnp.int64),
+                               backend=a.backend)
 
 
 def nonzero(a):
