@@ -1,0 +1,101 @@
+"""In-process fake S3 client (moto-equivalent for this image).
+
+The reference validates its S3 path against moto's ``@mock_s3``
+(``/root/reference/tests/core/storage/test_s3.py``,
+``tests/test_api.py:49-74``). Neither boto3 nor moto is available in
+this image, so this module provides a minimal dict-backed client with
+the same call surface ``FileSystem`` uses (put_object / get_object /
+delete_objects / create_bucket / list_objects_v2). Enabled via
+``NUMS_TPU_FAKE_S3=1`` or by injecting ``set_client_factory`` — never
+silently substituted for real S3.
+"""
+
+import threading
+
+
+class NoSuchKey(Exception):
+    pass
+
+
+class NoSuchBucket(Exception):
+    pass
+
+
+class _Body:
+    def __init__(self, data: bytes):
+        self._data = data
+
+    def read(self):
+        return self._data
+
+
+class FakeS3Client:
+    """Minimal boto3-client-compatible S3 stub over a shared dict store."""
+
+    # One global store: all clients in the process see the same "cloud",
+    # matching how separate boto3 clients see one region.
+    _store = {}
+    _lock = threading.Lock()
+
+    # boto3 surfaces client exceptions as attributes.
+    class exceptions:
+        NoSuchKey = NoSuchKey
+        NoSuchBucket = NoSuchBucket
+
+    def create_bucket(self, Bucket):
+        with self._lock:
+            self._store.setdefault(Bucket, {})
+        return {"Location": f"/{Bucket}"}
+
+    def _bucket(self, name):
+        # Auto-create on write paths for test ergonomics is NOT done:
+        # missing buckets raise, like real S3.
+        try:
+            return self._store[name]
+        except KeyError:
+            raise NoSuchBucket(name)
+
+    def put_object(self, Bucket, Key, Body):
+        if isinstance(Body, str):
+            Body = Body.encode()
+        with self._lock:
+            self._bucket(Bucket)[Key] = bytes(Body)
+        return {"ETag": str(hash(Body))}
+
+    def get_object(self, Bucket, Key):
+        with self._lock:
+            bucket = self._bucket(Bucket)
+            try:
+                data = bucket[Key]
+            except KeyError:
+                raise NoSuchKey(Key)
+        return {"Body": _Body(data)}
+
+    def delete_object(self, Bucket, Key):
+        with self._lock:
+            self._bucket(Bucket).pop(Key, None)
+        return {}
+
+    def delete_objects(self, Bucket, Delete):
+        with self._lock:
+            bucket = self._bucket(Bucket)
+            deleted = []
+            for obj in Delete.get("Objects", []):
+                if bucket.pop(obj["Key"], None) is not None:
+                    deleted.append({"Key": obj["Key"]})
+        return {"Deleted": deleted}
+
+    def list_objects_v2(self, Bucket, Prefix=""):
+        with self._lock:
+            keys = sorted(
+                k for k in self._bucket(Bucket) if k.startswith(Prefix)
+            )
+        return {
+            "KeyCount": len(keys),
+            "Contents": [{"Key": k} for k in keys],
+        }
+
+    @classmethod
+    def reset(cls):
+        with cls._lock:
+            cls._store.clear()

@@ -158,12 +158,24 @@ class FileSystem:
 
     # -- S3 (parity: storage.py:149-242, filesystem.py:34-56) -----------
 
+    # Injectable client factory (tests; alternative object stores). When
+    # None: boto3 if present, else the in-process fake when explicitly
+    # enabled via NUMS_TPU_FAKE_S3=1 (the moto-equivalent for this image).
+    s3_client_factory = None
+
     def _s3_client(self):
-        if not _HAS_BOTO3:
-            raise RuntimeError(
-                "boto3 is not available; S3 I/O is disabled in this build."
-            )
-        return boto3.client("s3")
+        if FileSystem.s3_client_factory is not None:
+            return FileSystem.s3_client_factory()
+        if _HAS_BOTO3:
+            return boto3.client("s3")
+        if os.environ.get("NUMS_TPU_FAKE_S3") == "1":
+            from nums_tpu.core.io.fake_s3 import FakeS3Client
+
+            return FakeS3Client()
+        raise RuntimeError(
+            "boto3 is not available; S3 I/O is disabled in this build "
+            "(set NUMS_TPU_FAKE_S3=1 for the in-process fake)."
+        )
 
     def write_s3(self, ba: BlockArray, filename: str):
         client = self._s3_client()
@@ -193,18 +205,55 @@ class FileSystem:
         return pickle.loads(obj["Body"].read())
 
     def read_s3(self, filename: str) -> BlockArray:
+        """O(shard) sharding-aware restore — same region-callback scheme
+        as ``read_fs``: each device shard downloads ONLY the stored
+        objects it overlaps, so host memory stays O(shard) instead of
+        O(array) (HBM-scale arrays never fit assembled on the host)."""
+        import jax
+
         client = self._s3_client()
         bucket, key = _s3_parse(filename)
         meta = self.read_meta_s3(filename)
         grid = ArrayGrid.from_meta(meta["grid"])
-        arr = np.empty(grid.shape, dtype=np.dtype(grid.dtype))
-        for grid_entry in grid.get_entry_iterator():
-            suffix = "_".join(map(str, grid_entry))
-            obj = client.get_object(Bucket=bucket, Key=f"{key}_{suffix}")
-            arr[grid.get_slice(grid_entry)] = pickle.loads(obj["Body"].read())
-        return BlockArray.from_np(
-            arr, block_shape=grid.block_shape, backend=self.backend
-        )
+        dtype = np.dtype(grid.dtype)
+        sharding = self.backend.sharding_for_grid(grid)
+        pshape = self.backend.physical_shape(grid.shape, grid.grid_shape)
+
+        def load_region(index):
+            starts = [(0 if s.start is None else s.start) for s in index]
+            stops = [
+                (dim if s.stop is None else s.stop)
+                for s, dim in zip(index, pshape)
+            ]
+            out = np.zeros(
+                tuple(b - a for a, b in zip(starts, stops)), dtype=dtype
+            )
+            for grid_entry in grid.get_entry_iterator():
+                rect = grid.get_slice_tuples(grid_entry)
+                lo = [max(a, r0) for a, (r0, _) in zip(starts, rect)]
+                hi = [min(b, r1) for b, (_, r1) in zip(stops, rect)]
+                if any(l >= h for l, h in zip(lo, hi)):
+                    continue
+                suffix = "_".join(map(str, grid_entry))
+                obj = client.get_object(Bucket=bucket, Key=f"{key}_{suffix}")
+                block = pickle.loads(obj["Body"].read())
+                src = tuple(
+                    slice(l - r0, h - r0)
+                    for l, h, (r0, _) in zip(lo, hi, rect)
+                )
+                dst = tuple(
+                    slice(l - a, h - a) for l, h, a in zip(lo, hi, starts)
+                )
+                out[dst] = block[src]
+            return out
+
+        if sharding is None or len(grid.shape) == 0:
+            arr = load_region(tuple(slice(0, s) for s in grid.shape))
+            return BlockArray.from_np(
+                arr, block_shape=grid.block_shape, backend=self.backend
+            )
+        data = jax.make_array_from_callback(pshape, sharding, load_region)
+        return BlockArray(data, grid, self.backend)
 
     def delete_s3(self, filename: str):
         client = self._s3_client()
