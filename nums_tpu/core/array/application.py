@@ -462,7 +462,7 @@ class ArrayApplication:
         any lazy transpose) fused into the same program."""
         return padded.call(
             kernel,
-            tuple(a.raw for a in arrays),
+            tuple(a._data for a in arrays),  # deferred chains stay fused
             tuple(a._raw_logical_shape() for a in arrays),
             self.backend,
             transposes=tuple(a.is_transposed for a in arrays),
@@ -541,25 +541,27 @@ class ArrayApplication:
 
     def inv(self, X: BlockArray) -> BlockArray:
         assert X.ndim == 2 and X.shape[0] == X.shape[1]
-        data = linalg.inv(X.data)
+        data, _ = self._fused_linalg(linalg.inv, X)
         return BlockArray(data, X.grid.copy(), self.backend)
 
     def cholesky(self, X: BlockArray) -> BlockArray:
         assert X.ndim == 2 and X.shape[0] == X.shape[1]
-        data = linalg.cholesky(X.data)
+        data, _ = self._fused_linalg(linalg.cholesky, X)
         return BlockArray(data, X.grid.copy(), self.backend)
 
     def posdef_solve(self, A: BlockArray, b: BlockArray) -> BlockArray:
-        """Cholesky solve — replaces explicit inv in Newton-type solvers."""
-        data = linalg.posdef_solve(A.data, b.data)
+        """Cholesky solve — replaces explicit inv in Newton-type solvers.
+
+        Lazy-aware: in an eager solver loop the Hessian/gradient chains,
+        the solve, and the beta update all fuse into ONE program per
+        iteration (forced at the convergence check)."""
+        data, lshape = self._fused_linalg(linalg.posdef_solve, A, b)
         return BlockArray(
             data,
             ArrayGrid(
-                tuple(data.shape),
-                array_utils.default_block_shape_for(
-                    tuple(data.shape), b.block_shape
-                ),
-                data.dtype.name,
+                lshape,
+                array_utils.default_block_shape_for(lshape, b.block_shape),
+                np.dtype(data.dtype).name,
             ),
             self.backend,
         )

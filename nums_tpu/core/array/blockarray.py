@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from nums_tpu.core.grid import ArrayGrid
 from nums_tpu.core.array import utils as array_utils
 from nums_tpu.core.ops import elementwise, linear, padded, reductions, shape_ops
-from nums_tpu.core import trace
+from nums_tpu.core import lazy, trace
 
 
 def _normalize_shape(shape_args):
@@ -108,7 +108,7 @@ class BlockArray:
             )
             pshape = backend.physical_shape(raw_logical, hint)
             if pshape != raw_shape:
-                data = padded.pad_to(pshape, backend)(data)
+                data = padded.repad(data, pshape, backend)
         else:
             # Already-padded buffer (from a fused kernel / device_put):
             # must cover the logical extent on every axis.
@@ -195,19 +195,26 @@ class BlockArray:
         fuse the slice into their kernels via ops.padded.
         """
         raw_logical = self._raw_logical_shape()
+        raw = self.raw  # sync point: forces any deferred expression
         if not self._transposed:
-            if tuple(self._data.shape) == raw_logical:
-                return self._data
-            return shape_ops.slice_to(raw_logical)(self._data)
-        if tuple(self._data.shape) == raw_logical:
-            self._data = elementwise.materialize_t()(self._data)
+            if tuple(raw.shape) == raw_logical:
+                return raw
+            return shape_ops.slice_to(raw_logical)(raw)
+        if tuple(raw.shape) == raw_logical:
+            self._data = elementwise.materialize_t()(raw)
             self._transposed = False
             return self._data
-        return shape_ops.slice_t(raw_logical)(self._data)
+        return shape_ops.slice_t(raw_logical)(raw)
 
     @property
     def raw(self):
-        """Underlying buffer, possibly transposed-layout and/or padded."""
+        """Underlying buffer, possibly transposed-layout and/or padded.
+
+        SYNC POINT for lazy batching: forces any deferred expression
+        (compiling the whole chain as one program)."""
+        d = self._data
+        if isinstance(d, lazy.LazyOut):
+            self._data = d.force()
         return self._data
 
     @property
@@ -223,7 +230,7 @@ class BlockArray:
         if tuple(data.shape) == raw_logical:
             pshape = self.backend.physical_shape(raw_logical)
             if pshape != raw_logical:
-                data = padded.pad_to(pshape, self.backend)(data)
+                data = padded.repad(data, pshape, self.backend)
         self._data = data
         self._transposed = transposed
 
@@ -274,7 +281,7 @@ class BlockArray:
     # ------------------------------------------------------------------
 
     def get(self) -> np.ndarray:
-        arr = np.asarray(jax.device_get(self._data))
+        arr = np.asarray(jax.device_get(self.raw))
         raw_logical = self._raw_logical_shape()
         if arr.shape != raw_logical:
             # Strip at-rest padding (host-side view, no copy).
@@ -284,13 +291,13 @@ class BlockArray:
 
     def touch(self):
         """Block until materialized without fetching (parity blockarray.py:117-126)."""
-        jax.block_until_ready(self._data)
+        jax.block_until_ready(self.raw)
         return self
 
     def copy(self):
         return BlockArray(
-            elementwise.touch(self._data), self.grid.copy(), self.backend,
-            transposed=self._transposed,
+            lazy.apply(elementwise.touch, self._data), self.grid.copy(),
+            self.backend, transposed=self._transposed,
         )
 
     # ------------------------------------------------------------------
@@ -299,7 +306,7 @@ class BlockArray:
 
     def astype(self, dtype):
         name = array_utils.to_dtype_name(dtype)
-        data = elementwise.astype(name)(self._data)
+        data = lazy.apply(elementwise.astype(name), self._data)
         grid = ArrayGrid(self.shape, self.block_shape, data.dtype.name)
         return BlockArray(data, grid, self.backend,
                           transposed=self._transposed)
@@ -374,10 +381,11 @@ class BlockArray:
     # ------------------------------------------------------------------
 
     def ufunc(self, op_name):
-        # Elementwise ops commute with transpose: compute on the raw buffer
-        # and carry the lazy-transpose flag through.
+        # Elementwise ops commute with transpose AND with padding (the
+        # output's pad region is still pad region): compute on the raw
+        # buffer and carry the lazy-transpose flag through.
         trace.log_op(op_name, self)
-        data = elementwise.uop(op_name)(self._data)
+        data = lazy.apply(elementwise.uop(op_name), self._data)
         grid = ArrayGrid(self.shape, self.block_shape, data.dtype.name)
         return BlockArray(data, grid, self.backend,
                           transposed=self._transposed)

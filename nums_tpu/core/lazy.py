@@ -1,0 +1,286 @@
+"""Deferred-expression engine: eager per EXPRESSION, not per op.
+
+The reference is eager per *block task*; round 1 of this build was eager
+per *op* (one jitted XLA program per BlockArray operation). This module
+upgrades that to eager per *expression* (SURVEY hard-part #7): kernel
+invocations build a tiny DAG instead of executing, and the first sync
+point (``get``/``touch``/``float()``/IO/...) compiles the WHOLE chain
+into ONE jitted program. Wins:
+
+- one dispatch per sync point instead of one per op (driver/tunnel
+  dispatch latency was the dominant small-N cost, BENCH_r01 / VERDICT
+  weak #3);
+- XLA fuses across ops (elementwise chains ride along matmuls for free);
+- repeated structures (e.g. one GLM Newton iteration) hit the program
+  cache after the first materialization — same key, zero retrace.
+
+Programs are cached by STRUCTURAL key (kernel identities + topology +
+leaf avals), so value changes never retrace. Shared subexpressions are
+deduplicated by node identity, and materialized results are stored on
+their node so later roots reuse them as concrete leaves.
+
+Disable with ``NUMS_TPU_LAZY=0`` (ops then execute immediately, round-1
+behavior).
+"""
+
+import functools
+import weakref
+
+import numpy as np
+
+import jax
+
+from nums_tpu.core import settings
+
+
+def _is_scalar(x):
+    return isinstance(
+        x, (bool, int, float, complex, np.bool_, np.number)
+    )
+
+
+class _Ref:
+    """In-graph edge to another call's output. Deliberately NOT a LazyOut:
+    graph-internal references must not keep user handles alive, so that
+    liveness of a LazyOut == 'some BlockArray still wants this value'."""
+
+    __slots__ = ("call", "idx")
+
+    def __init__(self, call, idx):
+        self.call = call
+        self.idx = idx
+
+
+class LazyCall:
+    """One deferred kernel invocation (possibly multi-output)."""
+
+    __slots__ = (
+        "fn", "args", "avals", "results", "depth", "handles", "__weakref__",
+    )
+
+    def __init__(self, fn, args, avals, depth):
+        self.fn = fn
+        self.args = args  # _Ref | concrete array | scalar
+        self.avals = avals  # tuple of ShapeDtypeStruct, one per output
+        self.results = None  # tuple of jax.Array once materialized
+        self.depth = depth
+        self.handles = weakref.WeakSet()  # live user-facing LazyOuts
+
+
+class LazyOut:
+    """User-facing handle to one output of a LazyCall.
+
+    Liveness matters: materialize() stores concrete results for exactly
+    the calls whose handles are still referenced (plus the root) — dead
+    temporaries stay fused inside the compiled program."""
+
+    __slots__ = ("call", "idx", "__weakref__")
+
+    def __init__(self, call, idx):
+        self.call = call
+        self.idx = idx
+        call.handles.add(self)
+
+    @property
+    def shape(self):
+        return self.call.avals[self.idx].shape
+
+    @property
+    def dtype(self):
+        return self.call.avals[self.idx].dtype
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    def force(self):
+        if self.call.results is None:
+            materialize(self)
+        return self.call.results[self.idx]
+
+
+def _aval_of(x):
+    if isinstance(x, LazyOut):
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    if _is_scalar(x):
+        return x
+    return jax.ShapeDtypeStruct(tuple(x.shape), x.dtype)
+
+
+_eval_memo = {}
+
+
+def _out_avals(fn, args):
+    key_parts = []
+    for a in args:
+        if isinstance(a, LazyOut) or not _is_scalar(a):
+            key_parts.append((tuple(a.shape), np.dtype(a.dtype).name))
+        else:
+            key_parts.append(("s", type(a).__name__))
+    key = (fn, tuple(key_parts))
+    try:
+        return _eval_memo[key], key
+    except (KeyError, TypeError):
+        pass
+    out = jax.eval_shape(fn, *[_aval_of(a) for a in args])
+    single = not isinstance(out, (tuple, list))
+    avals = (out,) if single else tuple(out)
+    avals = tuple(jax.ShapeDtypeStruct(tuple(o.shape), o.dtype) for o in avals)
+    entry = (avals, single)
+    try:
+        _eval_memo[key] = entry
+    except TypeError:
+        pass
+    return entry, key
+
+
+def enabled():
+    return settings.lazy_batch
+
+
+def apply(fn, *args):
+    """Invoke kernel ``fn`` — deferred when lazy batching is on.
+
+    Returns a LazyOut (or tuple of them for multi-output kernels); with
+    lazy off, executes immediately and returns concrete arrays.
+    """
+    if not settings.lazy_batch:
+        return fn(*args)
+    depth = 1
+    for a in args:
+        if isinstance(a, LazyOut):
+            if a.call.results is not None:
+                continue
+            depth = max(depth, a.call.depth + 1)
+    if depth > settings.lazy_max_depth:
+        # Bound program size: force deep operands to concrete leaves.
+        args = tuple(
+            a.force() if isinstance(a, LazyOut) else a for a in args
+        )
+        depth = 1
+    (avals, single), _ = _out_avals(fn, args)
+    graph_args = tuple(
+        _Ref(a.call, a.idx) if isinstance(a, LazyOut) else a for a in args
+    )
+    call = LazyCall(fn, graph_args, avals, depth)
+    if single:
+        return LazyOut(call, 0)
+    return tuple(LazyOut(call, i) for i in range(len(avals)))
+
+
+def force(x):
+    """Concrete jax value for ``x`` (no-op for non-lazy values)."""
+    if isinstance(x, LazyOut):
+        return x.force()
+    return x
+
+
+# structural key -> jitted graph executor
+_compiled = {}
+
+
+def materialize(root: LazyOut):
+    """Compile + run the expression DAG below ``root`` as ONE program.
+
+    Only SINK calls (calls whose outputs nothing in this graph consumes)
+    plus the root get concrete results — interior values stay fused
+    inside the program (returning them would force every intermediate to
+    HBM and defeat fusion). An interior node separately held by a
+    BlockArray re-materializes later with its own (cached) program.
+    """
+    if root.call.results is not None:
+        return root.call.results[root.idx]
+
+    # Topological order over unmaterialized calls (iterative DFS).
+    order = []  # parents after children
+    seen = set()
+    leaves = []  # discovery order, deduped by id (duplicate jit args
+    leaf_pos = {}  # would double-count HBM through this PJRT transport)
+    key_of = {}  # id(call) -> structural key fragment
+
+    def leaf_key(x):
+        if _is_scalar(x):
+            return ("s", type(x).__name__)
+        return ("l", tuple(x.shape), np.dtype(x.dtype).name)
+
+    def add_leaf(x):
+        i = leaf_pos.get(id(x))
+        if i is None:
+            i = len(leaves)
+            leaves.append(x)
+            leaf_pos[id(x)] = i
+        return i
+
+    stack = [root.call]
+    while stack:
+        call = stack.pop()
+        if id(call) in seen or call.results is not None:
+            continue
+        pending = [
+            a.call
+            for a in call.args
+            if isinstance(a, _Ref)
+            and a.call.results is None
+            and id(a.call) not in seen
+        ]
+        if pending:
+            stack.append(call)
+            stack.extend(pending)
+            continue
+        seen.add(id(call))
+        order.append(call)
+
+    # Argument specs and the structural key.
+    specs = []  # per call: list of ('c', call_pos, out_idx) | ('f', leaf_idx)
+    call_pos = {}
+    for pos, call in enumerate(order):
+        call_pos[id(call)] = pos
+        spec = []
+        frag = [call.fn]
+        for a in call.args:
+            if isinstance(a, _Ref) and a.call.results is None and id(
+                a.call
+            ) in call_pos:
+                p = call_pos[id(a.call)]
+                spec.append(("c", p, a.idx))
+                frag.append(("c", p, a.idx))
+            else:
+                if isinstance(a, _Ref):
+                    a = a.call.results[a.idx]
+                spec.append(("f", add_leaf(a)))
+                frag.append(leaf_key(a))
+        specs.append(spec)
+        key_of[id(call)] = tuple(frag)
+
+    # Store results for the root plus every call some live BlockArray
+    # still references; dead temporaries stay fused (never touch HBM).
+    root_pos = call_pos[id(root.call)]
+    out_positions = tuple(
+        p for p, c in enumerate(order)
+        if p == root_pos or len(c.handles) > 0
+    )
+    key = (tuple(key_of[id(c)] for c in order), out_positions)
+
+    executor = _compiled.get(key)
+    if executor is None:
+        fns = [c.fn for c in order]
+        nouts = [len(c.avals) for c in order]
+
+        def run(*leaf_vals):
+            vals = []  # per call: tuple of outputs
+            for fn, nout, spec in zip(fns, nouts, specs):
+                call_args = [
+                    vals[s[1]][s[2]] if s[0] == "c" else leaf_vals[s[1]]
+                    for s in spec
+                ]
+                out = fn(*call_args)
+                vals.append((out,) if nout == 1 else tuple(out))
+            return tuple(vals[p] for p in out_positions)
+
+        executor = jax.jit(run)
+        _compiled[key] = executor
+
+    results = executor(*leaves)
+    for p, res in zip(out_positions, results):
+        order[p].results = tuple(res)
+    return root.call.results[root.idx]

@@ -14,10 +14,12 @@ because reductions/contractions only ever see logical data.
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
-from nums_tpu.core import settings
+from nums_tpu.core import lazy, settings
 
 
 def _slice_to(x, logical_shape):
@@ -66,15 +68,19 @@ def _logical_out_shapes(kernel, args, logical_shapes, transposes):
     avals = []
     for a, ls, t in zip(args, logical_shapes, transposes):
         if ls is None:
-            # Scalar / non-array operand: shape () with its weak dtype.
-            avals.append(a)
-            key_parts.append(type(a).__name__ if not hasattr(a, "dtype")
-                             else (tuple(a.shape), a.dtype.name))
+            if hasattr(a, "dtype") and hasattr(a, "shape"):
+                # Array passed through unsliced (incl. deferred LazyOut).
+                avals.append(jax.ShapeDtypeStruct(tuple(a.shape), a.dtype))
+                key_parts.append((tuple(a.shape), np.dtype(a.dtype).name))
+            else:
+                # Scalar operand: shape () with its weak dtype.
+                avals.append(a)
+                key_parts.append(type(a).__name__)
         else:
             shape = tuple(reversed(ls)) if t else tuple(ls)
             dt = a.dtype
             avals.append(jax.ShapeDtypeStruct(shape, dt))
-            key_parts.append((shape, dt.name))
+            key_parts.append((shape, np.dtype(dt).name))
     key = (kernel, tuple(key_parts))
     try:
         return _eval_cache[key]
@@ -118,15 +124,24 @@ def call(kernel, args, logical_shapes, backend, transposes=None):
         # Serial (or padding disabled): buffers are logical already; only
         # lazy transposes need folding in.
         if any(transposes):
-            out = _fused(kernel, logical_shapes, transposes, backend)(*args)
+            out = lazy.apply(
+                _fused(kernel, logical_shapes, transposes, backend), *args
+            )
         else:
-            out = kernel(*args)
+            out = lazy.apply(kernel, *args)
         if isinstance(out, tuple):
             return out, tuple(tuple(o.shape) for o in out)
         return out, tuple(out.shape)
     lshapes = _logical_out_shapes(kernel, args, logical_shapes, transposes)
-    out = _fused(kernel, logical_shapes, transposes, backend)(*args)
+    out = lazy.apply(
+        _fused(kernel, logical_shapes, transposes, backend), *args
+    )
     return out, lshapes
+
+
+def repad(data, pshape: tuple, backend):
+    """Lazy-aware eager repad to the at-rest padded shape."""
+    return lazy.apply(pad_to(tuple(pshape), backend), data)
 
 
 @functools.lru_cache(maxsize=None)

@@ -143,6 +143,12 @@ np_pairwise_reduction_map = {
 # Householder tree is the robust fallback for ill-conditioned inputs.
 tsqr_method = os.environ.get("NUMS_TPU_TSQR", "auto")
 
+# Lazy expression batching (SURVEY hard-part #7): BlockArray ops build a
+# deferred DAG; the first sync point compiles the whole chain as ONE
+# jitted program (cached structurally). "0" executes one program per op.
+lazy_batch = os.environ.get("NUMS_TPU_LAZY", "1") == "1"
+lazy_max_depth = int(os.environ.get("NUMS_TPU_LAZY_MAX_DEPTH", "128"))
+
 # Pad-and-mask ragged sharding (SURVEY hard-part #5): mesh-indivisible
 # axes are rounded up to the mesh multiple at rest and sliced back to the
 # logical shape inside every consuming program (pads are never read).

@@ -1,0 +1,114 @@
+"""Lazy expression-batching engine tests (SURVEY hard-part #7).
+
+The contract: op chains defer; a sync point compiles the WHOLE chain as
+one structurally-cached program; value changes never retrace; interior
+values stay fused (not returned to HBM); forcing is idempotent.
+"""
+
+import numpy as np
+import pytest
+
+from nums_tpu.core import lazy, settings
+from nums_tpu.core.array.blockarray import BlockArray
+
+
+@pytest.fixture(autouse=True)
+def _require_lazy():
+    if not settings.lazy_batch:
+        pytest.skip("lazy batching disabled via NUMS_TPU_LAZY=0")
+
+
+def test_ops_defer_and_force(app_inst):
+    x = np.arange(12, dtype=float).reshape(3, 4)
+    bx = app_inst.array(x, block_shape=(3, 4))
+    z = (bx + 1.0) * 2.0
+    assert isinstance(z._data, lazy.LazyOut)
+    assert z.shape == (3, 4)  # metadata without materializing
+    assert isinstance(z._data, lazy.LazyOut)  # still deferred
+    assert np.allclose(z.get(), (x + 1.0) * 2.0)
+    assert not isinstance(z._data, lazy.LazyOut)  # forced + cached
+
+
+def test_program_cache_no_retrace(app_inst):
+    x = np.arange(20, dtype=float)
+    bx = app_inst.array(x, block_shape=(5,))
+    before = len(lazy._compiled)
+    vals = []
+    for c in (1.5, 2.5, 3.5):  # same structure, different scalar values
+        vals.append(float(((bx * c) + c).sum().get()))
+    after = len(lazy._compiled)
+    assert after - before <= 1
+    for c, v in zip((1.5, 2.5, 3.5), vals):
+        assert np.isclose(v, ((x * c) + c).sum())
+
+
+def test_shared_subexpression_and_sibling_roots(app_inst):
+    x = np.arange(8, dtype=float)
+    bx = app_inst.array(x, block_shape=(4,))
+    s = bx + 1.0
+    a = (s * 2.0).sum()
+    b = (s - 3.0).sum()
+    assert np.isclose(float(a.get()), ((x + 1) * 2).sum())
+    assert np.isclose(float(b.get()), ((x + 1) - 3).sum())
+    # forcing s later is still correct (recompute or cached)
+    assert np.allclose(s.get(), x + 1)
+
+
+def test_multi_output_kernels_defer(app_inst):
+    rs = np.random.RandomState(0)
+    x = rs.randn(32, 4)
+    bx = app_inst.array(x, block_shape=(8, 4))
+    q, r = app_inst.direct_tsqr(bx * 1.0)
+    assert np.allclose((q @ r).get(), x, atol=1e-10)
+
+
+def test_depth_cap_forces(app_inst, monkeypatch):
+    monkeypatch.setattr(settings, "lazy_max_depth", 4)
+    x = np.ones(8)
+    bx = app_inst.array(x, block_shape=(4,))
+    z = bx
+    for _ in range(20):
+        z = z + 1.0
+    assert isinstance(z._data, lazy.LazyOut)
+    assert z._data.call.depth <= 4
+    assert np.allclose(z.get(), x + 20.0)
+
+
+def test_duplicate_leaf_deduped(app_inst):
+    """x used twice in one expression must enter the program ONCE
+    (duplicate jit args double-count HBM through this PJRT transport)."""
+    x = np.arange(6, dtype=float)
+    bx = app_inst.array(x, block_shape=(3,))
+    bx.touch()
+    z = bx * bx + bx
+    out = lazy.materialize(z._data) if isinstance(z._data, lazy.LazyOut) else z._data
+    assert np.allclose(np.asarray(z.get()), x * x + x)
+
+
+def test_lazy_interplay_with_setitem_and_indexing(app_inst):
+    x = np.arange(24, dtype=float).reshape(6, 4)
+    bx = app_inst.array(x, block_shape=(3, 4))
+    z = bx + 1.0
+    z[0, 0] = 100.0  # setitem is a sync point
+    e = x + 1.0
+    e[0, 0] = 100.0
+    assert np.allclose(z.get(), e)
+    w = (bx * 2.0)[1:4]
+    assert np.allclose(w.get(), (x * 2.0)[1:4])
+
+
+def test_lazy_transpose_chain(app_inst):
+    rs = np.random.RandomState(1)
+    x = rs.randn(16, 8)
+    bx = app_inst.array(x, block_shape=(4, 8))
+    g = (bx + 0.5).T @ (bx + 0.5)
+    assert np.allclose(g.get(), (x + 0.5).T @ (x + 0.5))
+
+
+def test_eager_mode_flag(app_inst, monkeypatch):
+    monkeypatch.setattr(settings, "lazy_batch", False)
+    x = np.arange(10, dtype=float)
+    bx = app_inst.array(x, block_shape=(5,))
+    z = bx * 3.0
+    assert not isinstance(z._data, lazy.LazyOut)
+    assert np.allclose(z.get(), x * 3.0)
