@@ -635,6 +635,9 @@ class BlockArray:
         else:
             static_axes = tuple(tuple(a) for a in axes)
         trace.log_op("tensordot", self, other)
+        collective = self._collective_matmul(other, static_axes)
+        if collective is not None:
+            return collective
         if other._data is self._data:
             data, lshape = padded.call(
                 linear.tensordot_same(
@@ -658,6 +661,48 @@ class BlockArray:
         else:
             bs = array_utils.default_block_shape_for(lshape)
         return self._new(data, bs, shape=lshape)
+
+    def _collective_matmul(self, other, static_axes):
+        """Hand-scheduled mesh GEMM (NUMS_TPU_COLLECTIVE_MATMUL=ring|summa).
+
+        The TPU analogue of the reference's NCCL p2p path: explicit ICI
+        collectives instead of auto-SPMD. Returns None (→ default XLA
+        partitioning) unless enabled AND the operands fit the pattern
+        (2-D, axes=1, untransposed, unpadded, mesh-divisible)."""
+        from nums_tpu.core import settings as _settings
+
+        mode = _settings.collective_matmul
+        if mode not in ("ring", "summa"):
+            return None
+        if (
+            static_axes != 1
+            or self.ndim != 2
+            or other.ndim != 2
+            or self._transposed
+            or other._transposed
+            or self.is_padded
+            or other.is_padded
+            or self.backend.mesh is None
+        ):
+            return None
+        from nums_tpu.core.ops import summa
+
+        a_shape, b_shape = tuple(self.shape), tuple(other.shape)
+        if mode == "ring" and summa.ring_supported(
+            self.backend, a_shape, b_shape
+        ):
+            kernel = summa.ring_matmul(self.backend)
+        elif mode == "summa" and summa.supported(
+            self.backend, a_shape, b_shape
+        ):
+            kernel = summa.summa_matmul(self.backend)
+        else:
+            return None
+        data = lazy.apply(kernel, self._data, other._data)
+        bs = array_utils.tensordot_block_shape(
+            self.block_shape, other.block_shape, 1
+        )
+        return self._new(data, bs, shape=(a_shape[0], b_shape[1]))
 
     def __matmul__(self, other):
         other = self.check_or_convert_other(other)

@@ -66,34 +66,47 @@ def summa_matmul(mesh_backend, precision=None):
 
 @functools.lru_cache(maxsize=None)
 def ring_matmul(mesh_backend, precision=None):
-    """C = A @ B via a 1-D ring over mesh axis m0 (lax.ppermute).
+    """C = A @ B via a double-buffered 1-D ring over mesh axis m0.
 
     A is row-sharded (m/p, k); B is k-sharded (k/p, n); C comes out
     row-sharded. Each of the p steps multiplies the matching k-slice of
-    the local A panel with the circulating B shard — the collective is
-    p-1 neighbor ppermutes instead of an all-gather, so communication
-    overlaps compute step-by-step (the scalable pattern for pod-scale
-    GEMM; on small meshes XLA's auto-SPMD all-gather is usually faster).
+    the local A panel with the circulating B shard. The transfer of the
+    NEXT shard (``lax.ppermute``) is issued BEFORE this step's GEMM and
+    is not consumed until the next iteration, so XLA's async-collective
+    scheduling overlaps the ICI hop with the MXU compute — the TPU
+    analogue of the reference's NCCL p2p win over object-store copies
+    (``nums/core/systems/gpu_systems.py:421-461``). The last step does
+    no permute (p-1 hops total, same as the theoretical minimum).
+
+    On small meshes XLA's auto-SPMD all-gather is usually competitive;
+    this is the memory-bound / pod-scale pattern (per-step working set is
+    one B shard instead of the full gathered panel).
     """
     mesh = mesh_backend.mesh
     ax0 = mesh_backend.device_grid.axis_names[0]
     p = mesh_backend.device_grid.mesh_shape[0]
+    perm = [(s, (s + 1) % p) for s in range(p)]
 
     def local(a_blk, b_blk):
         # a_blk: (m/p, k); b_blk: (k/p, n)
         i = jax.lax.axis_index(ax0)
         kp = b_blk.shape[0]
 
-        def body(t, carry):
-            b_cur, acc = carry
+        def partial(t, a_blk, b_cur):
+            # Device i holds B shard ((i - t) mod p) at step t.
             j = (i.astype(jnp.int32) - t) % p
             a_slice = jax.lax.dynamic_slice(
                 a_blk, (jnp.int32(0), j * kp), (a_blk.shape[0], kp)
             )
-            acc = acc + jnp.matmul(a_slice, b_cur, precision=precision)
-            b_next = jax.lax.ppermute(
-                b_cur, ax0, [(s, (s + 1) % p) for s in range(p)]
-            )
+            return jnp.matmul(a_slice, b_cur, precision=precision)
+
+        def body(t, carry):
+            b_cur, acc = carry
+            # Issue the neighbor transfer FIRST: its result is consumed
+            # only next iteration, so it runs concurrently with the GEMM
+            # below (double buffer).
+            b_next = jax.lax.ppermute(b_cur, ax0, perm)
+            acc = acc + partial(t, a_blk, b_cur)
             return b_next, acc
 
         acc0 = jnp.zeros((a_blk.shape[0], b_blk.shape[1]),
@@ -104,8 +117,9 @@ def ring_matmul(mesh_backend, precision=None):
             acc0 = jax.lax.pcast(acc0, ax0, to="varying")
         except (AttributeError, TypeError):  # older jax spells it pvary
             acc0 = jax.lax.pvary(acc0, ax0)
-        _, acc = jax.lax.fori_loop(0, p, body, (b_blk, acc0))
-        return acc
+        b_last, acc = jax.lax.fori_loop(0, p - 1, body, (b_blk, acc0))
+        # Final step: no permute (p-1 total hops).
+        return acc + partial(p - 1, a_blk, b_last)
 
     fn = _shard_map(
         local,

@@ -143,6 +143,13 @@ np_pairwise_reduction_map = {
 # Householder tree is the robust fallback for ill-conditioned inputs.
 tsqr_method = os.environ.get("NUMS_TPU_TSQR", "auto")
 
+# Hand-scheduled collective matmul for the mesh backend's 2-D tensordot:
+# "0" (default) lets XLA's SPMD partitioner schedule the collectives
+# (usually best on small meshes); "ring" = double-buffered ppermute ring
+# (pod-scale / memory-bound pattern); "summa" = explicit all-gather SUMMA.
+# Falls back to the default path when the shapes aren't supported.
+collective_matmul = os.environ.get("NUMS_TPU_COLLECTIVE_MATMUL", "0")
+
 # Lazy expression batching (SURVEY hard-part #7): BlockArray ops build a
 # deferred DAG; the first sync point compiles the whole chain as ONE
 # jitted program (cached structurally). "0" executes one program per op.

@@ -71,3 +71,53 @@ def test_ring_matmul_1d_mesh():
     bj = jax.device_put(b, NamedSharding(be.mesh, P("m0", None)))
     c = summa.ring_matmul(be)(aj, bj)
     assert np.allclose(np.asarray(c), a @ b)
+
+
+def test_ring_matmul_double_buffered(mesh_backend):
+    """Numerics of the overlapped (double-buffered ppermute) ring."""
+    import jax
+    from nums_tpu.core.ops import summa
+
+    rs = np.random.RandomState(3)
+    p = mesh_backend.device_grid.mesh_shape[0]
+    a = rs.randn(8 * p, 4 * p)
+    b = rs.randn(4 * p, 6)
+    assert summa.ring_supported(mesh_backend, a.shape, b.shape)
+    aj = jax.device_put(a)
+    bj = jax.device_put(b)
+    c = summa.ring_matmul(mesh_backend)(aj, bj)
+    assert np.allclose(np.asarray(c), a @ b)
+
+
+@pytest.mark.parametrize("mode", ["ring", "summa"])
+def test_collective_matmul_wired_into_tensordot(mode, monkeypatch):
+    """NUMS_TPU_COLLECTIVE_MATMUL routes BlockArray @ through the
+    hand-scheduled kernels; unsupported shapes fall back silently."""
+    from nums_tpu.core import settings
+    from nums_tpu.core import application_manager
+
+    monkeypatch.setattr(settings, "collective_matmul", mode)
+    monkeypatch.setattr(settings, "backend_name", "mesh")
+    application_manager.destroy()
+    app = application_manager.create()
+    try:
+        rs = np.random.RandomState(4)
+        ms = app.backend.device_grid.mesh_shape
+        m = 4 * ms[0]
+        k = 4 * ms[0] * (ms[1] if len(ms) > 1 else 1)
+        n = 6 * (ms[1] if len(ms) > 1 else 1)
+        a = rs.randn(m, k)
+        b = rs.randn(k, n)
+        ba = app.array(a, block_shape=(m // ms[0], k))
+        bb = app.array(b, block_shape=(k // ms[0], n))
+        assert np.allclose((ba @ bb).get(), a @ b)
+        # fallback: transposed operand takes the default path
+        at = rs.randn(k, m)
+        bat = app.array(at, block_shape=(k, m))
+        assert np.allclose((bat.T @ bb).get(), at.T @ b)
+        # fallback: ragged shapes
+        ar = rs.randn(m + 1, k)
+        bar = app.array(ar, block_shape=(m // ms[0], k))
+        assert np.allclose((bar @ bb).get(), ar @ b)
+    finally:
+        application_manager.destroy()
