@@ -19,6 +19,10 @@ IGNORE = {
     "getbufsize", "setbufsize", "shares_memory", "may_share_memory",
     "show_config", "show_runtime", "get_include", "add_docstring",
     "frompyfunc", "vectorize", "memmap",
+    # numpy's bundled test runner (np.test / np.random.test / ...) — a
+    # pytest entry point, not an array API (the reference's curated
+    # ignore list plays the same role, api_coverage.py:115-196 there).
+    "test",
 }
 
 

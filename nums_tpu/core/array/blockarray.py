@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from nums_tpu.core.grid import ArrayGrid
 from nums_tpu.core.array import utils as array_utils
 from nums_tpu.core.ops import elementwise, linear, padded, reductions, shape_ops
-from nums_tpu.core import lazy, trace
+from nums_tpu.core import lazy, settings, trace
 
 
 def _normalize_shape(shape_args):
@@ -215,7 +215,53 @@ class BlockArray:
         d = self._data
         if isinstance(d, lazy.LazyOut):
             self._data = d.force()
+        if settings.debug_sharding:
+            self.check_sharding()
         return self._data
+
+    def expected_sharding(self):
+        """The sharding the grid metadata implies for the raw buffer
+        (None when the backend doesn't shard or the buffer layout makes
+        the rule inapplicable)."""
+        backend = self.backend
+        if backend.mesh is None:
+            return None
+        hint = (
+            tuple(reversed(self.grid.grid_shape)) if self._transposed
+            else self.grid.grid_shape
+        )
+        raw_logical = self._raw_logical_shape()
+        pshape = backend.physical_shape(raw_logical, hint)
+        if tuple(self._data.shape) != pshape:
+            return None  # differently-padded buffer: rule inapplicable
+        return backend.sharding_for_shape(pshape, hint)
+
+    def check_sharding(self):
+        """Debug invariant (VERDICT weak #7): warn when the materialized
+        buffer is replicated although the grid implies a sharded layout
+        — a silent N×-memory / 1/N-throughput outcome."""
+        expected = self.expected_sharding()
+        d = self._data
+        if expected is None or isinstance(d, lazy.LazyOut):
+            return True
+        actual = getattr(d, "sharding", None)
+        if actual is None:
+            return True
+        import warnings
+
+        from jax.sharding import PartitionSpec as _P
+
+        exp_sharded = expected.spec != _P(*([None] * len(d.shape)))
+        if exp_sharded and actual.is_fully_replicated:
+            warnings.warn(
+                f"BlockArray buffer is fully replicated but grid "
+                f"{self.grid.shape}/{self.grid.block_shape} implies "
+                f"{expected.spec} on the mesh",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+            return False
+        return True
 
     @property
     def is_transposed(self):

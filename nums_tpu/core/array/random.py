@@ -43,6 +43,22 @@ class NumsRandomState:
         """Host-side NumPy generator escape hatch (parity: random.py:34-37)."""
         return np.random.default_rng(self._seed)
 
+    def get_state(self):
+        """Engine state as a dict. The engine is counter-based threefry
+        (not MT19937), so the state is (seed, stream counter) — enough to
+        reproduce or resume the stream exactly on any backend."""
+        return {
+            "bit_generator": "threefry2x32",
+            "seed": self._seed,
+            "counter": self._counter,
+        }
+
+    def set_state(self, state):
+        assert state.get("bit_generator") == "threefry2x32", state
+        self._seed = int(state["seed"])
+        self._key = jr.key(self._seed)
+        self._counter = int(state["counter"])
+
     def _next_key(self):
         self._counter += 1
         return jr.fold_in(self._key, self._counter)

@@ -143,6 +143,11 @@ np_pairwise_reduction_map = {
 # Householder tree is the robust fallback for ill-conditioned inputs.
 tsqr_method = os.environ.get("NUMS_TPU_TSQR", "auto")
 
+# Debug: warn whenever a materialized buffer's sharding diverges from
+# what the grid metadata implies (e.g. an op silently replicated a
+# result the grid claims is sharded). Costs a check per materialization.
+debug_sharding = os.environ.get("NUMS_TPU_DEBUG_SHARDING", "0") == "1"
+
 # Hand-scheduled collective matmul for the mesh backend's 2-D tensordot:
 # "0" (default) lets XLA's SPMD partitioner schedule the collectives
 # (usually best on small meshes); "ring" = double-buffered ppermute ring

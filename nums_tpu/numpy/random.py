@@ -175,6 +175,50 @@ def default_rng(seed=None):
 def bytes(length):  # noqa: A001 - numpy-compatible name
     """Random bytes (host-side; parity with np.random.bytes)."""
     return _default_random.rs().numpy().bytes(length)
+
+
+class ThreeFryBitGenerator:
+    """BitGenerator-shaped handle for the counter-based threefry engine.
+
+    The engine is not MT19937, so np's legacy state tuple doesn't apply;
+    ``state`` is the (seed, counter) pair that reproduces the stream
+    exactly on any backend / sharding (numpy_compute.py:56-68 invariant).
+    """
+
+    def __init__(self, state):
+        self.state = dict(state)
+
+
+def _rs_get_state(self, legacy=True):
+    del legacy
+    return self.rs().get_state()
+
+
+def _rs_set_state(self, state):
+    if isinstance(state, ThreeFryBitGenerator):
+        state = state.state
+    self.rs().set_state(state)
+    self._seed = state["seed"]
+
+
+def _rs_get_bit_generator(self):
+    return ThreeFryBitGenerator(self.rs().get_state())
+
+
+def _rs_set_bit_generator(self, bitgen):
+    self._rs_set_state_impl(bitgen)
+
+
+RandomState.get_state = _rs_get_state
+RandomState.set_state = _rs_set_state
+RandomState._rs_set_state_impl = _rs_set_state
+RandomState.get_bit_generator = _rs_get_bit_generator
+RandomState.set_bit_generator = _rs_set_bit_generator
+
+get_state = _default_random.get_state
+set_state = _default_random.set_state
+get_bit_generator = _default_random.get_bit_generator
+set_bit_generator = _default_random.set_bit_generator
 random = _default_random.random
 rand = _default_random.rand
 randn = _default_random.randn

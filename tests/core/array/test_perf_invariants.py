@@ -58,3 +58,29 @@ def test_reduction_fuses_transpose(app_inst):
     # leaving the source untouched and unmaterialized
     assert t.is_transposed
     assert np.allclose(s.get(), x.get().T.sum(axis=0))
+
+def test_debug_sharding_mode(monkeypatch):
+    """NUMS_TPU_DEBUG_SHARDING warns when a buffer is replicated while
+    the grid implies sharding (VERDICT weak #7)."""
+    import warnings
+    import jax
+    import numpy as np
+    from nums_tpu.core import settings
+    from nums_tpu.core.backend import MeshBackend
+    from nums_tpu.core.array.application import ArrayApplication
+
+    monkeypatch.setattr(settings, "debug_sharding", True)
+    app = ArrayApplication(MeshBackend(cluster_shape=(8, 1)).init())
+    x = app.array(np.zeros((16, 4)), block_shape=(2, 4))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        x.touch()  # properly sharded: no warning
+        assert x.check_sharding()
+    # Sabotage: replicate the buffer behind the grid's back.
+    x._data = jax.device_put(
+        np.zeros((16, 4)), app.backend.replicated_sharding()
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert not x.check_sharding()
+        assert any("replicated" in str(x.message) for x in w)
