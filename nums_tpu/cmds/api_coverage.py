@@ -61,7 +61,7 @@ def _module_coverage(np_module, our_module):
     return implemented, fallback, stubs, missing
 
 
-def coverage_report():
+def coverage_report(percents=None):
     import nums_tpu.numpy as nps
 
     sections = [
@@ -75,6 +75,8 @@ def coverage_report():
         impl, fb, stubs, miss = _module_coverage(np_mod, our_mod)
         total = len(impl) + len(fb) + len(stubs) + len(miss)
         pct = 100.0 * (len(impl) + len(fb)) / total if total else 0.0
+        if percents is not None:
+            percents[name] = pct
         lines.append(
             f"{name}: implemented {len(impl) + len(fb)}/{total} "
             f"({pct:.1f}%; {len(fb)} via host fallback), "
@@ -86,8 +88,33 @@ def coverage_report():
     return "\n".join(lines)
 
 
-def main():
-    print(coverage_report())
+def main(argv=None):
+    """CLI. ``--min numpy=94,numpy.random=98,...`` turns the report into
+    a CI gate: exit 1 if any module's coverage drops below its floor
+    (the role of the reference's codecov 90% target)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(prog="nums-coverage")
+    parser.add_argument(
+        "--min", default=None,
+        help="comma-separated module=min_percent floors; nonzero exit "
+             "on regression",
+    )
+    args = parser.parse_args(argv)
+    percents = {}
+    print(coverage_report(percents))
+    if args.min:
+        ok = True
+        for part in args.min.split(","):
+            mod, floor = part.split("=")
+            got = percents.get(mod.strip())
+            if got is None or got < float(floor):
+                print(f"FAIL: {mod} coverage {got and round(got, 1)}% "
+                      f"< floor {floor}%")
+                ok = False
+        if not ok:
+            return 1
+        print("coverage floors OK")
     return 0
 
 

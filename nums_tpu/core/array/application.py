@@ -19,7 +19,6 @@ from nums_tpu.core.ops import (
     creation,
     elementwise,
     linalg,
-    linear,
     padded,
     shape_ops,
 )

@@ -9,7 +9,6 @@ shape" (the reference's goal at numpy_compute.py:56-68) holds structurally.
 
 import numpy as np
 
-import jax
 import jax.random as jr
 
 from nums_tpu.core.array import utils as array_utils

@@ -23,7 +23,6 @@ Disable with ``NUMS_TPU_LAZY=0`` (ops then execute immediately, round-1
 behavior).
 """
 
-import functools
 import weakref
 
 import numpy as np

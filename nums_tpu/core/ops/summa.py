@@ -17,11 +17,10 @@ C sharded (m0, m1): each (i, j) shard needs A's full row-block-row i
 
 import functools
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):

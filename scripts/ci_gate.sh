@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# One-command CI gate (reference parity: .travis.yml pytest+pylint +
+# codecov 90% target). Fails on any regression:
+#   1. lint (AST gate, scripts/lint.py)
+#   2. full test suite on {serial, 8-device virtual CPU mesh}
+#   3. NumPy API coverage floors (the codecov-style parity gate)
+#   4. driver entry points (single-chip compile check + multichip dryrun)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== lint =="
+python scripts/lint.py nums_tpu
+
+echo "== tests (serial + virtual mesh) =="
+python -m pytest tests/ -q
+
+echo "== API coverage floors =="
+python -m nums_tpu.cmds.api_coverage \
+  --min "numpy=93,numpy.random=98,numpy.linalg=96,numpy.fft=94"
+
+echo "== driver entry points =="
+python __graft_entry__.py
+
+echo "CI GATE: ALL GREEN"
