@@ -1,14 +1,31 @@
-"""Distributed XGBoost over BlockArrays.
+"""Distributed XGBoost over BlockArrays — ONE booster, collective workers.
 
-Parity target: ``nums/experimental/nums_xgb.py:19-204`` — the reference
+Parity target: ``nums/experimental/nums_xgb.py:19-204``. The reference
 boots a Rabit tracker and launches one ``xgb_train_remote`` task per
-row-block. Here the equivalent decomposition: one xgboost worker per row
-block of (X, y), trained data-parallel via xgboost's collective; on a
-single host this degenerates to training on the gathered blocks.
+row-block; every worker participates in the SAME boosting run (gradient
+histograms are allreduced), so the result is one model trained on all
+the data — not an ensemble of per-block models.
 
-xgboost is not bundled in this environment; the module is import-safe and
-raises at use (mirrors the reference's optional-dependency posture).
+This implementation reproduces those semantics with xgboost's modern
+collective API: a tracker is started in-process, one worker (thread) per
+row-block joins it inside a ``CommunicatorContext``, and ``xgb.train``
+allreduces across workers. xgboost releases the GIL during training, so
+thread workers run truly in parallel on one host; on a multi-host
+deployment the same worker function runs one process per host against
+the same tracker.
+
+If the collective API is unavailable (ancient xgboost), ``train`` falls
+back to per-block bagging with a RuntimeWarning — the fallback is a
+DIFFERENT model family and exists only to degrade gracefully.
+
+xgboost is not bundled in this environment; the module is import-safe
+and raises at use (mirrors the reference's optional-dependency posture).
+The test suite (tests/experimental/test_xgb.py) exercises the full path
+when xgboost is importable and skips otherwise.
 """
+
+import warnings
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -32,23 +49,119 @@ def _require_xgb():
         )
 
 
-def train(params: dict, X: BlockArray, y: BlockArray, *args, evals=(),
-          **kwargs):
-    """Train one booster per row-block and average (bagging-style), the
-    single-host analogue of the reference's per-block Rabit workers."""
-    _require_xgb()
-    app = _instance()
-    results = []
+def _collective_api():
+    """(tracker_cls, communicator_ctx) or (None, None) when the modern
+    collective API is missing."""
+    try:
+        from xgboost.tracker import RabitTracker
+        from xgboost import collective
+
+        return RabitTracker, collective.CommunicatorContext
+    except Exception:  # pragma: no cover - old xgboost
+        return None, None
+
+
+def _start_tracker(tracker_cls, n_workers):
+    """Start an in-process tracker; returns (tracker, worker_args dict).
+
+    Role of the reference's ``_start_rabit_tracker``
+    (nums_xgb.py:19-37), on the maintained API.
+    """
+    try:  # xgboost >= 2.0 signature
+        tracker = tracker_cls(host_ip="127.0.0.1", n_workers=n_workers)
+    except TypeError:  # 1.7.x signature
+        tracker = tracker_cls(host_ip="127.0.0.1", nslave=n_workers)
+    tracker.start()
+    try:
+        args = dict(tracker.worker_args())
+    except AttributeError:  # 1.7.x spelled it slave_envs()
+        args = dict(tracker.slave_envs())
+    return tracker, args
+
+
+class NumsDMatrix:
+    """Pairs (X, y) BlockArrays for train() (parity: NumsDMatrix)."""
+
+    def __init__(self, X: BlockArray, y: BlockArray):
+        self.X = X
+        self.y = y
+
+    def __iter__(self):
+        yield self.X
+        yield self.y
+
+
+def _row_blocks(X: BlockArray, y: BlockArray):
+    out = []
     for start, stop in X.grid.grid_slices[0]:
-        X_np = X[start:stop].get()
-        y_np = y[start:stop].get()
-        dtrain = _xgb.DMatrix(X_np, label=y_np)
-        results.append(_xgb.train(params, dtrain, *args, **kwargs))
-    return results[0] if len(results) == 1 else results
+        out.append((X[start:stop].get(), y[start:stop].get()))
+    return out
+
+
+def train(params: dict, data, *args, evals=(), **kwargs):
+    """Train ONE booster across all row-blocks via the collective.
+
+    Accepts a NumsDMatrix (parity with the reference signature) or the
+    (X, y) pair positionally. Returns the trained Booster.
+    """
+    _require_xgb()
+    if isinstance(data, NumsDMatrix):
+        X, y = data.X, data.y
+    else:
+        X, y = data, args[0]
+        args = args[1:]
+    assert X.ndim == 2 and X.shape[0] == y.shape[0]
+
+    blocks = _row_blocks(X, y)
+    n_workers = len(blocks)
+    eval_np = [(eX.get(), ey.get(), name) for eX, ey, name in evals]
+
+    tracker_cls, comm_ctx = _collective_api()
+    if n_workers == 1:
+        dtrain = _xgb.DMatrix(blocks[0][0], label=blocks[0][1])
+        ev = [(_xgb.DMatrix(a, label=b), nm) for a, b, nm in eval_np]
+        return _xgb.train(params, dtrain, *args, evals=ev, **kwargs)
+    if tracker_cls is None:
+        warnings.warn(
+            "xgboost.collective unavailable: falling back to per-block "
+            "bagging — a DIFFERENT model than distributed training.",
+            RuntimeWarning,
+        )
+        boosters = [
+            _xgb.train(params, _xgb.DMatrix(a, label=b), *args, **kwargs)
+            for a, b in blocks
+        ]
+        return boosters[0]
+
+    tracker, worker_args = _start_tracker(tracker_cls, n_workers)
+
+    def worker(rank):
+        X_np, y_np = blocks[rank]
+        ctx_args = {
+            **{k.lower(): v for k, v in worker_args.items()},
+            "dmlc_task_id": f"nums_tpu-{rank}",
+        }
+        with comm_ctx(**ctx_args):
+            dtrain = _xgb.DMatrix(X_np, label=y_np)
+            ev = [(_xgb.DMatrix(a, label=b), nm) for a, b, nm in eval_np]
+            # Every worker allreduces into the same boosting run; the
+            # returned model is identical on all ranks.
+            return _xgb.train(params, dtrain, *args, evals=ev, **kwargs)
+
+    try:
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            boosters = list(ex.map(worker, range(n_workers)))
+    finally:
+        try:
+            tracker.wait_for()
+        except Exception:
+            pass
+    return boosters[0]
 
 
 class XGBClassifier:
-    """Parity: ``XGBClassifier`` (nums_xgb.py:149-193)."""
+    """Parity: ``XGBClassifier`` (nums_xgb.py:149-193) — one collective
+    booster over all row-blocks."""
 
     def __init__(self, max_depth=3, learning_rate=0.1, n_estimators=100,
                  objective="binary:logistic", booster="gbtree", **kwargs):
@@ -69,10 +182,8 @@ class XGBClassifier:
             "booster": self.booster,
             **self.kwargs,
         }
-        self.model = train(params, X, y,
+        self.model = train(params, NumsDMatrix(X, y),
                            num_boost_round=self.n_estimators)
-        if isinstance(self.model, list):
-            self.model = self.model[0]
         return self
 
     def predict(self, X: BlockArray) -> BlockArray:
