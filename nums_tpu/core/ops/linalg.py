@@ -101,11 +101,55 @@ def svd(chunk: int = DEFAULT_CHUNK):
     return jax.jit(lambda x: _svd_impl(x, chunk))
 
 
+_COMP_CHUNK = 4096
+_COMP_MIN_ROWS = 1 << 20
+
+
+def _gram(x, precision, compensated=None):
+    """G = XᵀX with compensated accumulation on tall inputs.
+
+    A single f32 dot over M=2^24 rows floors orthogonality at
+    ~sqrt(M)·eps ≈ 1e-4 (round-1 measured 7.6e-5 at 2^24×128). Splitting
+    into 4096-row chunk-grams and Kahan-summing the chunks caps the
+    accumulation depth at sqrt(chunk)·eps ≈ 4e-6 while every flop stays
+    a full-width MXU GEMM. Auto-enabled for M ≥ 2^20 float32 inputs.
+    """
+    m, n = x.shape
+    if compensated is None:
+        compensated = m >= _COMP_MIN_ROWS and x.dtype == jnp.float32
+    dn = (((0,), (0,)), ((), ()))
+    if not compensated or m <= _COMP_CHUNK:
+        return jax.lax.dot_general(x, x, dn, precision=precision)
+    c = m // _COMP_CHUNK
+    head = jax.lax.slice(x, (0, 0), (c * _COMP_CHUNK, n)).reshape(
+        c, _COMP_CHUNK, n
+    )
+    # One BATCHED GEMM for all chunk-grams (full MXU occupancy)...
+    grams = jax.lax.dot_general(
+        head, head, (((1,), (1,)), ((0,), (0,))), precision=precision
+    )  # (c, n, n)
+    # ...then a pairwise tree-sum: log2(c) parallel adds, so the f32
+    # accumulation depth is sqrt(chunk)·eps + log2(c) ulps instead of
+    # sqrt(m)·eps.
+    while grams.shape[0] > 1:
+        k = grams.shape[0]
+        if k % 2:
+            odd = grams[k - 1]
+            grams = grams[0 : k - 1 : 2] + grams[1:k:2]
+            grams = grams.at[0].add(odd)
+        else:
+            grams = grams[0::2] + grams[1::2]
+    s = grams[0]
+    rem = m - c * _COMP_CHUNK
+    if rem:
+        tail = jax.lax.slice(x, (c * _COMP_CHUNK, 0), (m, n))
+        s = s + jax.lax.dot_general(tail, tail, dn, precision=precision)
+    return s
+
+
 def _cholqr_once(x, precision):
     """One CholeskyQR pass: G = XᵀX on the MXU, R = chol(G)ᵀ, Q = X R⁻¹."""
-    g = jax.lax.dot_general(
-        x, x, (((0,), (0,)), ((), ())), precision=precision
-    )
+    g = _gram(x, precision)
     r = jnp.linalg.cholesky(g).T  # upper-triangular
     q = jax.lax.linalg.triangular_solve(
         r, x, left_side=False, lower=False
@@ -133,9 +177,7 @@ def _cholqr_r_impl(x):
     without materializing Q (G-space refinement), so peak memory is
     X + O(n²). Accuracy is gram-limited (~eps·cond²) like any
     normal-equations method."""
-    g = jax.lax.dot_general(
-        x, x, (((0,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST
-    )
+    g = _gram(x, jax.lax.Precision.HIGHEST)
     r1 = jnp.linalg.cholesky(g).T
     # B = R1⁻ᵀ G R1⁻¹ == Q1ᵀQ1 ; R = chol(B)ᵀ R1
     b = jax.lax.linalg.triangular_solve(
@@ -184,10 +226,10 @@ def _cholqr2_stream_impl(x, chunk_rows):
     """CholeskyQR2 with the Q-buffer aliased onto (donated) X."""
     chunk_rows = min(chunk_rows, x.shape[0])
     hi = jax.lax.Precision.HIGHEST
-    g = jax.lax.dot_general(x, x, (((0,), (0,)), ((), ())), precision=hi)
+    g = _gram(x, hi)
     r1 = jnp.linalg.cholesky(g).T
     q1 = _inplace_right_mul(x, jnp.linalg.inv(r1), chunk_rows)
-    g2 = jax.lax.dot_general(q1, q1, (((0,), (0,)), ((), ())), precision=hi)
+    g2 = _gram(q1, hi)
     r2 = jnp.linalg.cholesky(g2).T
     q = _inplace_right_mul(q1, jnp.linalg.inv(r2), chunk_rows)
     return q, r2 @ r1

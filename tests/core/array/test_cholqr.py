@@ -64,3 +64,28 @@ def test_cholqr2_stream_overwrite(app_inst):
     assert np.allclose(qv.T @ qv, np.eye(16), atol=1e-9)
     # X now aliases Q (documented destructive behavior)
     assert np.allclose(bx.get(), qv)
+
+
+def test_compensated_gram_accuracy():
+    """Kahan-chunked gram beats naive f32 accumulation on tall inputs
+    (VERDICT #10: recover full-Q orthogonality toward ~1e-6)."""
+    import jax
+    import jax.numpy as jnp
+    from nums_tpu.core.ops import linalg as L
+
+    rs = np.random.RandomState(0)
+    m, n = 200_000, 8
+    x64 = rs.randn(m, n) + 1.0  # offset inflates accumulation error
+    x = jnp.asarray(x64, jnp.float32)
+    oracle = x64.T @ x64
+    hi = jax.lax.Precision.HIGHEST
+    naive = np.asarray(
+        jax.jit(lambda a: L._gram(a, hi, compensated=False))(x), np.float64
+    )
+    comp = np.asarray(
+        jax.jit(lambda a: L._gram(a, hi, compensated=True))(x), np.float64
+    )
+    err_naive = np.abs(naive - oracle).max() / np.abs(oracle).max()
+    err_comp = np.abs(comp - oracle).max() / np.abs(oracle).max()
+    assert err_comp <= err_naive
+    assert err_comp < 2e-6, (err_comp, err_naive)
