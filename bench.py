@@ -60,7 +60,10 @@ def main():
     t0 = time.perf_counter()
     Z = None
     for _ in range(chain):
-        Z = X.T @ X
+        # .raw forces the lazy expression into ASYNC dispatch (work
+        # starts immediately, no block) so each chained call is a real
+        # device execution, not a deferred DAG node.
+        Z = (X.T @ X).raw
     float(Z[0, 0])
     t = (time.perf_counter() - t0) / chain
 

@@ -50,8 +50,10 @@ def main(argv=None):
         try:
             X = make_x(n, d, app.backend)
 
+            # .raw forces the lazy expression INTO async dispatch (work
+            # starts now, no block) so chaining measures real executions.
             tmin, tmean, tstd = benchmark_chained(
-                lambda: X.T @ X, lambda Z: float(Z[0, 0])
+                lambda: (X.T @ X).raw, lambda Z: float(Z[0, 0])
             )
             del X
         except Exception as e:  # OOM etc: record failure like the reference

@@ -44,7 +44,7 @@ def main(argv=None):
                             backend=app.backend)
 
     tmin, tmean, _ = benchmark_chained(
-        lambda: app.indirect_tsr(X), lambda R: float(R[0, 0])
+        lambda: app.indirect_tsr(X).raw, lambda R: float(R[0, 0])
     )
     print(f"indirect_tsr (R only) {m}x{n}: min {tmin:.4f}s mean {tmean:.4f}s")
     append_csv(args.out, {"op": "indirect_tsr", "m": m, "n": n,
@@ -56,7 +56,9 @@ def main(argv=None):
     overwrite = 2 * X.nbytes > 12e9
     try:
         tmin, tmean, _ = benchmark_chained(
-            lambda: app.direct_tsqr(X, overwrite_x=overwrite),
+            lambda: tuple(
+                a.raw for a in app.direct_tsqr(X, overwrite_x=overwrite)
+            ),
             lambda qr: float(qr[1][0, 0]),
             chain=3,
         )

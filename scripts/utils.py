@@ -31,6 +31,10 @@ def benchmark_chained(enqueue, sync, warmup=1, repeat=5, chain=5):
     per-iteration syncing would swamp small workloads. Comparable to the
     reference baselines, which synchronized on-device.
     Returns (min_s, mean_s, std_s) per execution.
+
+    NOTE: with lazy batching on (the default), `enqueue` must force
+    dispatch (e.g. return BlockArray.raw) — a bare BlockArray op only
+    builds a deferred DAG node and no device work starts.
     """
     for _ in range(warmup):
         sync(enqueue())
