@@ -64,23 +64,36 @@ class FileSystem:
         meta = {"grid": ba.grid.to_meta()}
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump(meta, f)
-        # One .npy per block, fetched block-at-a-time from the device
-        # (parallel IO threads): peak memory stays O(block), not O(array)
-        # — and lazily-transposed arrays are read via transpose-aware
+        # One .npy per block, fetched batch-at-a-time from the device:
+        # peak host memory stays O(batch of blocks), not O(array) — and
+        # lazily-transposed arrays are read via transpose-aware
         # Block.get, so no full transpose materializes in HBM either.
+        # File writes go through the native C++ thread pool
+        # (io/shard_io.cpp, GIL released) with np.save as fallback —
+        # identical on-disk .npy format either way.
         from nums_tpu.core.array.blockarray import Block
+        from nums_tpu.core.io import shard_native
 
         entries = list(ba.grid.get_entry_iterator())
-
-        def write_block(grid_entry):
-            block = Block(ba, grid_entry).get()
-            np.save(os.path.join(path, _block_fname(grid_entry)), block)
-            return True
-
-        if len(entries) == 1:
-            return np.array([write_block(entries[0])], dtype=bool)
-        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
-            results = list(ex.map(write_block, entries))
+        results = []
+        batch_size = min(16, len(entries))
+        for i in range(0, len(entries), batch_size):
+            batch = entries[i:i + batch_size]
+            if len(batch) == 1:
+                blocks = [Block(ba, batch[0]).get()]
+            else:
+                with ThreadPoolExecutor(max_workers=len(batch)) as ex:
+                    blocks = list(
+                        ex.map(lambda e: Block(ba, e).get(), batch)
+                    )
+            items = [
+                (os.path.join(path, _block_fname(e)), blk)
+                for e, blk in zip(batch, blocks)
+            ]
+            if not shard_native.write_shards(items):
+                for p, blk in items:
+                    np.save(p, blk)
+            results.extend([True] * len(batch))
         return np.array(results, dtype=bool)
 
     def read_meta_fs(self, filename: str) -> dict:
@@ -106,6 +119,8 @@ class FileSystem:
         # shard regions beyond the logical extent stay zero.
         pshape = self.backend.physical_shape(grid.shape, grid.grid_shape)
 
+        from nums_tpu.core.io import shard_native
+
         def load_region(index):
             # index: tuple of slices into the PHYSICAL array for one shard.
             starts = [
@@ -118,6 +133,7 @@ class FileSystem:
             out = np.zeros(
                 tuple(b - a for a, b in zip(starts, stops)), dtype=dtype
             )
+            jobs = []
             for grid_entry in grid.get_entry_iterator():
                 rect = grid.get_slice_tuples(grid_entry)
                 # overlap of block rect with requested region
@@ -125,9 +141,6 @@ class FileSystem:
                 hi = [min(b, r1) for b, (_, r1) in zip(stops, rect)]
                 if any(l >= h for l, h in zip(lo, hi)):
                     continue
-                block = np.load(
-                    os.path.join(path, _block_fname(grid_entry))
-                )
                 src = tuple(
                     slice(l - r0, h - r0)
                     for l, h, (r0, _) in zip(lo, hi, rect)
@@ -135,7 +148,15 @@ class FileSystem:
                 dst = tuple(
                     slice(l - a, h - a) for l, h, a in zip(lo, hi, starts)
                 )
-                out[dst] = block[src]
+                jobs.append(
+                    (os.path.join(path, _block_fname(grid_entry)), src, dst)
+                )
+            # Native path preads ONLY the window bytes of each block
+            # (C++ thread pool, GIL released); fallback loads whole
+            # blocks and slices.
+            if not shard_native.read_block_windows(jobs, out):
+                for p, src, dst in jobs:
+                    out[dst] = np.load(p)[src]
             return out
 
         if sharding is None or len(grid.shape) == 0:
