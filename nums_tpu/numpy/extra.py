@@ -5,8 +5,16 @@ Every function here is a real jitted-XLA implementation over BlockArray
 scan ops (cumsum/cumprod), predicates (all/any/isclose), nan-reductions,
 and contraction helpers (dot/inner/outer/trace). Loaded into
 ``nums_tpu.numpy`` by its __init__.
+
+All kernels are module-level lru-cached jits (static arguments baked
+into the cache key — no per-call retrace), invoked through ``_call``,
+which routes them via the pad-and-mask adapter (``ops/padded.call``):
+ragged inputs get their at-rest padding sliced off INSIDE the kernel
+(never a replicated intermediate), and with lazy batching on the result
+joins the deferred expression DAG like any BlockArray operator.
 """
 
+import builtins
 import functools
 
 import numpy as np
@@ -17,6 +25,8 @@ import jax.numpy as jnp
 from nums_tpu.core.application_manager import instance as _instance
 from nums_tpu.core.array.blockarray import BlockArray
 from nums_tpu.core.array import utils as array_utils
+from nums_tpu.core.grid import ArrayGrid
+from nums_tpu.core.ops import padded
 
 
 __all__ = [
@@ -54,24 +64,62 @@ def _to_ba(obj):
 
 @functools.lru_cache(maxsize=None)
 def _jit_kw(fname, **kw):
+    """jnp.<fname> with keyword statics baked in (stable kernel object)."""
     fn = getattr(jnp, fname)
     return jax.jit(lambda x: fn(x, **kw))
 
 
-def _wrap(a, data, block_shape=None):
+@functools.lru_cache(maxsize=None)
+def _jit2_kw(fname, **kw):
+    """Two-array variant of _jit_kw."""
+    fn = getattr(jnp, fname)
+    return jax.jit(lambda x, y: fn(x, y, **kw))
+
+
+def _call(kernel, *operands):
+    """Run a cached kernel over BlockArray/traceable operands via the
+    pad-and-mask + lazy adapter. Returns (data, logical_shape(s))."""
+    args, lshapes, ts = [], [], []
+    backend = None
+    for o in operands:
+        if isinstance(o, BlockArray):
+            if backend is None:
+                backend = o.backend
+            args.append(o._data)
+            lshapes.append(o._raw_logical_shape())
+            ts.append(o.is_transposed)
+        else:
+            args.append(o)
+            lshapes.append(None)
+            ts.append(False)
+    assert backend is not None, "at least one BlockArray operand required"
+    return padded.call(
+        kernel, tuple(args), tuple(lshapes), backend, transposes=tuple(ts)
+    )
+
+
+def _wrap(a, data, block_shape=None, shape=None):
+    shape = tuple(shape) if shape is not None else tuple(data.shape)
     if block_shape is None:
         block_shape = array_utils.default_block_shape_for(
-            tuple(data.shape), a.block_shape
+            shape, a.block_shape
         )
-    return BlockArray.from_jax(data, block_shape=block_shape,
-                               backend=a.backend)
+    block_shape = tuple(
+        min(b, s) for b, s in zip(tuple(block_shape), shape)
+    )
+    grid = ArrayGrid(shape, block_shape, np.dtype(data.dtype).name)
+    return BlockArray(data, grid, a.backend)
+
+
+def _wrapc(a, callres, block_shape=None):
+    data, lshape = callres
+    return _wrap(a, data, block_shape, shape=lshape)
 
 
 def _unary_kw(fname):
     def fn(a, axis=None, **kwargs):
         a = _to_ba(a)
-        data = _jit_kw(fname, axis=axis, **kwargs)(a.data)
-        return _wrap(a, data)
+        return _wrapc(a, _call(_jit_kw(fname, axis=axis, **kwargs), a))
 
     fn.__name__ = fname
     fn.__doc__ = f"{fname} as one jitted XLA kernel."
@@ -97,36 +145,42 @@ ptp = _unary_kw("ptp")
 count_nonzero = _unary_kw("count_nonzero")
 
 
+@functools.lru_cache(maxsize=None)
+def _k_average(axis):
+    return jax.jit(lambda x, w: jnp.average(x, axis=axis, weights=w))
+
+
 def average(a, axis=None, weights=None):
     a = _to_ba(a)
     if weights is None:
         return _instance().mean(a, axis=axis)
     w = _to_ba(weights)
-
-    @jax.jit
-    def impl(x, ww):
-        return jnp.average(x, axis=axis, weights=ww)
-
-    return _wrap(a, impl(a.data, w.data))
+    return _wrapc(a, _call(_k_average(axis), a, w))
 
 
 # -- rounding / clipping ------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _k_clip(has_min, has_max):
+    if has_min and has_max:
+        return jax.jit(lambda x, lo, hi: jnp.clip(x, lo, hi))
+    if has_min:
+        return jax.jit(lambda x, lo: jnp.clip(x, lo, None))
+    return jax.jit(lambda x, hi: jnp.clip(x, None, hi))
+
+
 def clip(a, a_min=None, a_max=None):
     a = _to_ba(a)
-
-    @functools.partial(jax.jit, static_argnames=("lo", "hi"))
-    def impl(x, lo, hi):
-        return jnp.clip(x, lo, hi)
-
-    return _wrap(a, impl(a.data, a_min, a_max), a.block_shape)
+    bounds = [b for b in (a_min, a_max) if b is not None]
+    kernel = _k_clip(a_min is not None, a_max is not None)
+    return _wrapc(a, _call(kernel, a, *bounds), a.block_shape)
 
 
 def around(a, decimals=0):
     a = _to_ba(a)
-    data = _jit_kw("round", decimals=decimals)(a.data)
-    return _wrap(a, data, a.block_shape)
+    return _wrapc(a, _call(_jit_kw("round", decimals=decimals), a),
+                  a.block_shape)
 
 
 round = around  # noqa: A001 - numpy alias
@@ -138,49 +192,50 @@ round_ = around
 def sort(a, axis=-1, **kwargs):
     """np.sort parity: default axis is -1 (NOT None — None flattens)."""
     a = _to_ba(a)
-    return _wrap(a, _jit_kw("sort", axis=axis, **kwargs)(a.data))
+    return _wrapc(a, _call(_jit_kw("sort", axis=axis, **kwargs), a))
 
 
 def argsort(a, axis=-1, **kwargs):
     """np.argsort parity: default axis is -1."""
     a = _to_ba(a)
-    return _wrap(a, _jit_kw("argsort", axis=axis, **kwargs)(a.data))
+    return _wrapc(a, _call(_jit_kw("argsort", axis=axis, **kwargs), a))
+
+
+@functools.lru_cache(maxsize=None)
+def _k_searchsorted(side):
+    return jax.jit(lambda x, q: jnp.searchsorted(x, q, side=side))
 
 
 def searchsorted(a, v, side="left"):
     a, v = _to_ba(a), _to_ba(v)
+    return _wrapc(a, _call(_k_searchsorted(side), a, v))
 
-    @functools.partial(jax.jit, static_argnames=("side",))
-    def impl(x, q, side):
-        return jnp.searchsorted(x, q, side=side)
 
-    return _wrap(a, impl(a.data, v.data, side))
+@functools.lru_cache(maxsize=None)
+def _k_take(axis):
+    return jax.jit(lambda x, idx: jnp.take(x, idx, axis=axis))
 
 
 def take(a, indices, axis=None):
     a = _to_ba(a)
     indices = _to_ba(indices)
-
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl(x, idx, axis):
-        return jnp.take(x, idx, axis=axis)
-
-    return _wrap(a, impl(a.data, indices.data, axis))
+    return _wrapc(a, _call(_k_take(axis), a, indices))
 
 
 # -- shape manipulation -------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _k_concat_like(fname, n, **kw):
+    del n  # arity is part of the cache key; jit retraces per avals anyway
+    fn = getattr(jnp, fname)
+    return jax.jit(lambda *ds: fn(ds, **kw))
+
+
 def _concat_like(fname, arrays, **kw):
     bas = [_to_ba(a) for a in arrays]
-    datas = tuple(b.data for b in bas)
-    fn = getattr(jnp, fname)
-
-    @jax.jit
-    def impl(*ds):
-        return fn(ds, **kw)
-
-    return _wrap(bas[0], impl(*datas))
+    kernel = _k_concat_like(fname, len(bas), **kw)
+    return _wrapc(bas[0], _call(kernel, *bas))
 
 
 def stack(arrays, axis=0):
@@ -207,41 +262,42 @@ def row_stack(tup):
     return _concat_like("vstack", tup)
 
 
+@functools.lru_cache(maxsize=None)
+def _k_tile(reps):
+    return jax.jit(lambda x: jnp.tile(x, reps))
+
+
 def tile(a, reps):
     a = _to_ba(a)
-    reps = tuple(reps) if isinstance(reps, (tuple, list)) else (reps,)
+    reps = tuple(reps) if isinstance(reps, (tuple, list)) else (int(reps),)
+    return _wrapc(a, _call(_k_tile(reps), a))
 
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def impl(x, reps):
-        return jnp.tile(x, reps)
 
-    return _wrap(a, impl(a.data, reps))
+@functools.lru_cache(maxsize=None)
+def _k_repeat(repeats, axis):
+    return jax.jit(lambda x: jnp.repeat(x, repeats, axis=axis))
 
 
 def repeat(a, repeats, axis=None):
     a = _to_ba(a)
+    return _wrapc(a, _call(_k_repeat(int(repeats), axis), a))
 
-    @functools.partial(jax.jit, static_argnames=("repeats", "axis"))
-    def impl(x, repeats, axis):
-        return jnp.repeat(x, repeats, axis=axis)
 
-    return _wrap(a, impl(a.data, int(repeats), axis))
+@functools.lru_cache(maxsize=None)
+def _k_roll(shift, axis):
+    return jax.jit(lambda x: jnp.roll(x, shift, axis=axis))
 
 
 def roll(a, shift, axis=None):
     a = _to_ba(a)
-
-    @functools.partial(jax.jit, static_argnames=("shift", "axis"))
-    def impl(x, shift, axis):
-        return jnp.roll(x, shift, axis=axis)
-
-    return _wrap(a, impl(a.data, shift if isinstance(shift, int) else tuple(shift), axis), a.block_shape)
+    shift = shift if isinstance(shift, int) else tuple(shift)
+    axis = axis if axis is None or isinstance(axis, int) else tuple(axis)
+    return _wrapc(a, _call(_k_roll(shift, axis), a), a.block_shape)
 
 
 def flip(a, axis=None):
     a = _to_ba(a)
-    data = _jit_kw("flip", axis=axis)(a.data)
-    return _wrap(a, data, a.block_shape)
+    return _wrapc(a, _call(_jit_kw("flip", axis=axis), a), a.block_shape)
 
 
 def fliplr(a):
@@ -264,14 +320,14 @@ def swapaxes(a, axis1, axis2):
     return a.transpose(*perm)
 
 
+@functools.lru_cache(maxsize=None)
+def _k_moveaxis(source, destination):
+    return jax.jit(lambda x: jnp.moveaxis(x, source, destination))
+
+
 def moveaxis(a, source, destination):
     a = _to_ba(a)
-
-    @functools.partial(jax.jit, static_argnames=("source", "destination"))
-    def impl(x, source, destination):
-        return jnp.moveaxis(x, source, destination)
-
-    return _wrap(a, impl(a.data, source, destination))
+    return _wrapc(a, _call(_k_moveaxis(source, destination), a))
 
 
 def atleast_1d(a):
@@ -290,25 +346,17 @@ def atleast_2d(a):
 
 def broadcast_to(a, shape):
     a = _to_ba(a)
-    shape = tuple(shape)
-
-    @functools.partial(jax.jit, static_argnames=("shape",))
-    def impl(x, shape):
-        return jnp.broadcast_to(x, shape)
-
-    return _wrap(a, impl(a.data, shape))
+    return a.broadcast_to(tuple(shape))
 
 
 def triu(a, k=0):
     a = _to_ba(a)
-    data = _jit_kw("triu", k=k)(a.data)
-    return _wrap(a, data, a.block_shape)
+    return _wrapc(a, _call(_jit_kw("triu", k=k), a), a.block_shape)
 
 
 def tril(a, k=0):
     a = _to_ba(a)
-    data = _jit_kw("tril", k=k)(a.data)
-    return _wrap(a, data, a.block_shape)
+    return _wrapc(a, _call(_jit_kw("tril", k=k), a), a.block_shape)
 
 
 # -- contractions -------------------------------------------------------
@@ -338,8 +386,7 @@ def outer(a, b):
 
 def trace(a, offset=0):
     a = _to_ba(a)
-    data = _jit_kw("trace", offset=offset)(a.data)
-    return _wrap(a, data)
+    return _wrapc(a, _call(_jit_kw("trace", offset=offset), a))
 
 
 def vdot(a, b):
@@ -347,25 +394,23 @@ def vdot(a, b):
     return ravel(a).tensordot(ravel(b), axes=1)
 
 
+@functools.lru_cache(maxsize=None)
+def _k_einsum(subscripts, n):
+    del n
+    return jax.jit(lambda *ds: jnp.einsum(subscripts, *ds))
+
+
 def einsum(subscripts, *operands):
     bas = [_to_ba(o) for o in operands]
-    datas = tuple(b.data for b in bas)
+    return _wrapc(bas[0], _call(_k_einsum(subscripts, len(bas)), *bas))
 
-    @functools.partial(jax.jit, static_argnames=("subscripts",))
-    def impl(subscripts, *ds):
-        return jnp.einsum(subscripts, *ds)
 
-    return _wrap(bas[0], impl(subscripts, *datas))
+_k_kron = jax.jit(lambda x, y: jnp.kron(x, y))
 
 
 def kron(a, b):
     a, b = _to_ba(a), _to_ba(b)
-
-    @jax.jit
-    def impl(x, y):
-        return jnp.kron(x, y)
-
-    return _wrap(a, impl(a.data, b.data))
+    return _wrapc(a, _call(_k_kron, a, b))
 
 
 def matrix_transpose(a):
@@ -375,48 +420,49 @@ def matrix_transpose(a):
 # -- predicates ---------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _k_isclose(rtol, atol, equal_nan):
+    return jax.jit(
+        lambda x, y: jnp.isclose(
+            x, y, rtol=rtol, atol=atol, equal_nan=equal_nan
+        )
+    )
+
+
 def isclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False):
     a, b = _to_ba(a), _to_ba(b)
+    return _wrapc(a, _call(_k_isclose(rtol, atol, equal_nan), a, b))
 
-    @functools.partial(jax.jit, static_argnames=("rtol", "atol", "equal_nan"))
-    def impl(x, y, rtol, atol, equal_nan):
-        return jnp.isclose(x, y, rtol=rtol, atol=atol, equal_nan=equal_nan)
 
-    return _wrap(a, impl(a.data, b.data, rtol, atol, equal_nan))
+_k_array_equal = jax.jit(lambda x, y: jnp.array_equal(x, y))
 
 
 def array_equal(a, b):
     a, b = _to_ba(a), _to_ba(b)
     if a.shape != b.shape:
         return _instance().scalar(False)
-
-    @jax.jit
-    def impl(x, y):
-        return jnp.array_equal(x, y)
-
-    return _wrap(a, impl(a.data, b.data))
+    return _wrapc(a, _call(_k_array_equal, a, b))
 
 
 def real(a):
     a = _to_ba(a)
-    return _wrap(a, _jit_kw("real")(a.data), a.block_shape)
+    return _wrapc(a, _call(_jit_kw("real"), a), a.block_shape)
 
 
 def imag(a):
     a = _to_ba(a)
-    return _wrap(a, _jit_kw("imag")(a.data), a.block_shape)
+    return _wrapc(a, _call(_jit_kw("imag"), a), a.block_shape)
 
 
 def nan_to_num(a, nan=0.0, posinf=None, neginf=None):
     a = _to_ba(a)
-    data = _jit_kw("nan_to_num", nan=nan, posinf=posinf, neginf=neginf)(a.data)
-    return _wrap(a, data, a.block_shape)
+    kernel = _jit_kw("nan_to_num", nan=nan, posinf=posinf, neginf=neginf)
+    return _wrapc(a, _call(kernel, a), a.block_shape)
 
 
 def diff(a, n=1, axis=-1):
     a = _to_ba(a)
-    data = _jit_kw("diff", n=n, axis=axis)(a.data)
-    return _wrap(a, data)
+    return _wrapc(a, _call(_jit_kw("diff", n=n, axis=axis), a))
 
 
 def unique(a):
@@ -431,82 +477,84 @@ def unique(a):
 # -- statistics ----------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _k_quantile_like(fname, qt, axis, squeeze0):
+    fn = getattr(jnp, fname)
+
+    def impl(x):
+        out = fn(x, jnp.asarray(qt), axis=axis)
+        return out[0] if squeeze0 else out
+
+    return jax.jit(impl)
+
+
 def percentile(a, q, axis=None):
     a = _to_ba(a)
     qt = tuple(np.atleast_1d(q).tolist())
-
-    @functools.partial(jax.jit, static_argnames=("qt", "axis"))
-    def impl(x, qt, axis):
-        return jnp.percentile(x, jnp.asarray(qt), axis=axis)
-
-    out = impl(a.data, qt, axis)
-    if np.isscalar(q):
-        out = out[0]
-    return _wrap(a, out)
+    kernel = _k_quantile_like("percentile", qt, axis, np.isscalar(q))
+    return _wrapc(a, _call(kernel, a))
 
 
 def quantile(a, q, axis=None):
     a = _to_ba(a)
     qt = tuple(np.atleast_1d(q).tolist())
+    kernel = _k_quantile_like("quantile", qt, axis, np.isscalar(q))
+    return _wrapc(a, _call(kernel, a))
 
-    @functools.partial(jax.jit, static_argnames=("qt", "axis"))
-    def impl(x, qt, axis):
-        return jnp.quantile(x, jnp.asarray(qt), axis=axis)
 
-    out = impl(a.data, qt, axis)
-    if np.isscalar(q):
-        out = out[0]
-    return _wrap(a, out)
+@functools.lru_cache(maxsize=None)
+def _k_histogram(bins, range):  # noqa: A002
+    def impl(x):
+        return tuple(jnp.histogram(x, bins=bins, range=range))
+
+    return jax.jit(impl)
+
+
+_k_histogram_arr = jax.jit(lambda x, b: tuple(jnp.histogram(x, bins=b)))
 
 
 def histogram(a, bins=10, range=None):  # noqa: A002
     a = _to_ba(a)
     if not isinstance(bins, int):
         bins_arr = jnp.asarray(np.asarray(bins))
-
-        @jax.jit
-        def impl_arr(x, b):
-            return jnp.histogram(x, bins=b)
-
-        h, e = impl_arr(a.data, bins_arr)
+        (h, e), (h_l, e_l) = _call(_k_histogram_arr, a, bins_arr)
     else:
+        (h, e), (h_l, e_l) = _call(_k_histogram(bins, range), a)
+    return _wrap(a, h, shape=h_l), _wrap(a, e, shape=e_l)
 
-        @functools.partial(jax.jit, static_argnames=("bins", "range"))
-        def impl(x, bins, range):
-            return jnp.histogram(x, bins=bins, range=range)
 
-        h, e = impl(a.data, bins, range)
-    return _wrap(a, h), _wrap(a, e)
+@functools.lru_cache(maxsize=None)
+def _k_cov(rowvar, ddof):
+    return jax.jit(lambda x: jnp.cov(x, rowvar=rowvar, ddof=ddof))
 
 
 def cov(m, rowvar=True, ddof=None):
     m = _to_ba(m)
+    return _wrapc(m, _call(_k_cov(rowvar, ddof), m))
 
-    @functools.partial(jax.jit, static_argnames=("rowvar", "ddof"))
-    def impl(x, rowvar, ddof):
-        return jnp.cov(x, rowvar=rowvar, ddof=ddof)
 
-    return _wrap(m, impl(m.data, rowvar, ddof))
+@functools.lru_cache(maxsize=None)
+def _k_corrcoef(rowvar):
+    return jax.jit(lambda x: jnp.corrcoef(x, rowvar=rowvar))
 
 
 def corrcoef(m, rowvar=True):
     m = _to_ba(m)
+    return _wrapc(m, _call(_k_corrcoef(rowvar), m))
 
-    @functools.partial(jax.jit, static_argnames=("rowvar",))
-    def impl(x, rowvar):
-        return jnp.corrcoef(x, rowvar=rowvar)
 
-    return _wrap(m, impl(m.data, rowvar))
+_k_interp = jax.jit(lambda a, b, c: jnp.interp(a, b, c))
 
 
 def interp(x, xp, fp):
     x, xp, fp = _to_ba(x), _to_ba(xp), _to_ba(fp)
+    return _wrapc(x, _call(_k_interp, x, xp, fp))
 
-    @jax.jit
-    def impl(a, b, c):
-        return jnp.interp(a, b, c)
 
-    return _wrap(x, impl(x.data, xp.data, fp.data))
+@functools.lru_cache(maxsize=None)
+def _k_pad(pw, mode, constant_values):
+    kw = {"constant_values": constant_values} if mode == "constant" else {}
+    return jax.jit(lambda x: jnp.pad(x, pw, mode=mode, **kw))
 
 
 def pad(array, pad_width, mode="constant", constant_values=0):
@@ -519,28 +567,22 @@ def pad(array, pad_width, mode="constant", constant_values=0):
         )
         if len(pw) == 1:
             pw = pw * a.ndim
+    return _wrapc(a, _call(_k_pad(pw, mode, constant_values), a))
 
-    @functools.partial(
-        jax.jit, static_argnames=("pw", "mode", "constant_values")
-    )
-    def impl(x, pw, mode, constant_values):
-        kw = {"constant_values": constant_values} if mode == "constant" else {}
-        return jnp.pad(x, pw, mode=mode, **kw)
 
-    return _wrap(a, impl(a.data, pw, mode, constant_values))
+@functools.lru_cache(maxsize=None)
+def _k_bincount(length):
+    return jax.jit(lambda v: jnp.bincount(v, length=length))
 
 
 def bincount(x, minlength=0):
     """Output length is max(x)+1 — data-dependent ⇒ one host sync to size
     the result; the counting itself runs on device."""
     x = _to_ba(x)
-    length = max(int(minlength), int(x.max()) + 1 if x.size else 0)
-
-    @functools.partial(jax.jit, static_argnames=("length",))
-    def impl(v, length):
-        return jnp.bincount(v, length=length)
-
-    return _wrap(x, impl(x.data, length))
+    length = builtins.max(
+        int(minlength), int(x.max()) + 1 if x.size else 0
+    )
+    return _wrapc(x, _call(_k_bincount(length), x))
 
 
 # -- remaining manipulation / misc ---------------------------------------
@@ -564,14 +606,14 @@ def geomspace(start, stop, num=50, endpoint=True, dtype=None):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _k_append(axis):
+    return jax.jit(lambda x, v: jnp.append(x, v, axis=axis))
+
+
 def append(arr, values, axis=None):
     arr, values = _to_ba(arr), _to_ba(values)
-
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl(x, v, axis):
-        return jnp.append(x, v, axis=axis)
-
-    return _wrap(arr, impl(arr.data, values.data, axis))
+    return _wrapc(arr, _call(_k_append(axis), arr, values))
 
 
 def array_split(ary, indices_or_sections, axis=0):
@@ -618,49 +660,43 @@ def atleast_3d(a):
 
 def diagonal(a, offset=0):
     a = _to_ba(a)
-    data = _jit_kw("diagonal", offset=offset)(a.data)
-    return _wrap(a, data)
+    return _wrapc(a, _call(_jit_kw("diagonal", offset=offset), a))
 
 
 def diagflat(v, k=0):
     v = _to_ba(v)
-    data = _jit_kw("diagflat", k=k)(v.data)
-    return _wrap(v, data)
+    return _wrapc(v, _call(_jit_kw("diagflat", k=k), v))
+
+
+@functools.lru_cache(maxsize=None)
+def _k_digitize(right):
+    return jax.jit(lambda xx, bb: jnp.digitize(xx, bb, right=right))
 
 
 def digitize(x, bins, right=False):
     x, bins = _to_ba(x), _to_ba(bins)
-
-    @functools.partial(jax.jit, static_argnames=("right",))
-    def impl(xx, bb, right):
-        return jnp.digitize(xx, bb, right=right)
-
-    return _wrap(x, impl(x.data, bins.data, right))
+    return _wrapc(x, _call(_k_digitize(right), x, bins))
 
 
 def angle(z, deg=False):
     z = _to_ba(z)
-    data = _jit_kw("angle", deg=deg)(z.data)
-    return _wrap(z, data, z.block_shape)
+    return _wrapc(z, _call(_jit_kw("angle", deg=deg), z), z.block_shape)
 
 
 def fix(x):
     # jnp.fix is deprecated (jax 0.9); trunc is the replacement.
     x = _to_ba(x)
-    return _wrap(x, _jit_kw("trunc")(x.data), x.block_shape)
+    return _wrapc(x, _call(_jit_kw("trunc"), x), x.block_shape)
+
+
+_k_divmod = jax.jit(lambda a, b: jnp.divmod(a, b))
 
 
 def divmod(x1, x2):  # noqa: A001
     x1 = _to_ba(x1)
-    x2v = _to_ba(x2)
-    x2d = x2v.data if isinstance(x2v, type(x1)) else x2v
-
-    @jax.jit
-    def impl(a, b):
-        return jnp.divmod(a, b)
-
-    q, r = impl(x1.data, x2d)
-    return _wrap(x1, q), _wrap(x1, r)
+    x2 = _to_ba(x2)
+    (q, r), (q_l, r_l) = _call(_k_divmod, x1, x2)
+    return _wrap(x1, q, shape=q_l), _wrap(x1, r, shape=r_l)
 
 
 def compress(condition, a, axis=None):
@@ -733,72 +769,77 @@ permute_dims = _alias_of("transpose")
 # -- signal / misc -------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _k_meshgrid(indexing, n):
+    del n
+    return jax.jit(lambda *ds: tuple(jnp.meshgrid(*ds, indexing=indexing)))
+
+
 def meshgrid(*xi, indexing="xy"):
     bas = [_to_ba(x) for x in xi]
-    datas = tuple(b.data for b in bas)
+    outs, lshapes = _call(_k_meshgrid(indexing, len(bas)), *bas)
+    return [_wrap(bas[0], o, shape=ls) for o, ls in zip(outs, lshapes)]
 
-    @functools.partial(jax.jit, static_argnames=("indexing",))
-    def impl(indexing, *ds):
-        return jnp.meshgrid(*ds, indexing=indexing)
 
-    outs = impl(indexing, *datas)
-    return [_wrap(bas[0], o) for o in outs]
+@functools.lru_cache(maxsize=None)
+def _k_cross(axis):
+    return jax.jit(lambda x, y: jnp.cross(x, y, axis=axis))
 
 
 def cross(a, b, axis=-1):
     a, b = _to_ba(a), _to_ba(b)
+    return _wrapc(a, _call(_k_cross(axis), a, b))
 
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl(x, y, axis):
-        return jnp.cross(x, y, axis=axis)
 
-    return _wrap(a, impl(a.data, b.data, axis))
+@functools.lru_cache(maxsize=None)
+def _k_convolve_like(fname, mode):
+    fn = getattr(jnp, fname)
+    return jax.jit(lambda x, y: fn(x, y, mode=mode))
 
 
 def convolve(a, v, mode="full"):
     a, v = _to_ba(a), _to_ba(v)
-
-    @functools.partial(jax.jit, static_argnames=("mode",))
-    def impl(x, y, mode):
-        return jnp.convolve(x, y, mode=mode)
-
-    return _wrap(a, impl(a.data, v.data, mode))
+    return _wrapc(a, _call(_k_convolve_like("convolve", mode), a, v))
 
 
 def correlate(a, v, mode="valid"):
     a, v = _to_ba(a), _to_ba(v)
+    return _wrapc(a, _call(_k_convolve_like("correlate", mode), a, v))
 
-    @functools.partial(jax.jit, static_argnames=("mode",))
-    def impl(x, y, mode):
-        return jnp.correlate(x, y, mode=mode)
 
-    return _wrap(a, impl(a.data, v.data, mode))
+@functools.lru_cache(maxsize=None)
+def _k_gradient(axis):
+    def impl(x):
+        out = jnp.gradient(x, axis=axis)
+        return tuple(out) if isinstance(out, (tuple, list)) else out
+
+    return jax.jit(impl)
 
 
 def gradient(f, axis=None):
     f = _to_ba(f)
-    data = _jit_kw("gradient", axis=axis)(f.data)
-    if isinstance(data, (tuple, list)):
-        return [_wrap(f, d) for d in data]
-    return _wrap(f, data)
+    data, lshape = _call(_k_gradient(axis), f)
+    if isinstance(data, tuple):
+        return [_wrap(f, d, shape=ls) for d, ls in zip(data, lshape)]
+    return _wrap(f, data, shape=lshape)
+
+
+@functools.lru_cache(maxsize=None)
+def _k_trapezoid(dx, axis):
+    return jax.jit(lambda yy: jnp.trapezoid(yy, dx=dx, axis=axis))
+
+
+@functools.lru_cache(maxsize=None)
+def _k_trapezoid_x(axis):
+    return jax.jit(lambda yy, xx: jnp.trapezoid(yy, xx, axis=axis))
 
 
 def trapezoid(y, x=None, dx=1.0, axis=-1):
     y = _to_ba(y)
     if x is None:
-
-        @functools.partial(jax.jit, static_argnames=("dx", "axis"))
-        def impl(yy, dx, axis):
-            return jnp.trapezoid(yy, dx=dx, axis=axis)
-
-        return _wrap(y, impl(y.data, dx, axis))
+        return _wrapc(y, _call(_k_trapezoid(float(dx), axis), y))
     x = _to_ba(x)
-
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl2(yy, xx, axis):
-        return jnp.trapezoid(yy, xx, axis=axis)
-
-    return _wrap(y, impl2(y.data, x.data, axis))
+    return _wrapc(y, _call(_k_trapezoid_x(axis), y, x))
 
 
 trapz = trapezoid
@@ -806,22 +847,22 @@ trapz = trapezoid
 
 def sinc(x):
     x = _to_ba(x)
-    return _wrap(x, _jit_kw("sinc")(x.data), x.block_shape)
+    return _wrapc(x, _call(_jit_kw("sinc"), x), x.block_shape)
 
 
 def ediff1d(ary):
     ary = _to_ba(ary)
-    return _wrap(ary, _jit_kw("ediff1d")(ary.data))
+    return _wrapc(ary, _call(_jit_kw("ediff1d"), ary))
+
+
+@functools.lru_cache(maxsize=None)
+def _k_vander(N, increasing):
+    return jax.jit(lambda v: jnp.vander(v, N=N, increasing=increasing))
 
 
 def vander(x, N=None, increasing=False):
     x = _to_ba(x)
-
-    @functools.partial(jax.jit, static_argnames=("N", "increasing"))
-    def impl(v, N, increasing):
-        return jnp.vander(v, N=N, increasing=increasing)
-
-    return _wrap(x, impl(x.data, N, increasing))
+    return _wrapc(x, _call(_k_vander(N, increasing), x))
 
 
 def tri(N, M=None, k=0, dtype=float):
