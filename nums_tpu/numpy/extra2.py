@@ -1,6 +1,7 @@
 """Third facade tranche: predicates, nan-variants, windows, index utils,
-polynomials. Same machinery as ``extra.py`` (jitted XLA kernels over
-BlockArray; host sync only where output shape is data-dependent)."""
+polynomials. Same machinery as ``extra.py``: module-level cached jitted
+kernels routed through the pad-and-mask + lazy adapter (``_call``); host
+sync only where output shape is data-dependent."""
 
 import functools
 
@@ -10,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from nums_tpu.core.application_manager import instance as _instance
-from nums_tpu.numpy.extra import _to_ba, _wrap, _jit_kw
+from nums_tpu.numpy.extra import _to_ba, _wrap, _wrapc, _call, _jit_kw
 
 __all__ = [
     "isin", "isreal", "iscomplex", "isneginf", "isposinf", "isrealobj",
@@ -30,46 +31,41 @@ from nums_tpu.numpy.api import (  # noqa: E402,F401
 )
 
 
+_k_frexp = jax.jit(lambda v: jnp.frexp(v))
+
+
 def frexp(x):
     x = _to_ba(x)
+    (m, e), (m_l, e_l) = _call(_k_frexp, x)
+    return (
+        _wrap(x, m, x.block_shape, shape=m_l),
+        _wrap(x, e, x.block_shape, shape=e_l),
+    )
 
-    @jax.jit
-    def impl(v):
-        return jnp.frexp(v)
 
-    m, e = impl(x.data)
-    return _wrap(x, m, x.block_shape), _wrap(x, e, x.block_shape)
+_k_isin = jax.jit(lambda e, t: jnp.isin(e, t))
 
 
 def isin(element, test_elements):
     element, test = _to_ba(element), _to_ba(test_elements)
-
-    @jax.jit
-    def impl(e, t):
-        return jnp.isin(e, t)
-
-    return _wrap(element, impl(element.data, test.data),
-                 element.block_shape)
+    return _wrapc(element, _call(_k_isin, element, test),
+                  element.block_shape)
 
 
-def isreal(x):
-    x = _to_ba(x)
-    return _wrap(x, _jit_kw("isreal")(x.data), x.block_shape)
+def _unary_same_shape(fname):
+    def fn(x):
+        x = _to_ba(x)
+        return _wrapc(x, _call(_jit_kw(fname), x), x.block_shape)
+
+    fn.__name__ = fname
+    return fn
 
 
-def iscomplex(x):
-    x = _to_ba(x)
-    return _wrap(x, _jit_kw("iscomplex")(x.data), x.block_shape)
-
-
-def isneginf(x):
-    x = _to_ba(x)
-    return _wrap(x, _jit_kw("isneginf")(x.data), x.block_shape)
-
-
-def isposinf(x):
-    x = _to_ba(x)
-    return _wrap(x, _jit_kw("isposinf")(x.data), x.block_shape)
+isreal = _unary_same_shape("isreal")
+iscomplex = _unary_same_shape("iscomplex")
+isneginf = _unary_same_shape("isneginf")
+isposinf = _unary_same_shape("isposinf")
+i0 = _unary_same_shape("i0")
 
 
 def isrealobj(x):
@@ -83,7 +79,7 @@ def iscomplexobj(x):
 def _unary_axis(fname):
     def fn(a, axis=None):
         a = _to_ba(a)
-        return _wrap(a, _jit_kw(fname, axis=axis)(a.data))
+        return _wrapc(a, _call(_jit_kw(fname, axis=axis), a))
 
     fn.__name__ = fname
     return fn
@@ -96,77 +92,79 @@ nancumprod = _unary_axis("nancumprod")
 nanprod = _unary_axis("nanprod")
 
 
+@functools.lru_cache(maxsize=None)
+def _k_nanquantile_like(fname, qt, axis, squeeze0):
+    fn = getattr(jnp, fname)
+
+    def impl(x):
+        out = fn(x, jnp.asarray(qt), axis=axis)
+        return out[0] if squeeze0 else out
+
+    return jax.jit(impl)
+
+
 def nanpercentile(a, q, axis=None):
     a = _to_ba(a)
     qt = tuple(np.atleast_1d(q).tolist())
-
-    @functools.partial(jax.jit, static_argnames=("qt", "axis"))
-    def impl(x, qt, axis):
-        return jnp.nanpercentile(x, jnp.asarray(qt), axis=axis)
-
-    out = impl(a.data, qt, axis)
-    if np.isscalar(q):
-        out = out[0]
-    return _wrap(a, out)
+    kernel = _k_nanquantile_like("nanpercentile", qt, axis, np.isscalar(q))
+    return _wrapc(a, _call(kernel, a))
 
 
 def nanquantile(a, q, axis=None):
     a = _to_ba(a)
     qt = tuple(np.atleast_1d(q).tolist())
+    kernel = _k_nanquantile_like("nanquantile", qt, axis, np.isscalar(q))
+    return _wrapc(a, _call(kernel, a))
 
-    @functools.partial(jax.jit, static_argnames=("qt", "axis"))
-    def impl(x, qt, axis):
-        return jnp.nanquantile(x, jnp.asarray(qt), axis=axis)
 
-    out = impl(a.data, qt, axis)
-    if np.isscalar(q):
-        out = out[0]
-    return _wrap(a, out)
+@functools.lru_cache(maxsize=None)
+def _k_take_along_axis(axis):
+    return jax.jit(lambda a, idx: jnp.take_along_axis(a, idx, axis=axis))
 
 
 def take_along_axis(arr, indices, axis):
     arr, indices = _to_ba(arr), _to_ba(indices)
+    return _wrapc(arr, _call(_k_take_along_axis(axis), arr, indices))
 
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl(a, idx, axis):
-        return jnp.take_along_axis(a, idx, axis=axis)
 
-    return _wrap(arr, impl(arr.data, indices.data, axis))
+@functools.lru_cache(maxsize=None)
+def _k_select(k, default):
+    return jax.jit(
+        lambda *ds: jnp.select(list(ds[:k]), list(ds[k:]), default=default)
+    )
 
 
 def select(condlist, choicelist, default=0):
     conds = [_to_ba(c) for c in condlist]
     choices = [_to_ba(c) for c in choicelist]
-    datas = tuple(c.data for c in conds) + tuple(c.data for c in choices)
-    k = len(conds)
+    kernel = _k_select(len(conds), default)
+    return _wrapc(conds[0], _call(kernel, *(conds + choices)))
 
-    @functools.partial(jax.jit, static_argnames=("k", "default"))
-    def impl(k, default, *ds):
-        return jnp.select(list(ds[:k]), list(ds[k:]), default=default)
 
-    return _wrap(conds[0], impl(k, default, *datas))
+@functools.lru_cache(maxsize=None)
+def _k_unravel_index(shape):
+    return jax.jit(lambda idx: jnp.unravel_index(idx, shape))
 
 
 def unravel_index(indices, shape):
     indices = _to_ba(indices)
+    outs, lshapes = _call(_k_unravel_index(tuple(shape)), indices)
+    return tuple(
+        _wrap(indices, o, shape=ls) for o, ls in zip(outs, lshapes)
+    )
 
-    @functools.partial(jax.jit, static_argnames=("shape",))
-    def impl(idx, shape):
-        return jnp.unravel_index(idx, shape)
 
-    outs = impl(indices.data, tuple(shape))
-    return tuple(_wrap(indices, o) for o in outs)
+@functools.lru_cache(maxsize=None)
+def _k_ravel_multi_index(dims):
+    # mode='raise' needs concrete indices; 'wrap' keeps it jittable.
+    return jax.jit(
+        lambda *idx: jnp.ravel_multi_index(idx, dims, mode="wrap")
+    )
 
 
 def ravel_multi_index(multi_index, dims):
     bas = [_to_ba(m) for m in multi_index]
-
-    @functools.partial(jax.jit, static_argnames=("dims",))
-    def impl(dims, *idx):
-        # mode='raise' needs concrete indices; 'wrap' keeps it jittable.
-        return jnp.ravel_multi_index(idx, dims, mode="wrap")
-
-    return _wrap(bas[0], impl(tuple(dims), *[b.data for b in bas]))
+    return _wrapc(bas[0], _call(_k_ravel_multi_index(tuple(dims)), *bas))
 
 
 def _index_pair(np_fn, *args, **kwargs):
@@ -198,29 +196,27 @@ def indices(dimensions, dtype=None):
     return app.array(out, block_shape=out.shape)
 
 
+_k_polyval = jax.jit(lambda pp, xx: jnp.polyval(pp, xx))
+
+
 def polyval(p, x):
     p, x = _to_ba(p), _to_ba(x)
+    return _wrapc(x, _call(_k_polyval, p, x))
 
-    @jax.jit
-    def impl(pp, xx):
-        return jnp.polyval(pp, xx)
 
-    return _wrap(x, impl(p.data, x.data))
+@functools.lru_cache(maxsize=None)
+def _k_polyfit(deg):
+    return jax.jit(lambda xx, yy: jnp.polyfit(xx, yy, deg))
 
 
 def polyfit(x, y, deg):
     x, y = _to_ba(x), _to_ba(y)
-
-    @functools.partial(jax.jit, static_argnames=("deg",))
-    def impl(xx, yy, deg):
-        return jnp.polyfit(xx, yy, deg)
-
-    return _wrap(x, impl(x.data, y.data, int(deg)))
+    return _wrapc(x, _call(_k_polyfit(int(deg)), x, y))
 
 
 def unwrap(p, axis=-1):
     p = _to_ba(p)
-    return _wrap(p, _jit_kw("unwrap", axis=axis)(p.data), p.block_shape)
+    return _wrapc(p, _call(_jit_kw("unwrap", axis=axis), p), p.block_shape)
 
 
 def _window(fname):
@@ -246,27 +242,28 @@ def kaiser(M, beta):
     return app.array(out, block_shape=out.shape)
 
 
-def i0(x):
-    x = _to_ba(x)
-    return _wrap(x, _jit_kw("i0")(x.data), x.block_shape)
+@functools.lru_cache(maxsize=None)
+def _k_histogram_bin_edges(bins, range):  # noqa: A002
+    return jax.jit(
+        lambda x: jnp.histogram_bin_edges(x, bins=bins, range=range)
+    )
 
 
 def histogram_bin_edges(a, bins=10, range=None):  # noqa: A002
     a = _to_ba(a)
+    return _wrapc(a, _call(_k_histogram_bin_edges(bins, range), a))
 
-    @functools.partial(jax.jit, static_argnames=("bins", "range"))
-    def impl(x, bins, range):
-        return jnp.histogram_bin_edges(x, bins=bins, range=range)
 
-    return _wrap(a, impl(a.data, bins, range))
+@functools.lru_cache(maxsize=None)
+def _k_histogram2d(bins):
+    return jax.jit(lambda xx, yy: tuple(jnp.histogram2d(xx, yy, bins=bins)))
 
 
 def histogram2d(x, y, bins=10):
     x, y = _to_ba(x), _to_ba(y)
-
-    @functools.partial(jax.jit, static_argnames=("bins",))
-    def impl(xx, yy, bins):
-        return jnp.histogram2d(xx, yy, bins=bins)
-
-    h, ex, ey = impl(x.data, y.data, bins)
-    return _wrap(x, h), _wrap(x, ex), _wrap(x, ey)
+    (h, ex, ey), (h_l, ex_l, ey_l) = _call(_k_histogram2d(bins), x, y)
+    return (
+        _wrap(x, h, shape=h_l),
+        _wrap(x, ex, shape=ex_l),
+        _wrap(x, ey, shape=ey_l),
+    )

@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from nums_tpu.core.application_manager import instance as _instance
-from nums_tpu.numpy.extra import _to_ba, _wrap, _jit_kw
+from nums_tpu.numpy.extra import _to_ba, _wrap, _wrapc, _call, _jit_kw
 
 __all__ = [
     "argpartition", "partition", "lexsort", "modf", "rot90", "rollaxis",
@@ -29,53 +29,55 @@ iterable = np.iterable
 
 def argpartition(a, kth, axis=-1):
     a = _to_ba(a)
-    return _wrap(a, _jit_kw("argpartition", kth=kth, axis=axis)(a.data))
+    return _wrapc(a, _call(_jit_kw("argpartition", kth=kth, axis=axis), a))
 
 
 def partition(a, kth, axis=-1):
     a = _to_ba(a)
-    return _wrap(a, _jit_kw("partition", kth=kth, axis=axis)(a.data))
+    return _wrapc(a, _call(_jit_kw("partition", kth=kth, axis=axis), a))
+
+
+@functools.lru_cache(maxsize=None)
+def _k_lexsort(axis, n):
+    del n
+    return jax.jit(lambda *ks: jnp.lexsort(ks, axis=axis))
 
 
 def lexsort(keys, axis=-1):
     bas = [_to_ba(k) for k in keys]
+    return _wrapc(bas[0], _call(_k_lexsort(axis, len(bas)), *bas))
 
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl(axis, *ks):
-        return jnp.lexsort(ks, axis=axis)
 
-    return _wrap(bas[0], impl(axis, *[b.data for b in bas]))
+_k_modf = jax.jit(lambda v: jnp.modf(v))
 
 
 def modf(x):
     x = _to_ba(x)
-
-    @jax.jit
-    def impl(v):
-        return jnp.modf(v)
-
-    frac, whole = impl(x.data)
-    return _wrap(x, frac, x.block_shape), _wrap(x, whole, x.block_shape)
+    (frac, whole), (f_l, w_l) = _call(_k_modf, x)
+    return (
+        _wrap(x, frac, x.block_shape, shape=f_l),
+        _wrap(x, whole, x.block_shape, shape=w_l),
+    )
 
 
 def rot90(m, k=1, axes=(0, 1)):
     m = _to_ba(m)
-    return _wrap(m, _jit_kw("rot90", k=k, axes=tuple(axes))(m.data))
+    return _wrapc(m, _call(_jit_kw("rot90", k=k, axes=tuple(axes)), m))
 
 
 def rollaxis(a, axis, start=0):
     a = _to_ba(a)
-    return _wrap(a, _jit_kw("rollaxis", axis=axis, start=start)(a.data))
+    return _wrapc(a, _call(_jit_kw("rollaxis", axis=axis, start=start), a))
+
+
+@functools.lru_cache(maxsize=None)
+def _k_vecdot(axis):
+    return jax.jit(lambda a, b: jnp.vecdot(a, b, axis=axis))
 
 
 def vecdot(x1, x2, axis=-1):
     x1, x2 = _to_ba(x1), _to_ba(x2)
-
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl(a, b, axis):
-        return jnp.vecdot(a, b, axis=axis)
-
-    return _wrap(x1, impl(x1.data, x2.data, axis))
+    return _wrapc(x1, _call(_k_vecdot(axis), x1, x2))
 
 
 def block(arrays):
@@ -94,23 +96,19 @@ def block(arrays):
     return BlockArray.from_jax(out, backend=_instance().backend)
 
 
+_k_choose = jax.jit(lambda idx, *cs: jnp.choose(idx, list(cs), mode="clip"))
+
+
 def choose(a, choices):
     a = _to_ba(a)
     ch = [_to_ba(c) for c in choices]
-
-    @jax.jit
-    def impl(idx, *cs):
-        return jnp.choose(idx, list(cs), mode="clip")
-
-    return _wrap(a, impl(a.data, *[c.data for c in ch]))
+    return _wrapc(a, _call(_k_choose, a, *ch))
 
 
 def delete(arr, obj, axis=None):
     arr = _to_ba(arr)
     if isinstance(obj, (int, np.integer, slice)):
-        return _wrap(
-            arr, _jit_kw("delete", obj=obj, axis=axis)(arr.data)
-        )
+        return _wrapc(arr, _call(_jit_kw("delete", obj=obj, axis=axis), arr))
     # array-valued indices: data-dependent -> host
     out = np.delete(arr.get(), np.asarray(_to_ba(obj).get(), dtype=int),
                     axis=axis)
@@ -126,6 +124,9 @@ def insert(arr, obj, values, axis=None):
     return _instance().array(out, block_shape=None)
 
 
+_k_array_equiv = jax.jit(lambda x, y: jnp.all(x == y))
+
+
 def array_equiv(a1, a2):
     a1, a2 = _to_ba(a1), _to_ba(a2)
     try:
@@ -133,11 +134,7 @@ def array_equiv(a1, a2):
     except ValueError:
         return _instance().scalar(False)
 
-    @jax.jit
-    def impl(x, y):
-        return jnp.all(x == y)
-
-    return _wrap(a1, impl(a1.data, a2.data))
+    return _wrapc(a1, _call(_k_array_equiv, a1, a2))
 
 
 # -- set operations (data-dependent shapes ⇒ host sync, like where()) ----
@@ -222,15 +219,16 @@ def sort_complex(a):
 # -- polynomials ---------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _k_poly_bop(fname):
+    fn = getattr(jnp, fname)
+    return jax.jit(lambda x, y: fn(x, y))
+
+
 def _poly_bop(fname):
     def fn(a1, a2):
         a1, a2 = _to_ba(a1), _to_ba(a2)
-
-        @jax.jit
-        def impl(x, y):
-            return getattr(jnp, fname)(x, y)
-
-        return _wrap(a1, impl(a1.data, a2.data))
+        return _wrapc(a1, _call(_k_poly_bop(fname), a1, a2))
 
     fn.__name__ = fname
     return fn
@@ -241,25 +239,23 @@ polysub = _poly_bop("polysub")
 polymul = _poly_bop("polymul")
 
 
+_k_polydiv = jax.jit(lambda x, y: jnp.polydiv(x, y))
+
+
 def polydiv(u, v):
     u, v = _to_ba(u), _to_ba(v)
-
-    @jax.jit
-    def impl(x, y):
-        return jnp.polydiv(x, y)
-
-    q, r = impl(u.data, v.data)
-    return _wrap(u, q), _wrap(u, r)
+    (q, r), (q_l, r_l) = _call(_k_polydiv, u, v)
+    return _wrap(u, q, shape=q_l), _wrap(u, r, shape=r_l)
 
 
 def polyder(p, m=1):
     p = _to_ba(p)
-    return _wrap(p, _jit_kw("polyder", m=m)(p.data))
+    return _wrapc(p, _call(_jit_kw("polyder", m=m), p))
 
 
 def polyint(p, m=1):
     p = _to_ba(p)
-    return _wrap(p, _jit_kw("polyint", m=m)(p.data))
+    return _wrapc(p, _call(_jit_kw("polyint", m=m), p))
 
 
 def poly(seq_of_zeros):

@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from nums_tpu.numpy.extra import _to_ba
+from nums_tpu.numpy.extra import _to_ba, _call
 
 __all__ = [
     "put", "put_along_axis", "place", "putmask", "copyto",
@@ -26,30 +26,36 @@ def _rebind(ba, data):
     ba._store(data)
 
 
+_k_put = jax.jit(
+    lambda x, idx, vals: x.reshape(-1)
+    .at[idx]
+    .set(jnp.broadcast_to(jnp.ravel(vals), idx.shape))
+    .reshape(x.shape)
+)
+
+
 def put(a, ind, v):
     a = _to_ba(a)
     ind = jnp.asarray(np.asarray(_to_ba(ind).get(), dtype=int))
     v = _to_ba(v)
-
-    @jax.jit
-    def impl(x, idx, vals):
-        flat = x.reshape(-1)
-        vals = jnp.broadcast_to(jnp.ravel(vals), idx.shape)
-        return flat.at[idx].set(vals).reshape(x.shape)
-
-    _rebind(a, impl(a.data, ind, v.data))
+    data, _ = _call(_k_put, a, ind, v)
+    _rebind(a, data)
     return None
+
+
+@functools.lru_cache(maxsize=None)
+def _k_put_along_axis(axis):
+    return jax.jit(
+        lambda x, idx, vals: jnp.put_along_axis(
+            x, idx, jnp.broadcast_to(vals, idx.shape), axis, inplace=False
+        )
+    )
 
 
 def put_along_axis(arr, indices, values, axis):
     arr, indices, values = _to_ba(arr), _to_ba(indices), _to_ba(values)
-
-    @functools.partial(jax.jit, static_argnames=("axis",))
-    def impl(x, idx, vals, axis):
-        vals = jnp.broadcast_to(vals, idx.shape)
-        return jnp.put_along_axis(x, idx, vals, axis, inplace=False)
-
-    _rebind(arr, impl(arr.data, indices.data, values.data, axis))
+    data, _ = _call(_k_put_along_axis(axis), arr, indices, values)
+    _rebind(arr, data)
     return None
 
 
@@ -66,46 +72,45 @@ def place(arr, mask, vals):
     return None
 
 
+_k_putmask = jax.jit(
+    lambda x, m, v: jnp.where(
+        m, jnp.broadcast_to(jnp.resize(v, x.shape), x.shape), x
+    )
+)
+
+
 def putmask(a, mask, values):
     a, mask, values = _to_ba(a), _to_ba(mask), _to_ba(values)
-
-    @jax.jit
-    def impl(x, m, v):
-        v = jnp.broadcast_to(jnp.resize(v, x.shape), x.shape)
-        return jnp.where(m, v, x)
-
-    _rebind(a, impl(a.data, mask.data, values.data))
+    data, _ = _call(_k_putmask, a, mask, values)
+    _rebind(a, data)
     return None
+
+
+_k_copyto = jax.jit(
+    lambda x, s: jnp.broadcast_to(s, x.shape).astype(x.dtype)
+)
 
 
 def copyto(dst, src):
     dst = _to_ba(dst)
     src = _to_ba(src)
-
-    @jax.jit
-    def impl(x, s):
-        return jnp.broadcast_to(s, x.shape).astype(x.dtype)
-
-    _rebind(dst, impl(dst.data, src.data))
+    data, _ = _call(_k_copyto, dst, src)
+    _rebind(dst, data)
     return None
+
+
+_k_fill_diagonal = jax.jit(
+    lambda x, v: jnp.fill_diagonal(x, v, inplace=False)
+)
 
 
 def fill_diagonal(a, val):
     a = _to_ba(a)
-
-    @functools.partial(jax.jit, static_argnames=("val",))
-    def impl(x, val):
-        return jnp.fill_diagonal(x, val, inplace=False)
-
     if isinstance(val, (int, float, bool)):
-        _rebind(a, impl(a.data, val))
+        data, _ = _call(_k_fill_diagonal, a, val)
     else:
-
-        @jax.jit
-        def impl_arr(x, v):
-            return jnp.fill_diagonal(x, v, inplace=False)
-
-        _rebind(a, impl_arr(a.data, _to_ba(val).data))
+        data, _ = _call(_k_fill_diagonal, a, _to_ba(val))
+    _rebind(a, data)
     return None
 
 
