@@ -164,6 +164,23 @@ class NumsRandomState:
     def hypergeometric(
         self, ngood, nbad, nsample, shape=None, block_shape=None, dtype=None
     ):
+        nsample = int(nsample)
+        if nsample <= random_ops.HYPERGEOMETRIC_DEVICE_MAX_NSAMPLE:
+            if dtype is None:
+                dtype = np.int64
+            dtype_name = array_utils.to_dtype_name(dtype)
+            grid = self._grid(shape, block_shape, dtype_name)
+            sharding = self._backend.sharding_for_grid(grid)
+            pshape = self._backend.physical_shape(
+                grid.shape, grid.grid_shape
+            )
+            fn = random_ops.hypergeometric(
+                grid.shape, dtype_name, nsample, sharding, pshape
+            )
+            data = fn(self._next_key(), float(ngood), float(nbad))
+            return BlockArray(data, grid, self._backend)
+        # Huge nsample: the O(nsample) device chain loses to the host
+        # generator (same posture as the reference's host PCG64 path).
         return self._sample_basic(
             "hypergeometric", shape, block_shape, dtype, (ngood, nbad, nsample)
         )

@@ -214,6 +214,46 @@ def supported(name: str) -> bool:
     return name in _DISTS
 
 
+@functools.lru_cache(maxsize=None)
+def hypergeometric(shape: tuple, dtype_name: str, nsample: int, sharding,
+                   pshape: tuple = None):
+    """Exact sequential without-replacement sampler (jittable).
+
+    k = Σ_{t<nsample} Bernoulli(good_t / (good_t + bad_t)) with the urn
+    updated each draw — the chain-rule factorization of the
+    hypergeometric pmf, vectorized over the output shape. nsample is
+    static (one unrolled fori_loop bound per value); the reference
+    samples this distribution on the HOST with a jumped PCG64 per block
+    (numpy_compute.py:29-81) — here it stays on device.
+    """
+    dtype = jnp.dtype(dtype_name)
+
+    def impl(key, ngood, nbad):
+        good0 = jnp.full(shape, ngood, jnp.float32)
+        bad0 = jnp.full(shape, nbad, jnp.float32)
+        k0 = jnp.zeros(shape, jnp.int32)
+
+        def body(t, carry):
+            good, bad, k = carry
+            u = jr.uniform(jr.fold_in(key, t), shape, jnp.float32)
+            take = (u * (good + bad) < good).astype(jnp.float32)
+            return (
+                good - take,
+                bad - (1.0 - take),
+                k + take.astype(jnp.int32),
+            )
+
+        _, _, k = jax.lax.fori_loop(0, int(nsample), body, (good0, bad0, k0))
+        return _pad_phys(k.astype(dtype), pshape)
+
+    return jax.jit(impl, out_shardings=sharding)
+
+
+# Device path is O(nsample) sequential draws per element; beyond this,
+# the host generator is faster than the unrolled chain.
+HYPERGEOMETRIC_DEVICE_MAX_NSAMPLE = 4096
+
+
 def _pad_phys(out, pshape):
     """Zero-pad a logical sample to the at-rest (padded) shape.
 

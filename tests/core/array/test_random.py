@@ -150,3 +150,30 @@ def test_rng_state_roundtrip(nps_app_inst):
     npsr.set_state(s)
     x2 = npsr.normal(size=(4,)).get()
     assert np.allclose(x1, x2)
+
+
+def test_hypergeometric_device_path(app_inst):
+    """Device-side exact without-replacement chain: bounds, moments,
+    determinism, and cross-blocking invariance."""
+    ngood, nbad, nsample = 30, 20, 15
+    rs = app_inst.random_state(77)
+    x = rs.hypergeometric(ngood, nbad, nsample, shape=(4000,),
+                          block_shape=(500,))
+    v = x.get()
+    assert v.min() >= max(0, nsample - nbad)
+    assert v.max() <= min(nsample, ngood)
+    mean = nsample * ngood / (ngood + nbad)
+    n, g, b = nsample, ngood, nbad
+    var = n * (g / (g + b)) * (b / (g + b)) * ((g + b - n) / (g + b - 1))
+    assert abs(v.mean() - mean) < 4 * np.sqrt(var / v.size)
+    assert abs(v.var() - var) < 0.35 * var
+    # determinism + block-shape invariance (same seed ⇒ same array)
+    y = app_inst.random_state(77).hypergeometric(
+        ngood, nbad, nsample, shape=(4000,), block_shape=(4000,)
+    )
+    assert np.array_equal(v, y.get())
+    # huge nsample falls back to host without error
+    z = app_inst.random_state(1).hypergeometric(
+        10**6, 10**6, 10**5, shape=(8,), block_shape=(8,)
+    )
+    assert z.shape == (8,)
