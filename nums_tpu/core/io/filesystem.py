@@ -59,11 +59,22 @@ class FileSystem:
     # -- local filesystem (parity: filesystem.py:63-138) ----------------
 
     def write_fs(self, ba: BlockArray, filename: str):
-        path = _fs_path(filename)
+        """Crash-consistent checkpoint write.
+
+        Blocks land in a temp dir first and ``meta.pkl`` is written LAST;
+        the final directory appears via atomic rename. A crash mid-write
+        leaves either the previous complete checkpoint or a ``.tmp-*``
+        orphan — never a half-written directory that ``read_fs`` would
+        accept (readers require meta.pkl, which only exists once every
+        block is on disk). The reference lists journaling/idempotency as
+        absent TODOs (filesystem.py:217-222); this is the minimal
+        correct version of both.
+        """
+        final_path = _fs_path(filename)
+        path = f"{final_path}.tmp-{os.getpid()}"
+        if os.path.isdir(path):
+            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
-        meta = {"grid": ba.grid.to_meta()}
-        with open(os.path.join(path, "meta.pkl"), "wb") as f:
-            pickle.dump(meta, f)
         # One .npy per block, fetched batch-at-a-time from the device:
         # peak host memory stays O(batch of blocks), not O(array) — and
         # lazily-transposed arrays are read via transpose-aware
@@ -94,6 +105,18 @@ class FileSystem:
                 for p, blk in items:
                     np.save(p, blk)
             results.extend([True] * len(batch))
+        # meta.pkl last (completeness marker), then atomic publish.
+        meta = {"grid": ba.grid.to_meta()}
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        if os.path.isdir(final_path):
+            trash = f"{final_path}.old-{os.getpid()}"
+            shutil.rmtree(trash, ignore_errors=True)
+            os.rename(final_path, trash)
+            os.rename(path, final_path)
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(path, final_path)
         return np.array(results, dtype=bool)
 
     def read_meta_fs(self, filename: str) -> dict:
