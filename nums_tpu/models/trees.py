@@ -1,3 +1,223 @@
-"""Tree models — placeholder (parity: the reference's empty
-``nums/models/trees.py``; tree training lives in
-``nums_tpu.experimental.nums_xgb``)."""
+"""TPU-native gradient-boosted trees (histogram GBDT, oblivious trees).
+
+The reference ships an empty placeholder (``nums/models/trees.py`` is a
+license header only); this implements the family for real, designed for
+the hardware rather than ported:
+
+- **Oblivious (symmetric) trees**: every level applies ONE shared
+  (feature, bin-threshold) split, so a depth-D tree is a decision table
+  with 2^D leaves and a sample's leaf index is D vectorized comparisons
+  — no data-dependent control flow, perfectly jittable/SPMD.
+- **Histogram splits**: per-level (leaf × feature × bin) gradient and
+  hessian histograms built with ONE scatter-add over the whole (sharded)
+  sample axis; split gain is a closed-form cumsum scan over the
+  histogram (second-order/XGBoost-style gain with L2 regularization).
+- **Whole-training-run fusion**: fit compiles to one XLA program
+  (``lax.fori_loop`` over boosting rounds, unrolled static depth) — the
+  same zero-sync design as ``fast_glm``.
+
+Objectives: squared error (regression) and logistic (binary
+classification), both with exact Newton leaf values.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nums_tpu.core.application_manager import instance as _instance
+from nums_tpu.core.array.blockarray import BlockArray
+
+__all__ = ["GBTRegressor", "GBTClassifier", "GradientBoostedTrees"]
+
+
+def _quantile_edges(x, n_bins):
+    """(n_bins-1, d) per-feature bin edges from quantiles."""
+    qs = jnp.linspace(0.0, 100.0, n_bins + 1)[1:-1]
+    return jnp.percentile(x, qs, axis=0)
+
+
+def _bin_features(x, edges):
+    """(n, d) int32 bin ids: vmapped binary search per feature."""
+    return jax.vmap(
+        lambda col, e: jnp.searchsorted(e, col), in_axes=(1, 1), out_axes=1
+    )(x, edges).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _train_kernel(n_estimators, max_depth, n_bins, objective,
+                  learning_rate, reg_lambda, base_score):
+    n_leaves = 1 << max_depth
+    lr = float(learning_rate)
+    lam = float(reg_lambda)
+
+    def grad_hess(pred, y):
+        if objective == "logistic":
+            p = jax.nn.sigmoid(pred)
+            return p - y, p * (1.0 - p)
+        return pred - y, jnp.ones_like(pred)  # squared error
+
+    def train(xb, y):
+        n, d = xb.shape
+        flat_cols = jnp.arange(d, dtype=jnp.int32)  # (d,)
+
+        def one_round(carry, _):
+            pred, = carry
+            g, h = grad_hess(pred, y)
+            leaf = jnp.zeros(n, jnp.int32)
+            feats = jnp.zeros(max_depth, jnp.int32)
+            cuts = jnp.zeros(max_depth, jnp.int32)
+
+            for lvl in range(max_depth):
+                width = 1 << lvl
+                # One scatter-add builds every (leaf, feature, bin) cell:
+                # index (n, d) -> flat (leaf*d + j)*n_bins + bin.
+                idx = (
+                    (leaf[:, None] * d + flat_cols[None, :]) * n_bins + xb
+                ).reshape(-1)
+                size = width * d * n_bins
+                gh = jnp.zeros((size, 2), jnp.float32)
+                vals = jnp.stack(
+                    [
+                        jnp.broadcast_to(g[:, None], (n, d)).reshape(-1),
+                        jnp.broadcast_to(h[:, None], (n, d)).reshape(-1),
+                    ],
+                    axis=1,
+                )
+                gh = gh.at[idx].add(vals)
+                gh = gh.reshape(width, d, n_bins, 2)
+                cum_g = jnp.cumsum(gh[..., 0], axis=2)  # (L, d, B)
+                cum_h = jnp.cumsum(gh[..., 1], axis=2)
+                tot_g = cum_g[..., -1:]
+                tot_h = cum_h[..., -1:]
+                gl, hl = cum_g, cum_h
+                gr, hr = tot_g - cum_g, tot_h - cum_h
+                gain = (
+                    gl**2 / (hl + lam)
+                    + gr**2 / (hr + lam)
+                    - tot_g**2 / (tot_h + lam)
+                )  # (L, d, B)
+                # Oblivious: one (feature, bin) shared by all level leaves.
+                level_gain = gain.sum(axis=0).reshape(-1)  # (d*B,)
+                best = jnp.argmax(level_gain)
+                j = (best // n_bins).astype(jnp.int32)
+                b = (best % n_bins).astype(jnp.int32)
+                feats = feats.at[lvl].set(j)
+                cuts = cuts.at[lvl].set(b)
+                go_right = (jnp.take(xb, j, axis=1) > b).astype(jnp.int32)
+                leaf = leaf * 2 + go_right
+
+            # Newton leaf values from per-leaf grad/hess sums.
+            gs = jnp.zeros(n_leaves, jnp.float32).at[leaf].add(g)
+            hs = jnp.zeros(n_leaves, jnp.float32).at[leaf].add(h)
+            leaf_vals = -lr * gs / (hs + lam)
+            pred = pred + leaf_vals[leaf]
+            return (pred,), (feats, cuts, leaf_vals)
+
+        pred0 = jnp.full(n, float(base_score), jnp.float32)
+        (pred,), (feats, cuts, leaf_vals) = jax.lax.scan(
+            one_round, (pred0,), None, length=n_estimators
+        )
+        return feats, cuts, leaf_vals, pred
+
+    return jax.jit(train)
+
+
+@functools.lru_cache(maxsize=None)
+def _predict_kernel(max_depth, base_score):
+    def predict(xb, feats, cuts, leaf_vals):
+        n = xb.shape[0]
+
+        def one_tree(pred, tree):
+            f, c, lv = tree
+            leaf = jnp.zeros(n, jnp.int32)
+            for lvl in range(max_depth):
+                go_right = (
+                    jnp.take(xb, f[lvl], axis=1) > c[lvl]
+                ).astype(jnp.int32)
+                leaf = leaf * 2 + go_right
+            return pred + lv[leaf], None
+
+        pred0 = jnp.full(n, float(base_score), jnp.float32)
+        pred, _ = jax.lax.scan(one_tree, pred0, (feats, cuts, leaf_vals))
+        return pred
+
+    return jax.jit(predict)
+
+
+class GradientBoostedTrees:
+    """Histogram GBDT over BlockArrays; fit/predict are single XLA
+    programs (compare: the reference's model layer issues one Ray task
+    per block per op)."""
+
+    def __init__(self, objective="squared", n_estimators=20, max_depth=4,
+                 learning_rate=0.2, n_bins=64, reg_lambda=1.0):
+        assert objective in ("squared", "logistic"), objective
+        assert 1 <= max_depth <= 10
+        self.objective = objective
+        self.n_estimators = int(n_estimators)
+        self.max_depth = int(max_depth)
+        self.learning_rate = float(learning_rate)
+        self.n_bins = int(n_bins)
+        self.reg_lambda = float(reg_lambda)
+        self._edges = None
+        self._trees = None
+        self._base = 0.0
+
+    def fit(self, X: BlockArray, y: BlockArray):
+        app = _instance()
+        X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
+        y = y if isinstance(y, BlockArray) else app.array(np.asarray(y))
+        xd = X.data.astype(jnp.float32)
+        yd = y.data.astype(jnp.float32)
+        self._base = 0.0 if self.objective == "logistic" else float(
+            yd.mean()
+        )
+        self._edges = _quantile_edges(xd, self.n_bins)
+        xb = _bin_features(xd, self._edges)
+        kern = _train_kernel(
+            self.n_estimators, self.max_depth, self.n_bins, self.objective,
+            self.learning_rate, self.reg_lambda, self._base,
+        )
+        feats, cuts, leaf_vals, _ = kern(xb, yd)
+        self._trees = (feats, cuts, leaf_vals)
+        return self
+
+    def _raw_predict(self, X: BlockArray):
+        assert self._trees is not None, "fit must be called before predict"
+        xd = X.data.astype(jnp.float32)
+        xb = _bin_features(xd, self._edges)
+        kern = _predict_kernel(self.max_depth, self._base)
+        return kern(xb, *self._trees)
+
+    def _wrap(self, X, data):
+        from nums_tpu.core.grid import ArrayGrid
+
+        grid = ArrayGrid(
+            (X.shape[0],), (X.block_shape[0],), data.dtype.name
+        )
+        return BlockArray(data, grid, X.backend)
+
+    def predict(self, X: BlockArray) -> BlockArray:
+        pred = self._raw_predict(X)
+        if self.objective == "logistic":
+            pred = (jax.nn.sigmoid(pred) > 0.5).astype(jnp.int64)
+        return self._wrap(X, pred)
+
+    def predict_proba(self, X: BlockArray) -> BlockArray:
+        assert self.objective == "logistic"
+        return self._wrap(X, jax.nn.sigmoid(self._raw_predict(X)))
+
+
+class GBTRegressor(GradientBoostedTrees):
+    def __init__(self, **kwargs):
+        kwargs.setdefault("objective", "squared")
+        super().__init__(**kwargs)
+
+
+class GBTClassifier(GradientBoostedTrees):
+    def __init__(self, **kwargs):
+        kwargs.setdefault("objective", "logistic")
+        super().__init__(**kwargs)
