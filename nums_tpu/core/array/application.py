@@ -187,8 +187,11 @@ class ArrayApplication:
             block_shape = (X.block_shape[0],)
         else:
             raise ValueError("X must have 1 or 2 axes.")
-        data = creation.diag(X.data)
-        grid = ArrayGrid(tuple(data.shape), block_shape, data.dtype.name)
+        data, lshape = padded.call(
+            creation.diag, (X._data,), (X._raw_logical_shape(),),
+            self.backend, transposes=(X.is_transposed,),
+        )
+        grid = ArrayGrid(lshape, block_shape, np.dtype(data.dtype).name)
         return BlockArray(data, grid, self.backend)
 
     def arange(self, shape, block_shape, step=1, dtype=None) -> BlockArray:
@@ -223,8 +226,13 @@ class ArrayApplication:
         first = arrays[0]
         for a in arrays:
             assert a.ndim == first.ndim, "Unequal num axes."
-        datas = [a.data for a in arrays]
-        data = shape_ops.concatenate(int(axis), len(datas))(*datas)
+        data, lshape = padded.call(
+            shape_ops.concatenate(int(axis), len(arrays)),
+            tuple(a._data for a in arrays),  # deferred chains stay fused
+            tuple(a._raw_logical_shape() for a in arrays),
+            self.backend,
+            transposes=tuple(a.is_transposed for a in arrays),
+        )
         result_block_shape = list(first.block_shape)
         result_block_shape[axis] = (
             axis_block_size
@@ -232,9 +240,11 @@ class ArrayApplication:
             else first.block_shape[axis]
         )
         result_block_shape = tuple(
-            min(b, s) for b, s in zip(result_block_shape, data.shape)
+            min(b, s) for b, s in zip(result_block_shape, lshape)
         )
-        grid = ArrayGrid(tuple(data.shape), result_block_shape, data.dtype.name)
+        grid = ArrayGrid(
+            lshape, result_block_shape, np.dtype(data.dtype).name
+        )
         return BlockArray(data, grid, self.backend)
 
     def split(self, X: BlockArray, indices_or_sections, axis=0):
@@ -350,15 +360,27 @@ class ArrayApplication:
             assert x is not None and y is not None
             x = condition.check_or_convert_other(x)
             y = condition.check_or_convert_other(y)
-            xd = x.data if isinstance(x, BlockArray) else x
-            yd = y.data if isinstance(y, BlockArray) else y
-            data = shape_ops.where3(condition.data, xd, yd)
+            operands = [condition, x, y]
+            args, lshapes, ts = [], [], []
+            for o in operands:
+                if isinstance(o, BlockArray):
+                    args.append(o._data)
+                    lshapes.append(o._raw_logical_shape())
+                    ts.append(o.is_transposed)
+                else:
+                    args.append(o)
+                    lshapes.append(None)
+                    ts.append(False)
+            data, lshape = padded.call(
+                shape_ops.where3, tuple(args), tuple(lshapes),
+                self.backend, transposes=tuple(ts),
+            )
             grid = ArrayGrid(
-                tuple(data.shape),
+                lshape,
                 array_utils.default_block_shape_for(
-                    tuple(data.shape), condition.block_shape
+                    lshape, condition.block_shape
                 ),
-                data.dtype.name,
+                np.dtype(data.dtype).name,
             )
             return BlockArray(data, grid, self.backend)
         from nums_tpu.core.ops import masking
@@ -422,8 +444,14 @@ class ArrayApplication:
 
     def allclose(self, a: BlockArray, b: BlockArray, rtol=1.0e-5, atol=1.0e-8):
         assert a.shape == b.shape
-        data = elementwise.allclose(a.data, b.data, rtol=rtol, atol=atol)
-        grid = ArrayGrid((), (), data.dtype.name)
+        data, _ = padded.call(
+            elementwise.allclose_kernel(float(rtol), float(atol)),
+            (a._data, b._data),
+            (a._raw_logical_shape(), b._raw_logical_shape()),
+            self.backend,
+            transposes=(a.is_transposed, b.is_transposed),
+        )
+        grid = ArrayGrid((), (), np.dtype(data.dtype).name)
         return BlockArray(data, grid, self.backend)
 
     # ------------------------------------------------------------------

@@ -88,3 +88,13 @@ def touch(x):
 def allclose(a, b, rtol=1.0e-5, atol=1.0e-8, equal_nan=False):
     """Parity: kernel ``allclose`` (numpy_compute.py:261-263)."""
     return jnp.allclose(a, b, rtol=rtol, atol=atol, equal_nan=equal_nan)
+
+
+@functools.lru_cache(maxsize=None)
+def allclose_kernel(rtol: float, atol: float, equal_nan: bool = False):
+    """Stable (cached) allclose kernel for the pad/lazy adapter."""
+    return jax.jit(
+        lambda a, b: jnp.allclose(
+            a, b, rtol=rtol, atol=atol, equal_nan=equal_nan
+        )
+    )
