@@ -1,0 +1,138 @@
+"""TPU-native clustering: KMeans (Lloyd's) as ONE fused XLA program.
+
+Beyond the reference (which has no clustering). Design notes:
+
+- The distance matrix is computed as ||x||² − 2·X@Cᵀ + ||c||² — the
+  O(n·k·d) term rides the MXU as a single GEMM per iteration.
+- Center updates are one scatter-add (sums) + one scatter-add (counts).
+- The whole fit is a ``lax.while_loop`` with an on-device shift test —
+  zero host syncs until the final fetch (same design as fast_glm).
+- k-means++ seeding, counter-based keys: same seed ⇒ same clustering on
+  any backend/sharding.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+from nums_tpu.core.application_manager import instance as _instance
+from nums_tpu.core.array.blockarray import BlockArray
+
+__all__ = ["KMeans"]
+
+
+def _dists2(x, c):
+    # (n, k) squared distances; the x·cᵀ term is the MXU GEMM.
+    xx = (x * x).sum(axis=1, keepdims=True)
+    cc = (c * c).sum(axis=1)
+    return jnp.maximum(xx - 2.0 * (x @ c.T) + cc[None, :], 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _fit_kernel(k: int, max_iter: int, tol: float):
+    def plusplus_init(key, x):
+        n = x.shape[0]
+        first = jr.randint(jr.fold_in(key, 0), (), 0, n)
+        centers = jnp.zeros((k, x.shape[1]), x.dtype)
+        centers = centers.at[0].set(x[first])
+
+        def body(i, centers):
+            d2 = _dists2(x, centers)
+            # distance to the nearest ALREADY-CHOSEN center (j < i)
+            chosen = jnp.arange(k) < i
+            d2 = jnp.where(chosen[None, :], d2, jnp.inf).min(axis=1)
+            # sample proportional to d² via the Gumbel-max trick
+            # (jittable categorical without normalizing)
+            logits = jnp.log(jnp.maximum(d2, 1e-30))
+            gumbel = jr.gumbel(jr.fold_in(key, i), (n,), x.dtype)
+            nxt = jnp.argmax(logits + gumbel)
+            return centers.at[i].set(x[nxt])
+
+        return jax.lax.fori_loop(1, k, body, centers)
+
+    def fit(x, key):
+        n, d = x.shape
+        centers0 = plusplus_init(key, x)
+
+        def cond(carry):
+            it, _, shift = carry
+            return jnp.logical_and(it < max_iter, shift > tol)
+
+        def body(carry):
+            it, centers, _ = carry
+            assign = jnp.argmin(_dists2(x, centers), axis=1)
+            sums = jnp.zeros((k, d), x.dtype).at[assign].add(x)
+            counts = jnp.zeros((k,), x.dtype).at[assign].add(1.0)
+            new = jnp.where(
+                counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+                centers,  # empty cluster: keep previous center
+            )
+            shift = jnp.sqrt(((new - centers) ** 2).sum(axis=1)).max()
+            return it + 1, new, shift
+
+        it, centers, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), centers0, jnp.asarray(jnp.inf, x.dtype))
+        )
+        d2 = _dists2(x, centers)
+        assign = jnp.argmin(d2, axis=1)
+        inertia = d2.min(axis=1).sum()
+        return centers, assign, inertia, it
+
+    return jax.jit(fit)
+
+
+@functools.lru_cache(maxsize=None)
+def _predict_kernel():
+    return jax.jit(lambda x, c: jnp.argmin(_dists2(x, c), axis=1))
+
+
+class KMeans:
+    def __init__(self, n_clusters=8, max_iter=100, tol=1e-4, seed=0):
+        self.n_clusters = int(n_clusters)
+        self.max_iter = int(max_iter)
+        self.tol = float(tol)
+        self.seed = int(seed)
+        self.cluster_centers_ = None
+        self.inertia_ = None
+        self.n_iter_ = None
+
+    def fit(self, X: BlockArray):
+        app = _instance()
+        X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
+        xd = X.data.astype(jnp.float32)
+        kern = _fit_kernel(self.n_clusters, self.max_iter, self.tol)
+        centers, assign, inertia, it = kern(xd, jr.key(self.seed))
+        self.cluster_centers_ = app.array(
+            np.asarray(jax.device_get(centers))
+        )
+        self.inertia_ = float(inertia)
+        self.n_iter_ = int(it)
+        self._labels_data = assign
+        self._fit_X = X
+        return self
+
+    @property
+    def labels_(self):
+        from nums_tpu.core.grid import ArrayGrid
+
+        X = self._fit_X
+        grid = ArrayGrid(
+            (X.shape[0],), (X.block_shape[0],), self._labels_data.dtype.name
+        )
+        return BlockArray(self._labels_data, grid, X.backend)
+
+    def predict(self, X: BlockArray) -> BlockArray:
+        assert self.cluster_centers_ is not None, "fit first"
+        from nums_tpu.core.grid import ArrayGrid
+
+        xd = X.data.astype(jnp.float32)
+        out = _predict_kernel()(xd, self.cluster_centers_.data)
+        grid = ArrayGrid((X.shape[0],), (X.block_shape[0],), out.dtype.name)
+        return BlockArray(out, grid, X.backend)
+
+    def fit_predict(self, X: BlockArray) -> BlockArray:
+        return self.fit(X).labels_

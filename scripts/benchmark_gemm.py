@@ -45,8 +45,11 @@ def main(argv=None):
     A = BlockArray.from_jax(gen(0.0), block_shape=(block, n), backend=app.backend)
     B = BlockArray.from_jax(gen(1e-5), block_shape=(block, n), backend=app.backend)
 
+    # .raw forces async dispatch (lazy mode); repeat=10 because per-run
+    # variance on the shared chip is ~±5% and best-of is the honest
+    # device number (RESULTS.md documents best + median).
     tmin, tmean, _ = benchmark_chained(
-        lambda: A @ B, lambda C: float(C[0, 0]), chain=3
+        lambda: (A @ B).raw, lambda C: float(C[0, 0]), chain=3, repeat=10
     )
     flops = 2.0 * n * n * n
     tflops = flops / tmin / 1e12

@@ -1,0 +1,52 @@
+"""KMeans (beyond the reference — no clustering exists there)."""
+
+import numpy as np
+import pytest
+
+from nums_tpu.models.cluster import KMeans
+
+
+def _blobs(rs, k, n_per, d, spread=8.0):
+    centers = rs.randn(k, d) * spread
+    X = np.concatenate(
+        [c + rs.randn(n_per, d) for c in centers], axis=0
+    )
+    y = np.repeat(np.arange(k), n_per)
+    perm = rs.permutation(len(X))
+    return X[perm], y[perm], centers
+
+
+def _cluster_accuracy(labels, truth, k):
+    # Majority-vote mapping from cluster id -> true class.
+    acc = 0
+    for c in range(k):
+        members = truth[labels == c]
+        if len(members):
+            acc += int((members == np.bincount(members).argmax()).sum())
+    return acc / len(truth)
+
+
+def test_kmeans_recovers_blobs(app_inst):
+    rs = np.random.RandomState(0)
+    X, y, _ = _blobs(rs, k=4, n_per=300, d=5)
+    bX = app_inst.array(X, block_shape=(300, 5))
+    km = KMeans(n_clusters=4, seed=3).fit(bX)
+    labels = km.labels_.get()
+    assert _cluster_accuracy(labels, y, 4) > 0.97
+    assert km.cluster_centers_.shape == (4, 5)
+    assert km.inertia_ > 0 and km.n_iter_ >= 1
+    # predict matches fit assignments on the training data
+    assert np.array_equal(km.predict(bX).get(), labels)
+
+
+def test_kmeans_deterministic_and_ragged(app_inst):
+    rs = np.random.RandomState(1)
+    X, y, _ = _blobs(rs, k=3, n_per=335, d=4)  # 1005 rows: ragged on 8
+    bX = app_inst.array(X, block_shape=(126, 4))
+    a = KMeans(n_clusters=3, seed=7).fit(bX)
+    b = KMeans(n_clusters=3, seed=7).fit(bX)
+    assert np.array_equal(a.labels_.get(), b.labels_.get())
+    assert np.allclose(
+        a.cluster_centers_.get(), b.cluster_centers_.get()
+    )
+    assert _cluster_accuracy(a.labels_.get(), y, 3) > 0.97
