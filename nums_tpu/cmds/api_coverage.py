@@ -38,6 +38,11 @@ HOST_FALLBACK = {
     "tri", "tril_indices", "triu_indices",
     "diag_indices", "indices", "hamming", "hanning", "blackman",
     "bartlett", "kaiser", "bincount",
+    # CPU-only domains (no TPU representation): datetime64 calendars,
+    # np.matrix, nditer machinery, binary/text file parsing.
+    "asmatrix", "busday_count", "busday_offset", "is_busday",
+    "datetime_as_string", "datetime_data", "isnat", "nested_iters",
+    "fromfile", "fromregex", "genfromtxt", "savez_compressed",
 }
 
 

@@ -16,6 +16,7 @@ from nums_tpu.numpy.extra2 import *  # noqa: F401,F403
 from nums_tpu.numpy.extra3 import *  # noqa: F401,F403
 from nums_tpu.numpy.extra4 import *  # noqa: F401,F403
 from nums_tpu.numpy.compat import *  # noqa: F401,F403
+from nums_tpu.numpy.tail import *  # noqa: F401,F403
 from nums_tpu.numpy.api import _not_implemented
 from nums_tpu.numpy import linalg  # noqa: F401
 from nums_tpu.numpy import random  # noqa: F401

@@ -16,7 +16,7 @@ python -m pytest tests/ -q
 
 echo "== API coverage floors =="
 python -m nums_tpu.cmds.api_coverage \
-  --min "numpy=93,numpy.random=98,numpy.linalg=96,numpy.fft=94"
+  --min "numpy=100,numpy.random=100,numpy.linalg=100,numpy.fft=100"
 
 echo "== driver entry points =="
 python __graft_entry__.py
