@@ -167,6 +167,113 @@ def bfgs_fit(X, y, beta0, tol, kind="logistic", max_iter=100,
     return res.x
 
 
+def _soft_threshold(v, k):
+    return jnp.sign(v) * jnp.maximum(jnp.abs(v) - k, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "max_iter", "penalty", "newton_steps")
+)
+def admm_fit(X, y, beta0, tol, kind="linear", max_iter=100, rho=1.0,
+             penalty="l1", lambda_vec=None, newton_steps=5):
+    """ADMM GLM fit — implements the solver the reference stubs out
+    (``admm``, glms.py:397-398) and with it L1 (lasso/sparse) penalties,
+    which no reference solver supports.
+
+    Split min f(β) + g(z) s.t. β = z (Boyd et al. 2011, §6.4/§8):
+    β-update minimizes f(β) + ρ/2‖β − z + u‖², z-update is the proximal
+    operator of g (soft-threshold for l1, scaling for l2), u is the
+    scaled dual. The WHOLE loop is one on-device lax.while_loop with the
+    standard primal/dual-residual stopping rule — zero host syncs.
+
+    TPU shape: for the linear kind the Gram XᵀX and Xᵀy are hoisted out
+    of the loop (the two big MXU GEMMs happen ONCE; each iteration is two
+    (d,d) triangular solves off a cached Cholesky factor — the classic
+    ADMM-lasso factorization-caching trick). For logistic/poisson the
+    β-update runs ``newton_steps`` damped-free Newton steps on the
+    ρ-augmented objective inside a fori_loop; XLA fuses the elementwise
+    chain into the two per-step GEMMs.
+
+    ρ is adapted in-loop by residual balancing (Boyd §3.4.1: ×2 when the
+    primal residual leads 10×, ÷2 when the dual does, with the scaled
+    dual rescaled accordingly) — the solver is robust to the λ/ρ scale
+    without user tuning. For the linear kind this re-factorizes the
+    (d,d) augmented Gram each iteration, which is O(d³) noise next to
+    the hoisted O(n·d²) GEMMs.
+
+    Returns (z, residual, iterations): z is the proximal iterate (exactly
+    sparse under l1). ``lambda_vec`` is per-coordinate λ — the caller's
+    convention (reference glms.py:222-240) penalizes every coordinate
+    including the intercept.
+    """
+    d = beta0.shape[0]
+    rho0 = jnp.asarray(rho, X.dtype)
+    lv = lambda_vec if lambda_vec is not None else jnp.zeros_like(beta0)
+    eye = jnp.eye(d, dtype=X.dtype)
+
+    if kind == "linear":
+        G = X.T @ X  # hoisted: the big MXU GEMMs happen once
+        q0 = X.T @ y
+
+        def beta_update(beta, v, rho):
+            del beta
+            L = jnp.linalg.cholesky(G + rho * eye)
+            q = q0 + rho * v
+            w = jax.scipy.linalg.solve_triangular(L, q, lower=True)
+            return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+
+    elif kind in ("logistic", "poisson"):
+
+        def beta_update(beta, v, rho):
+            def newton_body(_, b):
+                if kind == "logistic":
+                    mu = _sigmoid(X @ b)
+                    s = mu * (1.0 - mu)
+                else:
+                    mu = jnp.exp(X @ b)
+                    s = mu
+                g = X.T @ (mu - y) + rho * (b - v)
+                H = (X * s[:, None]).T @ X + rho * eye
+                return b - _posdef_solve(H, g)
+
+            return jax.lax.fori_loop(0, newton_steps, newton_body, beta)
+
+    else:
+        raise ValueError(kind)
+
+    def z_update(bu, rho):
+        if penalty == "l1":
+            return _soft_threshold(bu, lv / rho)
+        if penalty == "l2":
+            return rho * bu / (lv + rho)
+        return bu
+
+    def cond(state):
+        _, _, _, _, r, s, it = state
+        return jnp.logical_and(it < max_iter, jnp.maximum(r, s) > tol)
+
+    def body(state):
+        beta, z, u, rho, _, _, it = state
+        beta = beta_update(beta, z - u, rho)
+        z_new = z_update(beta + u, rho)
+        u = u + beta - z_new
+        r = jnp.max(jnp.abs(beta - z_new))
+        s = jnp.max(jnp.abs(rho * (z_new - z)))
+        # Residual balancing; u is the SCALED dual, so it rescales by
+        # rho/rho_new when rho changes.
+        rho_new = jnp.where(
+            r > 10.0 * s, rho * 2.0, jnp.where(s > 10.0 * r, rho * 0.5, rho)
+        )
+        u = u * (rho / rho_new)
+        return beta, z_new, u, rho_new, r, s, it + 1
+
+    inf = jnp.array(jnp.inf, X.dtype)
+    init = (beta0, beta0, jnp.zeros_like(beta0), rho0, inf, inf,
+            jnp.array(0, jnp.int32))
+    beta, z, u, rho_f, r, s, it = jax.lax.while_loop(cond, body, init)
+    return z, jnp.maximum(r, s), it
+
+
 @functools.partial(jax.jit, static_argnames=("kind",))
 def glm_forward(X, beta, beta0, kind="logistic"):
     eta = X @ beta + beta0

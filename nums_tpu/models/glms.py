@@ -25,6 +25,7 @@ class GLM:
         max_iter=100,
         solver="newton-cg",
         lr=0.01,
+        admm_rho=1.0,
         random_state=None,
         fit_intercept=True,
         normalize=False,
@@ -48,14 +49,20 @@ class GLM:
                 f"Unexpected type for random_state {type(random_state)}"
             )
         self._penalty = None if penalty == "none" else penalty
-        if not (self._penalty is None or self._penalty == "l2"):
+        if self._penalty not in (None, "l2", "l1"):
             raise NotImplementedError(f"{self._penalty} penalty not supported")
+        if self._penalty == "l1" and solver != "admm":
+            # l1 is non-smooth: only the proximal (ADMM) solver handles it.
+            raise NotImplementedError(
+                "l1 penalty requires solver='admm'."
+            )
         self._lambda = 1.0 / C
         self._lambda_vec = None
         self._tol = tol
         self._max_iter = max_iter
         self._opt = solver
         self._lr = lr
+        self._admm_rho = float(admm_rho)
         self._beta = None
         self._beta0 = None
 
@@ -80,7 +87,7 @@ class GLM:
         beta = app.zeros((X.shape[1],), (X.block_shape[1],), dtype=X.dtype)
         tol = app.scalar(self._tol)
         max_iter = self._max_iter
-        if self._penalty == "l2":
+        if self._penalty in ("l2", "l1"):
             self._lambda_vec = (
                 app.ones(beta.shape, beta.block_shape, beta.dtype)
                 * self._lambda
@@ -116,6 +123,30 @@ class GLM:
                 X.data, y.data, beta.data, self._tol,
                 kind=self._fused_kind, max_iter=int(max_iter),
                 penalized=lv is not None, lambda_vec=lv,
+            )
+            beta = BlockArray.from_jax(
+                beta_data, block_shape=beta.block_shape, backend=beta.backend
+            )
+        elif self._opt == "admm":
+            # Implemented (the reference stubs this out, glms.py:397-398):
+            # whole ADMM loop as ONE on-device while_loop; adds l1
+            # (lasso / sparse logistic) support no other solver has.
+            if self._fused_kind is None:
+                raise NotImplementedError(
+                    "admm unsupported for this model family."
+                )
+            from nums_tpu.models import fast_glm
+
+            lv = (
+                self._lambda_vec.data
+                if self._lambda_vec is not None
+                else None
+            )
+            beta_data, _, _ = fast_glm.admm_fit(
+                X.data, y.data, beta.data, self._tol,
+                kind=self._fused_kind, max_iter=int(max_iter),
+                rho=self._admm_rho,
+                penalty=self._penalty, lambda_vec=lv,
             )
             beta = BlockArray.from_jax(
                 beta_data, block_shape=beta.block_shape, backend=beta.backend
@@ -318,7 +349,9 @@ class LogisticRegression(GLM):
     def gradient(self, X, y, mu=None, beta=None):
         if mu is None:
             mu = self.forward(X)
-        if self._penalty is None:
+        if self._penalty != "l2":
+            # l1's subgradient is non-smooth — the smooth gradient here
+            # is only used by smooth solvers (l1 is ADMM-only).
             return X.T @ (mu - y)
         assert beta is not None
         return X.T @ (mu - y) + self._lambda_vec * beta
@@ -330,7 +363,7 @@ class LogisticRegression(GLM):
         s = (mu * (self._app.one - mu)).reshape(
             (dim, 1), block_shape=(block_dim, 1)
         )
-        if self._penalty is None:
+        if self._penalty != "l2":
             return X.T @ (s * X)
         return X.T @ (s * X) + self._lambda_vec
 
@@ -514,8 +547,12 @@ def lbfgs():
     raise NotImplementedError()
 
 
-def admm():
-    raise NotImplementedError()
+def admm(*args, **kwargs):
+    """The eager per-op ADMM path is intentionally absent: the solver is
+    implemented as ONE fused on-device program (fast_glm.admm_fit) — use
+    ``solver='admm'`` on any GLM. (The reference stubs this entirely,
+    glms.py:397-398.)"""
+    raise NotImplementedError("use GLM(solver='admm') — fused on-device ADMM")
 
 
 _MODEL_REGISTRY = {
