@@ -54,7 +54,8 @@ class LazyCall:
     """One deferred kernel invocation (possibly multi-output)."""
 
     __slots__ = (
-        "fn", "args", "avals", "results", "depth", "handles", "__weakref__",
+        "fn", "args", "avals", "results", "depth", "handles", "consumers",
+        "__weakref__",
     )
 
     def __init__(self, fn, args, avals, depth):
@@ -64,6 +65,10 @@ class LazyCall:
         self.results = None  # tuple of jax.Array once materialized
         self.depth = depth
         self.handles = weakref.WeakSet()  # live user-facing LazyOuts
+        # Downstream calls referencing this one (weak): lets materialize
+        # store a handle-less interior value that a SIBLING pending root
+        # still needs, instead of recomputing its subtree per root.
+        self.consumers = weakref.WeakSet()
 
 
 class LazyOut:
@@ -162,6 +167,9 @@ def apply(fn, *args):
         _Ref(a.call, a.idx) if isinstance(a, LazyOut) else a for a in args
     )
     call = LazyCall(fn, graph_args, avals, depth)
+    for a in args:
+        if isinstance(a, LazyOut) and a.call.results is None:
+            a.call.consumers.add(call)
     if single:
         return LazyOut(call, 0)
     return tuple(LazyOut(call, i) for i in range(len(avals)))
@@ -251,12 +259,22 @@ def materialize(root: LazyOut):
         specs.append(spec)
         key_of[id(call)] = tuple(frag)
 
-    # Store results for the root plus every call some live BlockArray
-    # still references; dead temporaries stay fused (never touch HBM).
+    # Store results for the root, every call some live BlockArray still
+    # references, AND every call a pending consumer OUTSIDE this graph
+    # references (a sibling root not being materialized now — without
+    # storing, its later materialization would recompute the subtree).
+    # Dead temporaries stay fused (never touch HBM).
     root_pos = call_pos[id(root.call)]
+
+    def _externally_consumed(c):
+        return any(
+            cons.results is None and id(cons) not in seen
+            for cons in c.consumers
+        )
+
     out_positions = tuple(
         p for p, c in enumerate(order)
-        if p == root_pos or len(c.handles) > 0
+        if p == root_pos or len(c.handles) > 0 or _externally_consumed(c)
     )
     key = (tuple(key_of[id(c)] for c in order), out_positions)
 
@@ -282,4 +300,7 @@ def materialize(root: LazyOut):
     results = executor(*leaves)
     for p, res in zip(out_positions, results):
         order[p].results = tuple(res)
+        # Results supersede args: drop them so upstream leaf buffers (and
+        # calls) are released instead of pinned for the handle's lifetime.
+        order[p].args = ()
     return root.call.results[root.idx]

@@ -112,3 +112,48 @@ def test_eager_mode_flag(app_inst, monkeypatch):
     z = bx * 3.0
     assert not isinstance(z._data, lazy.LazyOut)
     assert np.allclose(z.get(), x * 3.0)
+
+
+def test_sibling_consumer_reuses_interior(app_inst):
+    """An interior value with NO live handle but a pending sibling
+    consumer is stored at the first materialization (not recomputed per
+    root) — the consumer-tracking upgrade over handle-only liveness."""
+    x = np.arange(8, dtype=float)
+    bx = app_inst.array(x, block_shape=(4,))
+    tmp = bx * 2.0
+    c1 = tmp + 1.0
+    c2 = tmp - 1.0
+    tmp_call = c1._data.call.args[0].call  # the interior (bx*2) call
+    del tmp  # no live BlockArray handle for the interior
+    assert np.allclose(c1.get(), x * 2.0 + 1.0)
+    # First materialization stored the interior for the pending sibling.
+    assert tmp_call.results is not None
+    interior = tmp_call.results[0]
+    assert np.allclose(np.asarray(interior), x * 2.0)
+    assert np.allclose(c2.get(), x * 2.0 - 1.0)
+
+
+def test_dead_interior_stays_fused(app_inst):
+    """With no handle AND no pending consumer, an interior value is never
+    returned to HBM (fusion preserved)."""
+    x = np.arange(8, dtype=float)
+    bx = app_inst.array(x, block_shape=(4,))
+    tmp = bx * 2.0
+    c1 = tmp + 1.0
+    tmp_call = c1._data.call.args[0].call
+    del tmp
+    assert np.allclose(c1.get(), x * 2.0 + 1.0)
+    assert tmp_call.results is None  # stayed fused inside the program
+
+
+def test_materialized_call_releases_args(app_inst):
+    """After a call's results are stored, its argument references are
+    dropped so upstream leaf buffers are not pinned."""
+    x = np.arange(8, dtype=float)
+    bx = app_inst.array(x, block_shape=(4,))
+    z = bx + 1.0
+    call = z._data.call
+    assert len(call.args) > 0
+    z.get()
+    assert call.results is not None
+    assert call.args == ()
