@@ -21,4 +21,9 @@ python -m nums_tpu.cmds.api_coverage \
 echo "== driver entry points =="
 python __graft_entry__.py
 
+if [[ "${NUMS_TPU_HW_TESTS:-0}" != "0" ]]; then
+  echo "== hardware tier (real TPU) =="
+  python -m pytest tests/test_tpu_hardware.py -q
+fi
+
 echo "CI GATE: ALL GREEN"

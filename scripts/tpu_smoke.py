@@ -84,6 +84,24 @@ def main():
     print(f"{'PASS' if acc > 0.95 else 'FAIL'} GLM newton accuracy: {acc}")
     ok &= acc > 0.95
 
+    # ADMM lasso: exact support recovery on hardware (fp32 prox loop).
+    Xl = rs.randn(8000, 12).astype(np.float32)
+    theta = np.zeros(12, np.float32)
+    theta[[1, 5, 9]] = [2.0, -1.0, 3.0]
+    yl = (Xl @ theta + 0.01 * rs.randn(8000)).astype(np.float32)
+    from nums_tpu.models.glms import LinearRegression
+
+    lasso = LinearRegression(
+        solver="admm", penalty="l1", C=1.0 / 200.0, tol=1e-5, max_iter=500
+    )
+    lasso.fit(app.array(Xl, block_shape=(2000, 12)),
+              app.array(yl, block_shape=(2000,)))
+    beta = lasso._beta.get()
+    support = set(np.flatnonzero(np.abs(beta) > 1e-8).tolist())
+    sup_ok = support == {1, 5, 9}
+    print(f"{'PASS' if sup_ok else 'FAIL'} ADMM lasso support: {support}")
+    ok &= sup_ok
+
     # RNG moments
     sample = app.random_state(7).normal(
         loc=2.0, scale=3.0, shape=(100000,), block_shape=(100000,),
