@@ -175,7 +175,7 @@ def _soft_threshold(v, k):
     jax.jit, static_argnames=("kind", "max_iter", "penalty", "newton_steps")
 )
 def admm_fit(X, y, beta0, tol, kind="linear", max_iter=100, rho=1.0,
-             penalty="l1", lambda_vec=None, newton_steps=5):
+             penalty="l1", lambda_vec=None, newton_steps=5, l1_ratio=0.5):
     """ADMM GLM fit — implements the solver the reference stubs out
     (``admm``, glms.py:397-398) and with it L1 (lasso/sparse) penalties,
     which no reference solver supports.
@@ -246,6 +246,12 @@ def admm_fit(X, y, beta0, tol, kind="linear", max_iter=100, rho=1.0,
             return _soft_threshold(bu, lv / rho)
         if penalty == "l2":
             return rho * bu / (lv + rho)
+        if penalty == "elasticnet":
+            # prox of λ(α‖z‖₁ + (1−α)/2 ‖z‖²): soft-threshold then shrink
+            # (sklearn l1_ratio convention, α = l1_ratio).
+            a = jnp.asarray(l1_ratio, X.dtype)
+            st = _soft_threshold(bu, lv * a / rho)
+            return st / (1.0 + lv * (1.0 - a) / rho)
         return bu
 
     def cond(state):

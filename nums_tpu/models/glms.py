@@ -26,6 +26,7 @@ class GLM:
         solver="newton-cg",
         lr=0.01,
         admm_rho=1.0,
+        l1_ratio=0.5,
         random_state=None,
         fit_intercept=True,
         normalize=False,
@@ -49,13 +50,15 @@ class GLM:
                 f"Unexpected type for random_state {type(random_state)}"
             )
         self._penalty = None if penalty == "none" else penalty
-        if self._penalty not in (None, "l2", "l1"):
+        if self._penalty not in (None, "l2", "l1", "elasticnet"):
             raise NotImplementedError(f"{self._penalty} penalty not supported")
-        if self._penalty == "l1" and solver != "admm":
-            # l1 is non-smooth: only the proximal (ADMM) solver handles it.
+        if self._penalty in ("l1", "elasticnet") and solver != "admm":
+            # l1/elasticnet are non-smooth: only the proximal (ADMM)
+            # solver handles them.
             raise NotImplementedError(
-                "l1 penalty requires solver='admm'."
+                f"{self._penalty} penalty requires solver='admm'."
             )
+        self._l1_ratio = float(l1_ratio)
         self._lambda = 1.0 / C
         self._lambda_vec = None
         self._tol = tol
@@ -87,7 +90,7 @@ class GLM:
         beta = app.zeros((X.shape[1],), (X.block_shape[1],), dtype=X.dtype)
         tol = app.scalar(self._tol)
         max_iter = self._max_iter
-        if self._penalty in ("l2", "l1"):
+        if self._penalty in ("l2", "l1", "elasticnet"):
             self._lambda_vec = (
                 app.ones(beta.shape, beta.block_shape, beta.dtype)
                 * self._lambda
@@ -147,6 +150,7 @@ class GLM:
                 kind=self._fused_kind, max_iter=int(max_iter),
                 rho=self._admm_rho,
                 penalty=self._penalty, lambda_vec=lv,
+                l1_ratio=self._l1_ratio,
             )
             beta = BlockArray.from_jax(
                 beta_data, block_shape=beta.block_shape, backend=beta.backend
@@ -278,6 +282,8 @@ class GLM:
             "max_iter": self._max_iter,
             "solver": self._opt,
             "lr": self._lr,
+            "admm_rho": self._admm_rho,
+            "l1_ratio": self._l1_ratio,
         }
         with open(os.path.join(path, "model.json"), "w") as f:
             json.dump(meta, f)
@@ -297,6 +303,8 @@ class GLM:
         model = model_cls(
             penalty=meta["penalty"], C=meta["C"], tol=meta["tol"],
             max_iter=meta["max_iter"], solver=meta["solver"], lr=meta["lr"],
+            admm_rho=meta.get("admm_rho", 1.0),
+            l1_ratio=meta.get("l1_ratio", 0.5),
         )
         model._beta = model._app.read_fs(os.path.join(path, "beta"))
         model._beta0 = model._app.scalar(meta["beta0"])

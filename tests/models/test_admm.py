@@ -149,3 +149,45 @@ def test_eager_admm_entry_points_to_fused(nps_app_inst):
 
     with pytest.raises(NotImplementedError):
         glms.admm()
+
+
+def test_elasticnet(nps_app_inst):
+    from nums_tpu.models.glms import LinearRegression
+
+    rs = np.random.RandomState(4)
+    n, d = 600, 10
+    real_X = rs.randn(n, d)
+    theta = np.zeros(d)
+    theta[[0, 4]] = [3.0, -2.0]
+    real_y = real_X @ theta + 0.01 * rs.randn(n)
+    X = nps_app_inst.array(real_X, block_shape=(150, d))
+    y = nps_app_inst.array(real_y, block_shape=(150,))
+
+    model = LinearRegression(
+        solver="admm", penalty="elasticnet", C=1.0 / 30.0, l1_ratio=0.9,
+        tol=1e-7, max_iter=500,
+    )
+    model.fit(X, y)
+    beta = model._beta.get()
+    # l1 component zeroes irrelevant coords; l2 component shrinks.
+    zero_idx = [i for i in range(d) if theta[i] == 0.0]
+    assert np.max(np.abs(beta[zero_idx])) == 0.0, beta
+    assert np.sign(beta[0]) > 0 and np.sign(beta[4]) < 0
+    # Oracle for the prox itself: with l1_ratio=1 elasticnet == l1.
+    m_l1 = LinearRegression(
+        solver="admm", penalty="l1", C=1.0 / 30.0, tol=1e-7, max_iter=500
+    )
+    m_l1.fit(X, y)
+    m_en1 = LinearRegression(
+        solver="admm", penalty="elasticnet", C=1.0 / 30.0, l1_ratio=1.0,
+        tol=1e-7, max_iter=500,
+    )
+    m_en1.fit(X, y)
+    assert np.allclose(m_en1._beta.get(), m_l1._beta.get(), atol=1e-5)
+
+
+def test_elasticnet_requires_admm(nps_app_inst):
+    from nums_tpu.models.glms import LinearRegression
+
+    with pytest.raises(NotImplementedError):
+        LinearRegression(solver="newton", penalty="elasticnet")
