@@ -159,6 +159,7 @@ class GLM:
             raise Exception(f"Unsupported optimizer specified {self._opt}.")
         self._beta0 = beta[-1]
         self._beta = beta[:-1]
+        return self
 
     _fused_kind = None  # set by subclasses that support the fused solver
 
@@ -300,12 +301,20 @@ class GLM:
         with open(os.path.join(path, "model.json")) as f:
             meta = json.load(f)
         model_cls = _MODEL_REGISTRY[meta["model"]]
-        model = model_cls(
-            penalty=meta["penalty"], C=meta["C"], tol=meta["tol"],
-            max_iter=meta["max_iter"], solver=meta["solver"], lr=meta["lr"],
+        common = dict(
+            tol=meta["tol"], max_iter=meta["max_iter"], lr=meta["lr"],
             admm_rho=meta.get("admm_rho", 1.0),
             l1_ratio=meta.get("l1_ratio", 0.5),
         )
+        if issubclass(model_cls, (Ridge, Lasso, ElasticNet)):
+            # Alias constructors fix penalty/solver themselves and take
+            # sklearn's alpha (== λ == 1/C).
+            model = model_cls(alpha=1.0 / meta["C"], **common)
+        else:
+            model = model_cls(
+                penalty=meta["penalty"], C=meta["C"],
+                solver=meta["solver"], **common,
+            )
         model._beta = model._app.read_fs(os.path.join(path, "beta"))
         model._beta0 = model._app.scalar(meta["beta0"])
         return model
@@ -563,9 +572,43 @@ def admm(*args, **kwargs):
     raise NotImplementedError("use GLM(solver='admm') — fused on-device ADMM")
 
 
+# -- sklearn-style penalized-regression conveniences ----------------------
+# (alpha convention: penalty strength, sklearn's `alpha` == our λ == 1/C)
+
+
+class Ridge(LinearRegression):
+    """l2-penalized linear regression (sklearn alias)."""
+
+    def __init__(self, alpha=1.0, **kwargs):
+        kwargs.setdefault("solver", "newton")
+        super().__init__(penalty="l2", C=1.0 / float(alpha), **kwargs)
+
+
+class Lasso(LinearRegression):
+    """l1-penalized linear regression via the fused ADMM solver."""
+
+    def __init__(self, alpha=1.0, **kwargs):
+        super().__init__(
+            penalty="l1", C=1.0 / float(alpha), solver="admm", **kwargs
+        )
+
+
+class ElasticNet(LinearRegression):
+    """l1+l2-penalized linear regression via the fused ADMM solver."""
+
+    def __init__(self, alpha=1.0, l1_ratio=0.5, **kwargs):
+        super().__init__(
+            penalty="elasticnet", C=1.0 / float(alpha), solver="admm",
+            l1_ratio=l1_ratio, **kwargs
+        )
+
+
 _MODEL_REGISTRY = {
     "LinearRegression": LinearRegression,
     "LogisticRegression": LogisticRegression,
     "PoissonRegression": PoissonRegression,
     "ExponentialRegression": ExponentialRegression,
+    "Ridge": Ridge,
+    "Lasso": Lasso,
+    "ElasticNet": ElasticNet,
 }

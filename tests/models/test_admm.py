@@ -191,3 +191,49 @@ def test_elasticnet_requires_admm(nps_app_inst):
 
     with pytest.raises(NotImplementedError):
         LinearRegression(solver="newton", penalty="elasticnet")
+
+
+def test_sklearn_aliases(nps_app_inst):
+    from nums_tpu.models.glms import Ridge, Lasso, ElasticNet
+
+    rs = np.random.RandomState(5)
+    n, d = 400, 8
+    real_X = rs.randn(n, d)
+    theta = np.zeros(d)
+    theta[[2, 6]] = [2.0, -1.0]
+    real_y = real_X @ theta + 0.01 * rs.randn(n)
+    X = nps_app_inst.array(real_X, block_shape=(100, d))
+    y = nps_app_inst.array(real_y, block_shape=(100,))
+
+    r = Ridge(alpha=1.0, tol=1e-8, max_iter=10).fit(X, y)
+    assert r.score(X, y) > 0.99
+
+    la = Lasso(alpha=20.0, tol=1e-6, max_iter=500).fit(X, y)
+    beta = la._beta.get()
+    assert np.max(np.abs(beta[[0, 1, 3, 4, 5, 7]])) == 0.0
+
+    en = ElasticNet(alpha=20.0, l1_ratio=1.0, tol=1e-6, max_iter=500).fit(
+        X, y
+    )
+    assert np.allclose(en._beta.get(), beta, atol=1e-5)
+
+
+def test_alias_save_load_roundtrip(nps_app_inst, tmp_path):
+    import os
+
+    from nums_tpu.models.glms import GLM, Lasso
+
+    rs = np.random.RandomState(6)
+    real_X = rs.randn(200, 5)
+    real_y = real_X @ np.array([1.0, 0, 0, -2.0, 0]) + 0.01 * rs.randn(200)
+    X = nps_app_inst.array(real_X, block_shape=(50, 5))
+    y = nps_app_inst.array(real_y, block_shape=(50,))
+    model = Lasso(alpha=5.0, tol=1e-6, max_iter=300).fit(X, y)
+    path = os.path.join(tmp_path, "lasso_model")
+    model.save(path)
+    loaded = GLM.load(path)
+    assert type(loaded).__name__ == "Lasso"
+    assert np.allclose(loaded._beta.get(), model._beta.get())
+    assert np.allclose(
+        loaded.predict(X).get(), model.predict(X).get()
+    )
