@@ -566,6 +566,42 @@ class ArrayApplication:
         VT = mk(vt, vt_l, (min(X.block_shape[1], n), min(X.block_shape[1], n)))
         return U, S, VT
 
+    def randomized_svd(self, X: BlockArray, k: int, n_oversamples: int = 10,
+                       n_iter: int = 2, seed: int = 0):
+        """Randomized top-k SVD (Halko–Martinsson–Tropp 2011, Alg. 4.4/5.1).
+
+        For matrices where BOTH dimensions are large (the full SVD's QR
+        panel no longer fits a shard), a Gaussian sketch reduces the
+        problem to tall-skinny factorizations of width k+p: range finding
+        Y = XΩ, power iterations with QR re-orthonormalization (accuracy
+        ∝ σ_{k+1}/σ_k^{2q+1}), then an exact SVD of the (k+p, n)
+        projection B = QᵀX. Every step is a big MXU GEMM or the
+        framework's TSQR tree — no step materializes more than
+        max(m, n)·(k+p). Beyond the reference (its SVD is single-node
+        fan-in only, application.py:935-954 there).
+
+        Deterministic for a given seed (counter-based RNG: the sketch is
+        identical under any sharding).
+        """
+        assert X.ndim == 2
+        m, n = X.shape
+        k = int(k)
+        assert 1 <= k <= min(m, n)
+        ell = min(k + int(n_oversamples), min(m, n))
+        omega = self.random_state(seed).normal(
+            shape=(n, ell),
+            block_shape=(min(X.block_shape[1], n), ell),
+            dtype=X.dtype,
+        )
+        Q, _ = self.direct_tsqr(X @ omega)  # Householder: sketch-robust
+        for _ in range(int(n_iter)):
+            Z, _ = self.direct_tsqr(X.T @ Q)
+            Q, _ = self.direct_tsqr(X @ Z)
+        B = Q.T @ X  # (ell, n)
+        Ub, s, vt = self.svd(B)
+        U = Q @ Ub
+        return U[:, :k], s[:k], vt[:k]
+
     def inv(self, X: BlockArray) -> BlockArray:
         assert X.ndim == 2 and X.shape[0] == X.shape[1]
         data, _ = self._fused_linalg(linalg.inv, X)

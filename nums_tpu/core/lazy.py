@@ -254,8 +254,12 @@ def materialize(root: LazyOut):
             else:
                 if isinstance(a, _Ref):
                     a = a.call.results[a.idx]
-                spec.append(("f", add_leaf(a)))
-                frag.append(leaf_key(a))
+                li = add_leaf(a)
+                spec.append(("f", li))
+                # The leaf INDEX must be part of the key: graphs that
+                # differ only in which args share a leaf (dedup pattern)
+                # have different specs and must not share an executor.
+                frag.append(("f", li, leaf_key(a)))
         specs.append(spec)
         key_of[id(call)] = tuple(frag)
 

@@ -49,8 +49,14 @@ def _to_ba(X):
 
 
 class _BaseSVDModel:
-    def __init__(self, n_components=None):
+    def __init__(self, n_components=None, svd_solver="full",
+                 n_oversamples=10, power_iters=2, seed=0):
+        assert svd_solver in ("full", "randomized"), svd_solver
         self.n_components = n_components
+        self.svd_solver = svd_solver
+        self.n_oversamples = int(n_oversamples)
+        self.power_iters = int(power_iters)
+        self.seed = int(seed)
         self.components_ = None
         self.singular_values_ = None
         self.explained_variance_ = None
@@ -58,10 +64,19 @@ class _BaseSVDModel:
         self.n_components_ = None
         self.n_samples_ = None
 
-    def _svd(self, X):
-        """Distributed tall-skinny SVD with the deterministic sign fix."""
+    def _svd(self, X, k):
+        """Distributed SVD with the deterministic sign fix — exact
+        (TSQR tree) by default, or the Halko randomized sketch
+        (``svd_solver='randomized'``) returning exactly k triplets when
+        both dimensions are large."""
         app = _instance()
-        u, s, vt = app.svd(X)
+        if self.svd_solver == "randomized" and k < min(X.shape):
+            u, s, vt = app.randomized_svd(
+                X, k, n_oversamples=self.n_oversamples,
+                n_iter=self.power_iters, seed=self.seed,
+            )
+        else:
+            u, s, vt = app.svd(X)
         ud, vtd = _flip_kernel()(u.data, vt.data)
         u = BlockArray.from_jax(
             ud, block_shape=u.block_shape, backend=u.backend
@@ -118,7 +133,7 @@ class TruncatedSVD(_BaseSVDModel):
         app = _instance()
         n = X.shape[0]
         k = self._resolve_k(X)
-        u, s, vt = self._svd(X)
+        u, s, vt = self._svd(X, k)
         self.n_samples_ = n
         self.n_components_ = k
         self.components_ = vt[:k]
@@ -137,8 +152,8 @@ class PCA(_BaseSVDModel):
     ``whiten=True`` scales projections to unit component-wise variance.
     """
 
-    def __init__(self, n_components=None, whiten=False):
-        super().__init__(n_components)
+    def __init__(self, n_components=None, whiten=False, **solver_kwargs):
+        super().__init__(n_components, **solver_kwargs)
         self.whiten = bool(whiten)
         self.mean_ = None
         self.noise_variance_ = None
@@ -150,18 +165,21 @@ class PCA(_BaseSVDModel):
         k = self._resolve_k(X)
         self.mean_ = app.mean(X, axis=0)
         Xc = X - self.mean_
-        u, s, vt = self._svd(Xc)
+        u, s, vt = self._svd(Xc, k)
         self.n_samples_ = n
         self.n_components_ = k
         self.components_ = vt[:k]
         self.singular_values_ = s[:k]
-        ev_all = (s * s) / float(n - 1)
-        self.explained_variance_ = ev_all[:k]
-        self.explained_variance_ratio_ = ev_all[:k] / app.sum(ev_all)
+        ev_k = (s[:k] * s[:k]) / float(n - 1)
+        # Total variance directly (== Σ all eigenvalues exactly); works
+        # whether the solver returned all or only the top-k values.
+        total_var = app.sum(app.var(X, axis=0, ddof=1))
+        self.explained_variance_ = ev_k
+        self.explained_variance_ratio_ = ev_k / total_var
         # Average variance in the dropped subspace (sklearn's
         # noise_variance_; 0 when k == min(n, d)).
         if k < min(n, d):
-            self.noise_variance_ = app.sum(ev_all[k:]) / float(
+            self.noise_variance_ = (total_var - app.sum(ev_k)) / float(
                 min(n, d) - k
             )
         else:

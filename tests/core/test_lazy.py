@@ -157,3 +157,16 @@ def test_materialized_call_releases_args(app_inst):
     z.get()
     assert call.results is not None
     assert call.args == ()
+
+
+def test_leaf_sharing_in_program_key(app_inst):
+    """Two graphs identical in structure and leaf avals but different in
+    leaf SHARING (f(a,a) vs f(a,b)) must not share a compiled executor —
+    regression test for a silent-wrong-values key collision."""
+    x = np.arange(8, dtype=float)
+    a = app_inst.array(x, block_shape=(4,))
+    b = app_inst.array(x + 100.0, block_shape=(4,))
+    v1 = float((a * a).sum().get())  # both args share one leaf
+    v2 = float((a * b).sum().get())  # same avals, two distinct leaves
+    assert np.isclose(v1, (x * x).sum())
+    assert np.isclose(v2, (x * (x + 100.0)).sum())

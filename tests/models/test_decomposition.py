@@ -130,3 +130,70 @@ def test_pca_ragged_rows(nps_app_inst):
     assert np.allclose(
         pca.transform(X).get(), want["proj"], atol=1e-6
     )
+
+
+def test_randomized_svd_app_level(nps_app_inst):
+    """Top-k triplets of a low-rank + noise matrix match the exact SVD."""
+    rs = np.random.RandomState(7)
+    m, n, k = 300, 120, 5
+    A = rs.randn(m, k) @ (rs.randn(k) * np.array([50, 40, 30, 20, 10]))[
+        :, None
+    ] * 0  # placeholder, replaced below
+    # Construct: exact rank-k signal with decaying spectrum + small noise.
+    U0, _ = np.linalg.qr(rs.randn(m, k))
+    V0, _ = np.linalg.qr(rs.randn(n, k))
+    S0 = np.array([50.0, 40.0, 30.0, 20.0, 10.0])
+    X_np = (U0 * S0) @ V0.T + 0.01 * rs.randn(m, n)
+    X = nps_app_inst.array(X_np, block_shape=(100, 60))
+
+    u, s, vt = nps_app_inst.randomized_svd(X, k, n_iter=3, seed=0)
+    s_exact = np.linalg.svd(X_np, compute_uv=False)[:k]
+    assert u.shape == (m, k) and s.shape == (k,) and vt.shape == (k, n)
+    assert np.allclose(s.get(), s_exact, rtol=1e-4)
+    # U, V orthonormal; reconstruction error at the optimal level.
+    ug = u.get()
+    assert np.allclose(ug.T @ ug, np.eye(k), atol=1e-6)
+    rec = (ug * s.get()) @ vt.get()
+    opt_err = np.linalg.svd(X_np, compute_uv=False)[k:].sum()
+    assert np.linalg.norm(X_np - rec, "fro") <= np.sqrt(
+        (np.linalg.svd(X_np, compute_uv=False)[k:] ** 2).sum()
+    ) * (1 + 1e-3)
+    del opt_err, A
+
+
+def test_pca_randomized_solver(nps_app_inst):
+    from nums_tpu.models.decomposition import PCA
+
+    rs = np.random.RandomState(8)
+    n, d, k = 400, 40, 3
+    scales = np.concatenate([[20.0, 12.0, 8.0], 0.1 * np.ones(d - 3)])
+    X_np = rs.randn(n, d) * scales + rs.randn(d)
+    X = nps_app_inst.array(X_np, block_shape=(100, 20))
+
+    full = PCA(n_components=k).fit(X)
+    rand = PCA(
+        n_components=k, svd_solver="randomized", power_iters=3, seed=1
+    ).fit(X)
+    assert np.allclose(
+        rand.singular_values_.get(), full.singular_values_.get(), rtol=1e-5
+    )
+    # Components agree up to sign per row.
+    fc, rc = full.components_.get(), rand.components_.get()
+    for i in range(k):
+        assert np.allclose(rc[i], fc[i], atol=1e-4) or np.allclose(
+            rc[i], -fc[i], atol=1e-4
+        )
+    assert np.allclose(
+        rand.explained_variance_ratio_.get(),
+        full.explained_variance_ratio_.get(), rtol=1e-5,
+    )
+    # noise_variance_ from the randomized (top-k-only) path matches.
+    assert np.isclose(
+        float(rand.noise_variance_.get()), float(full.noise_variance_.get()),
+        rtol=1e-4,
+    )
+    # transform round-trips.
+    assert np.allclose(
+        np.abs(rand.transform(X).get()), np.abs(full.transform(X).get()),
+        atol=1e-4,
+    )
