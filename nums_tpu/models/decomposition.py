@@ -138,10 +138,13 @@ class TruncatedSVD(_BaseSVDModel):
         self.n_components_ = k
         self.components_ = vt[:k]
         self.singular_values_ = s[:k]
-        # Variance of the projected data (sklearn semantics for
-        # TruncatedSVD: var of X @ V columns, ddof=1 equivalent).
-        self.explained_variance_ = (s[:k] * s[:k]) / float(n - 1)
-        total_var = app.sum(app.var(X, axis=0, ddof=1))
+        # sklearn TruncatedSVD semantics: explained_variance_ is the
+        # per-column variance of the TRANSFORMED data (np.var, ddof=0),
+        # not s²/(n−1) — for non-centered X (the typical TruncatedSVD
+        # input) the two differ wildly because the leading singular
+        # value absorbs the mean offset.
+        self.explained_variance_ = app.var(u[:, :k] * s[:k], axis=0)
+        total_var = app.sum(app.var(X, axis=0))
         self.explained_variance_ratio_ = self.explained_variance_ / total_var
         return u, s
 

@@ -70,9 +70,12 @@ _STEPS = {
 
 
 def _newton_step_penalized(kind, X, y, beta, lambda_vec):
-    """One Newton step with the reference's l2 semantics
-    (g += λ·beta; H += λ broadcast — matching glms.py:222-240 exactly,
-    including its broadcast-not-diag Hessian addition)."""
+    """One Newton step with l2 penalty: g += λ∘β; H += diag(λ).
+
+    (The reference broadcasts the λ vector across the whole Hessian —
+    glms.py:239 adds λ_j to every entry of column j, an asymmetric
+    perturbation; that is a reference bug, fixed identically here and
+    in the eager path. See DIVERGENCES.md.)"""
     if kind == "logistic":
         mu = _sigmoid(X @ beta)
         s = mu * (1.0 - mu)
@@ -88,7 +91,7 @@ def _newton_step_penalized(kind, X, y, beta, lambda_vec):
     H = (X * s[:, None]).T @ X
     if lambda_vec is not None:
         g = g + lambda_vec * beta
-        H = H + lambda_vec
+        H = H + jnp.diag(lambda_vec)
     return beta - _posdef_solve(H, g), g
 
 
@@ -202,9 +205,9 @@ def admm_fit(X, y, beta0, tol, kind="linear", max_iter=100, rho=1.0,
     the hoisted O(n·d²) GEMMs.
 
     Returns (z, residual, iterations): z is the proximal iterate (exactly
-    sparse under l1). ``lambda_vec`` is per-coordinate λ — the caller's
-    convention (reference glms.py:222-240) penalizes every coordinate
-    including the intercept.
+    sparse under l1). ``lambda_vec`` is per-coordinate λ — coordinates
+    with λ_j = 0 (e.g. the intercept under the sklearn aliases) pass
+    through the prox unpenalized.
     """
     d = beta0.shape[0]
     rho0 = jnp.asarray(rho, X.dtype)

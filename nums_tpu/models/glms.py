@@ -91,10 +91,19 @@ class GLM:
         tol = app.scalar(self._tol)
         max_iter = self._max_iter
         if self._penalty in ("l2", "l1", "elasticnet"):
-            self._lambda_vec = (
-                app.ones(beta.shape, beta.block_shape, beta.dtype)
-                * self._lambda
-            )
+            lam = self._lambda
+            if self._sklearn_alpha_scale:
+                # sklearn's Lasso/ElasticNet objective carries a 1/(2n)
+                # factor on the residual term; ours doesn't, so the
+                # equivalent per-coordinate λ is n·alpha.
+                lam = lam * X.shape[0]
+            vec = np.full(beta.shape[0], lam, dtype=X.dtype)
+            if not self._penalize_intercept:
+                # sklearn never penalizes the intercept (the appended
+                # ones column / last beta coordinate). Plain GLM keeps
+                # reference parity (glms.py:222-240 penalizes all).
+                vec[-1] = 0.0
+            self._lambda_vec = app.array(vec, block_shape=beta.block_shape)
         if self._opt in ("gd", "sgd", "block_sgd"):
             lr = app.scalar(self._lr)
             opt = {"gd": gd, "sgd": sgd, "block_sgd": block_sgd}[self._opt]
@@ -162,6 +171,10 @@ class GLM:
         return self
 
     _fused_kind = None  # set by subclasses that support the fused solver
+    # Reference parity: the reference's lambda_vec penalizes every
+    # coordinate including the intercept; the sklearn aliases override.
+    _penalize_intercept = True
+    _sklearn_alpha_scale = False
 
     def _fused_newton(self, X, y, beta, max_iter):
         """Run Newton as ONE on-device while_loop program when supported.
@@ -306,10 +319,15 @@ class GLM:
             admm_rho=meta.get("admm_rho", 1.0),
             l1_ratio=meta.get("l1_ratio", 0.5),
         )
-        if issubclass(model_cls, (Ridge, Lasso, ElasticNet)):
-            # Alias constructors fix penalty/solver themselves and take
-            # sklearn's alpha (== λ == 1/C).
+        if issubclass(model_cls, (Lasso, ElasticNet)):
+            # Alias constructors fix penalty/solver (always admm) and
+            # take sklearn's alpha (== 1/C).
             model = model_cls(alpha=1.0 / meta["C"], **common)
+        elif issubclass(model_cls, Ridge):
+            # Ridge's solver is user-selectable — restore the saved one.
+            model = model_cls(
+                alpha=1.0 / meta["C"], solver=meta["solver"], **common
+            )
         else:
             model = model_cls(
                 penalty=meta["penalty"], C=meta["C"],
@@ -331,15 +349,24 @@ class LinearRegression(GLM):
     def objective(self, X, y, beta=None):
         assert beta is not None or self._beta is not None
         mu = self.forward(X, beta)
+        # (Unpenalized, like the reference's objectives — the penalty
+        # enters through gradient/hessian in the Newton solvers.)
         return self._app.sum((y - mu) ** self._app.two)
 
     def gradient(self, X, y, mu=None, beta=None):
         if mu is None:
             mu = self.forward(X)
-        return X.T @ (mu - y)
+        if self._penalty != "l2":
+            # (The reference's LinearRegression ignores the penalty
+            # entirely — glms.py:190-201; Ridge requires it here.)
+            return X.T @ (mu - y)
+        assert beta is not None
+        return X.T @ (mu - y) + self._lambda_vec * beta
 
     def hessian(self, X, y, mu=None):
-        return X.T @ X
+        if self._penalty != "l2":
+            return X.T @ X
+        return X.T @ X + self._app.diag(self._lambda_vec)
 
     def deviance(self, y, y_pred):
         return self._app.sum((y - y_pred) ** self._app.two)
@@ -382,7 +409,11 @@ class LogisticRegression(GLM):
         )
         if self._penalty != "l2":
             return X.T @ (s * X)
-        return X.T @ (s * X) + self._lambda_vec
+        # diag(λ) — the reference broadcasts the vector across the whole
+        # Hessian (glms.py:239, adding λ_j to EVERY entry of column j,
+        # an asymmetric rank-one perturbation); that is a reference bug,
+        # fixed here and in the fused path identically (DIVERGENCES.md).
+        return X.T @ (s * X) + self._app.diag(self._lambda_vec)
 
     def deviance(self, y, y_pred):
         raise NotImplementedError()
@@ -577,7 +608,11 @@ def admm(*args, **kwargs):
 
 
 class Ridge(LinearRegression):
-    """l2-penalized linear regression (sklearn alias)."""
+    """l2-penalized linear regression, sklearn semantics:
+    min ‖y − Xβ‖² + alpha·‖β‖² with an UNPENALIZED intercept.
+    (sklearn Ridge carries no 1/n factor, so λ == alpha directly.)"""
+
+    _penalize_intercept = False
 
     def __init__(self, alpha=1.0, **kwargs):
         kwargs.setdefault("solver", "newton")
@@ -585,7 +620,13 @@ class Ridge(LinearRegression):
 
 
 class Lasso(LinearRegression):
-    """l1-penalized linear regression via the fused ADMM solver."""
+    """l1-penalized linear regression via the fused ADMM solver,
+    sklearn semantics: min 1/(2n)‖y − Xβ‖² + alpha·‖β‖₁, intercept
+    unpenalized (internally λ = n·alpha against the un-normalized
+    residual objective)."""
+
+    _penalize_intercept = False
+    _sklearn_alpha_scale = True
 
     def __init__(self, alpha=1.0, **kwargs):
         super().__init__(
@@ -594,7 +635,12 @@ class Lasso(LinearRegression):
 
 
 class ElasticNet(LinearRegression):
-    """l1+l2-penalized linear regression via the fused ADMM solver."""
+    """l1+l2-penalized linear regression via the fused ADMM solver,
+    sklearn semantics: min 1/(2n)‖y − Xβ‖² + alpha·l1_ratio·‖β‖₁
+    + alpha·(1−l1_ratio)/2·‖β‖², intercept unpenalized."""
+
+    _penalize_intercept = False
+    _sklearn_alpha_scale = True
 
     def __init__(self, alpha=1.0, l1_ratio=0.5, **kwargs):
         super().__init__(

@@ -48,7 +48,10 @@ def _bin_features(x, edges):
 
 @functools.lru_cache(maxsize=None)
 def _train_kernel(n_estimators, max_depth, n_bins, objective,
-                  learning_rate, reg_lambda, base_score):
+                  learning_rate, reg_lambda):
+    # base_score is a TRACED argument (not part of this key): it is
+    # data-dependent (y.mean()), so keying on it would recompile and
+    # permanently cache one program per dataset.
     n_leaves = 1 << max_depth
     lr = float(learning_rate)
     lam = float(reg_lambda)
@@ -59,7 +62,7 @@ def _train_kernel(n_estimators, max_depth, n_bins, objective,
             return p - y, p * (1.0 - p)
         return pred - y, jnp.ones_like(pred)  # squared error
 
-    def train(xb, y):
+    def train(xb, y, base_score):
         n, d = xb.shape
         flat_cols = jnp.arange(d, dtype=jnp.int32)  # (d,)
 
@@ -116,7 +119,7 @@ def _train_kernel(n_estimators, max_depth, n_bins, objective,
             pred = pred + leaf_vals[leaf]
             return (pred,), (feats, cuts, leaf_vals)
 
-        pred0 = jnp.full(n, float(base_score), jnp.float32)
+        pred0 = jnp.full(n, base_score, jnp.float32)
         (pred,), (feats, cuts, leaf_vals) = jax.lax.scan(
             one_round, (pred0,), None, length=n_estimators
         )
@@ -126,8 +129,8 @@ def _train_kernel(n_estimators, max_depth, n_bins, objective,
 
 
 @functools.lru_cache(maxsize=None)
-def _predict_kernel(max_depth, base_score):
-    def predict(xb, feats, cuts, leaf_vals):
+def _predict_kernel(max_depth):
+    def predict(xb, base_score, feats, cuts, leaf_vals):
         n = xb.shape[0]
 
         def one_tree(pred, tree):
@@ -140,7 +143,7 @@ def _predict_kernel(max_depth, base_score):
                 leaf = leaf * 2 + go_right
             return pred + lv[leaf], None
 
-        pred0 = jnp.full(n, float(base_score), jnp.float32)
+        pred0 = jnp.full(n, base_score, jnp.float32)
         pred, _ = jax.lax.scan(one_tree, pred0, (feats, cuts, leaf_vals))
         return pred
 
@@ -179,9 +182,11 @@ class GradientBoostedTrees:
         xb = _bin_features(xd, self._edges)
         kern = _train_kernel(
             self.n_estimators, self.max_depth, self.n_bins, self.objective,
-            self.learning_rate, self.reg_lambda, self._base,
+            self.learning_rate, self.reg_lambda,
         )
-        feats, cuts, leaf_vals, _ = kern(xb, yd)
+        feats, cuts, leaf_vals, _ = kern(
+            xb, yd, jnp.float32(self._base)
+        )
         self._trees = (feats, cuts, leaf_vals)
         return self
 
@@ -189,8 +194,8 @@ class GradientBoostedTrees:
         assert self._trees is not None, "fit must be called before predict"
         xd = X.data.astype(jnp.float32)
         xb = _bin_features(xd, self._edges)
-        kern = _predict_kernel(self.max_depth, self._base)
-        return kern(xb, *self._trees)
+        kern = _predict_kernel(self.max_depth)
+        return kern(xb, jnp.float32(self._base), *self._trees)
 
     def _wrap(self, X, data):
         from nums_tpu.core.grid import ArrayGrid

@@ -96,12 +96,49 @@ def ix_(*args):
     return tuple(out)
 
 
-@functools.lru_cache(maxsize=None)
+def _piecewise_key(funclist):
+    """Structural cache key for a funclist: inline lambdas are fresh
+    OBJECTS every call but share one code object per source location, so
+    keying on (code, defaults, closure cells) makes the idiomatic
+    ``piecewise(x, conds, [lambda v: -v, ...])`` loop hit the cache
+    instead of compiling and permanently caching a new kernel per call.
+    Returns None (→ uncached path) when any piece isn't hashable."""
+    key = []
+    for f in funclist:
+        if not callable(f):  # numpy allows scalar pieces
+            key.append(("const", f))
+            continue
+        cells = ()
+        if getattr(f, "__closure__", None):
+            cells = tuple(c.cell_contents for c in f.__closure__)
+        entry = (getattr(f, "__code__", f), getattr(f, "__defaults__", None),
+                 cells)
+        try:
+            hash(entry)
+        except TypeError:
+            return None
+        key.append(entry)
+    return tuple(key)
+
+
+_piecewise_cache = {}
+
+
 def _piecewise_kernel(funclist):
+    funclist = tuple(funclist)
+
     def k(x, *conds):
         return jnp.piecewise(x, list(conds), list(funclist))
 
-    return jax.jit(k)
+    key = _piecewise_key(funclist)
+    if key is None:
+        return jax.jit(k)  # unhashable piece: correct but uncached
+    kernel = _piecewise_cache.get(key)
+    if kernel is None:
+        if len(_piecewise_cache) >= 256:  # bounded (FIFO eviction)
+            _piecewise_cache.pop(next(iter(_piecewise_cache)))
+        kernel = _piecewise_cache[key] = jax.jit(k)
+    return kernel
 
 
 def piecewise(x, condlist, funclist, *args, **kw):
