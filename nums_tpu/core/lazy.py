@@ -23,6 +23,7 @@ Disable with ``NUMS_TPU_LAZY=0`` (ops then execute immediately, round-1
 behavior).
 """
 
+import collections
 import weakref
 
 import numpy as np
@@ -111,7 +112,18 @@ def _aval_of(x):
     return jax.ShapeDtypeStruct(tuple(x.shape), x.dtype)
 
 
-_eval_memo = {}
+# Both caches are LRU-bounded (settings.lazy_program_cache): stable
+# workloads never evict (keys are structural, value changes don't grow
+# them), but a pathological generator of structurally-unique graphs
+# can't grow them without bound.
+_eval_memo = collections.OrderedDict()
+
+
+def _lru_put(cache, key, value, cap):
+    cache[key] = value
+    cache.move_to_end(key)
+    while len(cache) > cap:
+        cache.popitem(last=False)
 
 
 def _out_avals(fn, args):
@@ -123,7 +135,9 @@ def _out_avals(fn, args):
             key_parts.append(("s", type(a).__name__))
     key = (fn, tuple(key_parts))
     try:
-        return _eval_memo[key], key
+        entry = _eval_memo[key]
+        _eval_memo.move_to_end(key)
+        return entry, key
     except (KeyError, TypeError):
         pass
     out = jax.eval_shape(fn, *[_aval_of(a) for a in args])
@@ -132,7 +146,7 @@ def _out_avals(fn, args):
     avals = tuple(jax.ShapeDtypeStruct(tuple(o.shape), o.dtype) for o in avals)
     entry = (avals, single)
     try:
-        _eval_memo[key] = entry
+        _lru_put(_eval_memo, key, entry, 8 * settings.lazy_program_cache)
     except TypeError:
         pass
     return entry, key
@@ -182,8 +196,8 @@ def force(x):
     return x
 
 
-# structural key -> jitted graph executor
-_compiled = {}
+# structural key -> jitted graph executor (LRU, see _eval_memo note)
+_compiled = collections.OrderedDict()
 
 
 def materialize(root: LazyOut):
@@ -283,7 +297,9 @@ def materialize(root: LazyOut):
     key = (tuple(key_of[id(c)] for c in order), out_positions)
 
     executor = _compiled.get(key)
-    if executor is None:
+    if executor is not None:
+        _compiled.move_to_end(key)
+    else:
         fns = [c.fn for c in order]
         nouts = [len(c.avals) for c in order]
 
@@ -299,7 +315,7 @@ def materialize(root: LazyOut):
             return tuple(vals[p] for p in out_positions)
 
         executor = jax.jit(run)
-        _compiled[key] = executor
+        _lru_put(_compiled, key, executor, settings.lazy_program_cache)
 
     results = executor(*leaves)
     for p, res in zip(out_positions, results):

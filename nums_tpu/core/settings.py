@@ -160,6 +160,10 @@ collective_matmul = os.environ.get("NUMS_TPU_COLLECTIVE_MATMUL", "0")
 # jitted program (cached structurally). "0" executes one program per op.
 lazy_batch = os.environ.get("NUMS_TPU_LAZY", "1") == "1"
 lazy_max_depth = int(os.environ.get("NUMS_TPU_LAZY_MAX_DEPTH", "128"))
+# LRU bound on cached compiled lazy programs (a long-running job with a
+# pathological stream of structurally-unique graphs would otherwise grow
+# the executor cache without limit).
+lazy_program_cache = int(os.environ.get("NUMS_TPU_LAZY_PROGRAM_CACHE", "1024"))
 
 # Pad-and-mask ragged sharding (SURVEY hard-part #5): mesh-indivisible
 # axes are rounded up to the mesh multiple at rest and sliced back to the

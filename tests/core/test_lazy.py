@@ -170,3 +170,31 @@ def test_leaf_sharing_in_program_key(app_inst):
     v2 = float((a * b).sum().get())  # same avals, two distinct leaves
     assert np.isclose(v1, (x * x).sum())
     assert np.isclose(v2, (x * (x + 100.0)).sum())
+
+
+def test_program_cache_is_bounded(app_inst):
+    """The executor/aval caches evict LRU past settings.lazy_program_cache
+    instead of growing forever on structurally-unique graph streams."""
+    from nums_tpu.core import lazy, settings
+
+    old = settings.lazy_program_cache
+    settings.lazy_program_cache = 8
+    try:
+        x = np.arange(16, dtype=float)
+        bx = app_inst.array(x, block_shape=(8,))
+        for k in range(1, 24):
+            # Each k yields a different chain length -> unique key.
+            z = bx
+            for _ in range(k):
+                z = z + 1.0
+            assert np.isclose(float(z.sum().get()), (x + k).sum())
+        assert len(lazy._compiled) <= 8
+        assert len(lazy._eval_memo) <= 64
+        # A stable workload still hits the cache after eviction churn.
+        before = len(lazy._compiled)
+        float((bx + 1.0).sum().get())
+        float((bx + 1.0).sum().get())
+        assert len(lazy._compiled) >= 1 and len(lazy._compiled) <= 8
+        del before
+    finally:
+        settings.lazy_program_cache = old
