@@ -673,11 +673,14 @@ class ArrayApplication:
     # FileSystem; see nums_tpu/core/io/filesystem.py.
     # ------------------------------------------------------------------
 
-    def write_fs(self, ba: BlockArray, filename: str):
-        return self.fs.write_fs(ba, filename)
+    def write_fs(self, ba: BlockArray, filename: str, replicas: int = None):
+        return self.fs.write_fs(ba, filename, replicas=replicas)
 
-    def read_fs(self, filename: str) -> BlockArray:
-        return self.fs.read_fs(filename)
+    def read_fs(self, filename: str, verify: bool = False) -> BlockArray:
+        return self.fs.read_fs(filename, verify=verify)
+
+    def verify_fs(self, filename: str, repair: bool = False) -> dict:
+        return self.fs.verify_fs(filename, repair=repair)
 
     def delete_fs(self, filename: str):
         return self.fs.delete_fs(filename)

@@ -5,11 +5,19 @@ The failure-recovery subsystem the reference lists as TODO
 journaling). Built on ``write_fs``'s crash-consistent atomic publish:
 
 - ``save(ba, name)`` writes ``<name>/step_<k>`` and prunes old versions
-  (``keep`` most recent are retained as implicit replicas).
+  (``keep`` most recent are retained as implicit replicas);
+  ``replicas=k`` additionally writes k full copies per step (block-level
+  replication with per-block failover + CRC scrub — see
+  ``FileSystem.write_fs``/``verify_fs``).
 - ``restore_latest(name)`` walks versions newest-first and returns the
   first that loads cleanly — a torn/corrupted step falls back to the
-  previous one instead of failing the job.
+  previous one instead of failing the job; ``verify=True`` CRC-checks
+  every block (silent corruption falls over to replicas or the previous
+  step).
 - ``resume_step(name)`` tells a training loop where to restart.
+- ``journal(name)`` returns the append-only event log (begin/commit/
+  prune/restore with wall timestamps) — the journaling the reference
+  lists as TODO; useful for post-mortem and idempotency audits.
 
 This is checkpoint-based elastic recovery (re-run from the last good
 state), the standard recovery model for SPMD jobs — per-task lineage
@@ -19,8 +27,31 @@ re-execution (Ray's model) has no analogue under static SPMD.
 import os
 import re
 import shutil
+import time
 
 from nums_tpu.core import settings
+
+
+def _journal_append(root: str, event: str, step):
+    try:
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "journal.log"), "a") as f:
+            f.write(f"{time.time():.3f} {event} {step}\n")
+    except OSError:  # journaling must never fail the job
+        pass
+
+
+def journal(name: str):
+    """[(timestamp, event, step)] from the checkpoint's event log."""
+    p = os.path.join(_root(name), "journal.log")
+    if not os.path.isfile(p):
+        return []
+    out = []
+    with open(p) as f:
+        for line in f:
+            ts, event, step = line.split()
+            out.append((float(ts), event, int(step)))
+    return out
 
 
 _STEP_RE = re.compile(r"^step_(\d+)$")
@@ -49,27 +80,32 @@ def steps(name: str):
     return sorted(out)
 
 
-def save(ba, name: str, step: int, keep: int = 2):
+def save(ba, name: str, step: int, keep: int = 2, replicas: int = None):
     """Write ``<name>/step_<step>`` atomically; prune to ``keep`` newest."""
     from nums_tpu.core.application_manager import instance
 
     app = instance()
     root = _root(name)
     os.makedirs(root, exist_ok=True)
-    _fs(app).write_fs(ba, os.path.join(root, f"step_{step}"))
+    _journal_append(root, "begin", step)
+    _fs(app).write_fs(ba, os.path.join(root, f"step_{step}"),
+                      replicas=replicas)
+    _journal_append(root, "commit", step)
     if keep is not None and keep > 0:
         for old in steps(name)[:-keep]:
-            shutil.rmtree(
-                os.path.join(root, f"step_{old}"), ignore_errors=True
-            )
+            _fs(app).delete_fs(os.path.join(root, f"step_{old}"))
+            _journal_append(root, "prune", old)
     return step
 
 
-def restore_latest(name: str):
+def restore_latest(name: str, verify: bool = False):
     """(step, BlockArray) of the newest checkpoint that loads cleanly.
 
     Skips torn/corrupted versions (missing blocks, bad pickles) and
-    falls back to older ones. Raises FileNotFoundError when none load.
+    falls back to older ones; missing/corrupt blocks fail over to
+    replica copies first when the step was saved with ``replicas>1``.
+    ``verify=True`` CRC-checks every block. Raises FileNotFoundError
+    when none load.
     """
     from nums_tpu.core.application_manager import instance
 
@@ -77,7 +113,10 @@ def restore_latest(name: str):
     root = _root(name)
     for step in reversed(steps(name)):
         try:
-            ba = _fs(app).read_fs(os.path.join(root, f"step_{step}"))
+            ba = _fs(app).read_fs(
+                os.path.join(root, f"step_{step}"), verify=verify
+            )
+            _journal_append(root, "restore", step)
             return step, ba
         except Exception:  # torn checkpoint: try the previous version
             continue

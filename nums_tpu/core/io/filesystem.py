@@ -42,6 +42,46 @@ def _block_fname(grid_entry: tuple) -> str:
     return "block_" + "_".join(map(str, grid_entry)) + ".npy"
 
 
+def _block_crc(block: np.ndarray) -> int:
+    import zlib
+
+    return zlib.crc32(np.ascontiguousarray(block).tobytes())
+
+
+def _replica_paths(final_path: str, count: int):
+    """Replica directories for a checkpoint at ``final_path``.
+
+    With ``NUMS_TPU_REPLICA_DIRS`` (colon-separated roots — in a real
+    deployment, mounts on distinct failure domains) replica k lives
+    under root[(k-1) % len]; otherwise replicas are siblings
+    ``<path>.replica<k>`` (protects against per-file corruption/loss,
+    not device loss).
+    """
+    roots = settings.replica_roots
+    out = []
+    for k in range(1, count):
+        if roots:
+            root = roots[(k - 1) % len(roots)]
+            out.append(
+                os.path.join(root, os.path.basename(final_path) + f".r{k}")
+            )
+        else:
+            out.append(f"{final_path}.replica{k}")
+    return out
+
+
+def _existing_replicas(final_path: str):
+    """Published replica dirs (meta.pkl present), any configuration."""
+    # Check both naming schemes so reads work even if the env changed.
+    candidates = _replica_paths(final_path, 9)
+    roots = settings.replica_roots
+    if roots:
+        candidates += [f"{final_path}.replica{k}" for k in range(1, 9)]
+    return [
+        p for p in candidates if os.path.isfile(os.path.join(p, "meta.pkl"))
+    ]
+
+
 def _s3_parse(filename: str):
     assert not filename.startswith("s3://"), "pass keys without scheme"
     parts = filename.split("/")
@@ -58,23 +98,33 @@ class FileSystem:
 
     # -- local filesystem (parity: filesystem.py:63-138) ----------------
 
-    def write_fs(self, ba: BlockArray, filename: str):
-        """Crash-consistent checkpoint write.
+    def write_fs(self, ba: BlockArray, filename: str, replicas: int = None):
+        """Crash-consistent (optionally replicated) checkpoint write.
 
         Blocks land in a temp dir first and ``meta.pkl`` is written LAST;
         the final directory appears via atomic rename. A crash mid-write
         leaves either the previous complete checkpoint or a ``.tmp-*``
         orphan — never a half-written directory that ``read_fs`` would
         accept (readers require meta.pkl, which only exists once every
-        block is on disk). The reference lists journaling/idempotency as
-        absent TODOs (filesystem.py:217-222); this is the minimal
-        correct version of both.
+        block is on disk). The reference lists journaling/idempotency/
+        replication as absent TODOs (filesystem.py:217-222).
+
+        ``replicas`` > 1 (default ``NUMS_TPU_CHECKPOINT_REPLICAS``)
+        writes full copies to replica directories (``_replica_paths``);
+        ``read_fs`` fails over PER BLOCK to replicas when a primary
+        block is missing or corrupt, and ``verify_fs(repair=True)``
+        scrubs/self-heals using them. meta.pkl records a CRC32 per
+        block for integrity checks.
         """
+        if replicas is None:
+            replicas = settings.checkpoint_replicas
         final_path = _fs_path(filename)
-        path = f"{final_path}.tmp-{os.getpid()}"
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.makedirs(path, exist_ok=True)
+        targets = [final_path] + _replica_paths(final_path, max(1, replicas))
+        tmps = [f"{p}.tmp-{os.getpid()}" for p in targets]
+        for t in tmps:
+            if os.path.isdir(t):
+                shutil.rmtree(t)
+            os.makedirs(t, exist_ok=True)
         # One .npy per block, fetched batch-at-a-time from the device:
         # peak host memory stays O(batch of blocks), not O(array) — and
         # lazily-transposed arrays are read via transpose-aware
@@ -87,6 +137,7 @@ class FileSystem:
 
         entries = list(ba.grid.get_entry_iterator())
         results = []
+        checksums = {}
         batch_size = min(16, len(entries))
         for i in range(0, len(entries), batch_size):
             batch = entries[i:i + batch_size]
@@ -97,44 +148,89 @@ class FileSystem:
                     blocks = list(
                         ex.map(lambda e: Block(ba, e).get(), batch)
                     )
+            for e, blk in zip(batch, blocks):
+                checksums[_block_fname(e)] = _block_crc(blk)
             items = [
-                (os.path.join(path, _block_fname(e)), blk)
+                (os.path.join(t, _block_fname(e)), blk)
+                for t in tmps
                 for e, blk in zip(batch, blocks)
             ]
             if not shard_native.write_shards(items):
                 for p, blk in items:
                     np.save(p, blk)
             results.extend([True] * len(batch))
-        # meta.pkl last (completeness marker), then atomic publish.
-        meta = {"grid": ba.grid.to_meta()}
-        with open(os.path.join(path, "meta.pkl"), "wb") as f:
-            pickle.dump(meta, f)
-        if os.path.isdir(final_path):
-            trash = f"{final_path}.old-{os.getpid()}"
-            shutil.rmtree(trash, ignore_errors=True)
-            os.rename(final_path, trash)
-            os.rename(path, final_path)
-            shutil.rmtree(trash, ignore_errors=True)
-        else:
-            os.rename(path, final_path)
+        # meta.pkl last (completeness marker), then atomic publish —
+        # replicas first so a published primary implies its replicas
+        # were already attempted.
+        meta = {"grid": ba.grid.to_meta(), "checksums": checksums}
+        for t in tmps:
+            with open(os.path.join(t, "meta.pkl"), "wb") as f:
+                pickle.dump(meta, f)
+        for t, p in list(zip(tmps, targets))[::-1]:
+            if os.path.isdir(p):
+                trash = f"{p}.old-{os.getpid()}"
+                shutil.rmtree(trash, ignore_errors=True)
+                os.rename(p, trash)
+                os.rename(t, p)
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                os.rename(t, p)
+        # Stale replicas from an earlier higher-replication write must
+        # not serve outdated blocks to the failover path.
+        for stale in _existing_replicas(final_path):
+            if stale not in targets:
+                shutil.rmtree(stale, ignore_errors=True)
         return np.array(results, dtype=bool)
 
     def read_meta_fs(self, filename: str) -> dict:
         path = _fs_path(filename)
-        with open(os.path.join(path, "meta.pkl"), "rb") as f:
-            return pickle.load(f)
+        err = None
+        for d in [path] + _existing_replicas(path):
+            try:
+                with open(os.path.join(d, "meta.pkl"), "rb") as f:
+                    return pickle.load(f)
+            except Exception as e:  # torn primary: fail over
+                err = err or e
+        raise err if err is not None else FileNotFoundError(path)
 
-    def read_fs(self, filename: str) -> BlockArray:
+    @staticmethod
+    def _load_block_checked(primary, alt_dirs, checks):
+        """Whole block from the first INTACT copy (primary, then
+        replicas). ``checks`` (fname → crc32) rejects silently-corrupted
+        copies; None accepts any loadable copy."""
+        fname = os.path.basename(primary)
+        want = checks.get(fname) if checks else None
+        for d in [os.path.dirname(primary)] + alt_dirs:
+            p = os.path.join(d, fname)
+            try:
+                arr = np.load(p)
+            except Exception:
+                continue
+            if want is not None and _block_crc(arr) != want:
+                continue
+            return arr
+        raise IOError(
+            f"no intact copy of {fname} in {1 + len(alt_dirs)} location(s)"
+        )
+
+    def read_fs(self, filename: str, verify: bool = False) -> BlockArray:
         """Sharding-aware restore: each device shard is assembled from just
         the stored blocks it overlaps (``jax.make_array_from_callback``) —
         host memory stays O(shard), and restore works under ANY current
         mesh shape regardless of the writer's grid (the TPU equivalent of
         the reference's placement-aware re-read, application.py:164-171).
+
+        A missing/unreadable primary block fails over to replica copies
+        (``write_fs(replicas=k)``). ``verify=True`` additionally CRC-
+        checks every block against the stored checksums (catching silent
+        bit corruption) at the cost of whole-block reads.
         """
         import jax
 
         path = _fs_path(filename)
         meta = self.read_meta_fs(filename)
+        alt_dirs = _existing_replicas(path)
+        checks = meta.get("checksums") if verify else None
         grid = ArrayGrid.from_meta(meta["grid"])
         dtype = np.dtype(grid.dtype)
         sharding = self.backend.sharding_for_grid(grid)
@@ -176,10 +272,20 @@ class FileSystem:
                 )
             # Native path preads ONLY the window bytes of each block
             # (C++ thread pool, GIL released); fallback loads whole
-            # blocks and slices.
-            if not shard_native.read_block_windows(jobs, out):
+            # blocks and slices, with per-block replica failover and
+            # optional CRC verification. verify forces the fallback
+            # (window reads can't checksum the whole block).
+            if verify or not shard_native.read_block_windows(jobs, out):
                 for p, src, dst in jobs:
-                    out[dst] = np.load(p)[src]
+                    if not verify:
+                        try:
+                            out[dst] = np.load(p)[src]
+                            continue
+                        except Exception:
+                            pass  # fail over to replica copies
+                    out[dst] = self._load_block_checked(
+                        p, alt_dirs, checks
+                    )[src]
             return out
 
         if sharding is None or len(grid.shape) == 0:
@@ -192,10 +298,67 @@ class FileSystem:
 
     def delete_fs(self, filename: str):
         path = _fs_path(filename)
+        for rep in _existing_replicas(path):
+            shutil.rmtree(rep, ignore_errors=True)
         exists = os.path.isdir(path)
         if exists:
             shutil.rmtree(path)
         return np.array([exists], dtype=bool)
+
+    def verify_fs(self, filename: str, repair: bool = False) -> dict:
+        """Integrity scrub: CRC-check every block copy (primary +
+        replicas) against the checksums recorded at write time.
+
+        ``repair=True`` self-heals: each missing/corrupt copy is
+        rewritten from an intact copy of the same block (atomic per-file
+        replace). Returns a report::
+
+            {"ok": bool,            # every copy of every block intact
+             "blocks": int,
+             "copies": int,         # locations checked per block
+             "bad": [(dir, fname)], # failures found (pre-repair)
+             "repaired": [(dir, fname)],
+             "unrecoverable": [fname]}  # no intact copy anywhere
+        """
+        path = _fs_path(filename)
+        meta = self.read_meta_fs(filename)
+        checks = meta.get("checksums") or {}
+        dirs = [path] + _existing_replicas(path)
+        bad, repaired, unrecoverable = [], [], []
+        for fname, want in checks.items():
+            intact = None
+            failures = []
+            for d in dirs:
+                p = os.path.join(d, fname)
+                try:
+                    arr = np.load(p)
+                    if _block_crc(arr) != want:
+                        raise IOError("crc mismatch")
+                except Exception:
+                    failures.append(d)
+                    continue
+                if intact is None:
+                    intact = arr
+            bad.extend((d, fname) for d in failures)
+            if failures and intact is None:
+                unrecoverable.append(fname)
+            elif failures and repair:
+                for d in failures:
+                    os.makedirs(d, exist_ok=True)
+                    tmp = os.path.join(d, f".{fname}.tmp-{os.getpid()}")
+                    np.save(tmp, intact)
+                    # np.save appends .npy to names without the suffix.
+                    tmp_real = tmp if tmp.endswith(".npy") else tmp + ".npy"
+                    os.replace(tmp_real, os.path.join(d, fname))
+                    repaired.append((d, fname))
+        return {
+            "ok": not bad,
+            "blocks": len(checks),
+            "copies": len(dirs),
+            "bad": bad,
+            "repaired": repaired,
+            "unrecoverable": unrecoverable,
+        }
 
     def exists_fs(self, filename: str) -> bool:
         return os.path.isfile(os.path.join(_fs_path(filename), "meta.pkl"))

@@ -165,6 +165,15 @@ lazy_max_depth = int(os.environ.get("NUMS_TPU_LAZY_MAX_DEPTH", "128"))
 # the executor cache without limit).
 lazy_program_cache = int(os.environ.get("NUMS_TPU_LAZY_PROGRAM_CACHE", "1024"))
 
+# Checkpoint resilience: number of full copies write_fs produces
+# (1 = no replication) and the roots replica directories live under
+# (colon-separated; in a real deployment, mounts on distinct failure
+# domains — empty means sibling `<path>.replica<k>` dirs).
+checkpoint_replicas = int(os.environ.get("NUMS_TPU_CHECKPOINT_REPLICAS", "1"))
+replica_roots = [
+    p for p in os.environ.get("NUMS_TPU_REPLICA_DIRS", "").split(":") if p
+]
+
 # Pad-and-mask ragged sharding (SURVEY hard-part #5): mesh-indivisible
 # axes are rounded up to the mesh multiple at rest and sliced back to the
 # logical shape inside every consuming program (pads are never read).

@@ -1,0 +1,108 @@
+"""Fault-injection tests for checkpoint replication, CRC integrity, and
+self-healing scrub — the replication/journaling subsystem the reference
+lists as absent TODOs (``nums/core/systems/filesystem.py:217-222``)."""
+
+import os
+
+import numpy as np
+
+from nums_tpu.core.io import checkpoint
+
+
+def _block_path(root, entry=(0, 0)):
+    return os.path.join(root, "block_" + "_".join(map(str, entry)) + ".npy")
+
+
+def test_replicated_write_survives_lost_primary_block(app_inst, tmp_path):
+    p = str(tmp_path / "arr")
+    x = np.arange(24, dtype=float).reshape(6, 4)
+    ba = app_inst.array(x, block_shape=(3, 2))
+    app_inst.write_fs(ba, p, replicas=2)
+    assert os.path.isfile(os.path.join(p + ".replica1", "meta.pkl"))
+    # Lose one primary block file entirely.
+    os.remove(_block_path(p, (1, 1)))
+    back = app_inst.read_fs(p)
+    assert np.allclose(back.get(), x)
+    app_inst.delete_fs(p)
+    assert not os.path.isdir(p + ".replica1")
+
+
+def test_verify_detects_and_repairs_silent_corruption(app_inst, tmp_path):
+    p = str(tmp_path / "arr2")
+    rs = np.random.RandomState(0)
+    x = rs.randn(8, 4)
+    app_inst.write_fs(app_inst.array(x, block_shape=(4, 4)), p, replicas=2)
+    # Silent bit corruption: same shape/dtype, different values — np.load
+    # succeeds, only the CRC knows. (np.save writes exactly to .npy paths.)
+    np.save(_block_path(p, (1, 0)), rs.randn(4, 4))
+    report = app_inst.verify_fs(p)
+    assert not report["ok"]
+    assert (p, "block_1_0.npy") in report["bad"]
+    assert not report["unrecoverable"]
+    # verify=True restore routes around the corrupt primary copy.
+    assert np.allclose(app_inst.read_fs(p, verify=True).get(), x)
+    # Self-heal, then the scrub comes back clean.
+    report = app_inst.verify_fs(p, repair=True)
+    assert report["repaired"] == [(p, "block_1_0.npy")]
+    assert app_inst.verify_fs(p)["ok"]
+    assert np.allclose(app_inst.read_fs(p).get(), x)
+    app_inst.delete_fs(p)
+
+
+def test_unrecoverable_when_all_copies_corrupt(app_inst, tmp_path):
+    p = str(tmp_path / "arr3")
+    x = np.arange(16, dtype=float).reshape(4, 4)
+    app_inst.write_fs(app_inst.array(x, block_shape=(2, 4)), p, replicas=2)
+    for d in (p, p + ".replica1"):
+        np.save(_block_path(d, (0, 0)), np.zeros((2, 4)))
+    report = app_inst.verify_fs(p)
+    assert report["unrecoverable"] == ["block_0_0.npy"]
+    try:
+        app_inst.read_fs(p, verify=True).get()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    app_inst.delete_fs(p)
+
+
+def test_overwrite_drops_stale_replicas(app_inst, tmp_path):
+    p = str(tmp_path / "arr4")
+    x = np.arange(8, dtype=float)
+    app_inst.write_fs(app_inst.array(x, block_shape=(4,)), p, replicas=2)
+    assert os.path.isdir(p + ".replica1")
+    # Rewrite unreplicated: the old replica must not serve stale blocks.
+    app_inst.write_fs(app_inst.array(x * 10, block_shape=(4,)), p)
+    assert not os.path.isdir(p + ".replica1")
+    assert np.allclose(app_inst.read_fs(p).get(), x * 10)
+    app_inst.delete_fs(p)
+
+
+def test_torn_primary_meta_fails_over_to_replica(app_inst, tmp_path):
+    p = str(tmp_path / "arr5")
+    x = np.arange(12, dtype=float).reshape(3, 4)
+    app_inst.write_fs(app_inst.array(x, block_shape=(3, 2)), p, replicas=2)
+    os.remove(os.path.join(p, "meta.pkl"))
+    assert np.allclose(app_inst.read_fs(p, verify=True).get(), x)
+    app_inst.delete_fs(p)
+
+
+def test_checkpoint_replicas_and_journal(app_inst, tmp_path):
+    name = str(tmp_path / "ckpt")
+    rs = np.random.RandomState(2)
+    a0, a1 = rs.randn(6, 3), rs.randn(6, 3)
+    checkpoint.save(app_inst.array(a0, block_shape=(3, 3)), name, step=0,
+                    replicas=2)
+    checkpoint.save(app_inst.array(a1, block_shape=(3, 3)), name, step=1,
+                    keep=1, replicas=2)
+    # Corrupt a block of the newest step; verified restore self-routes.
+    step_dir = os.path.join(name, "step_1")
+    np.save(_block_path(step_dir, (0, 0)), np.zeros((3, 3)))
+    step, back = checkpoint.restore_latest(name, verify=True)
+    assert step == 1 and np.allclose(back.get(), a1)
+    events = [(e, s) for _, e, s in checkpoint.journal(name)]
+    assert ("begin", 0) in events and ("commit", 0) in events
+    assert ("commit", 1) in events
+    assert ("prune", 0) in events
+    assert ("restore", 1) in events
+    checkpoint.delete(name)
