@@ -582,6 +582,11 @@ class ArrayApplication:
 
         Deterministic for a given seed (counter-based RNG: the sketch is
         identical under any sharding).
+
+        The whole pipeline — sketch GEMM, power iterations with TSQR
+        re-orthonormalization, the (ell, n) SVD, back-projection —
+        compiles as ONE program (zero per-stage syncs; XLA overlaps the
+        GEMMs with the tree reductions).
         """
         assert X.ndim == 2
         m, n = X.shape
@@ -593,14 +598,18 @@ class ArrayApplication:
             block_shape=(min(X.block_shape[1], n), ell),
             dtype=X.dtype,
         )
-        Q, _ = self.direct_tsqr(X @ omega)  # Householder: sketch-robust
-        for _ in range(int(n_iter)):
-            Z, _ = self.direct_tsqr(X.T @ Q)
-            Q, _ = self.direct_tsqr(X @ Z)
-        B = Q.T @ X  # (ell, n)
-        Ub, s, vt = self.svd(B)
-        U = Q @ Ub
-        return U[:, :k], s[:k], vt[:k]
+        kernel = linalg.randomized_svd(
+            k, int(n_iter), self._tsqr_chunk(X)
+        )
+        (u, s, vt), lshapes = self._fused_linalg(kernel, X, omega)
+        u_l, s_l, vt_l = lshapes
+        mk = lambda d, ls, bs: BlockArray(
+            d, ArrayGrid(ls, bs, d.dtype.name), self.backend
+        )
+        U = mk(u, u_l, (X.block_shape[0], k))
+        S = mk(s, s_l, (k,))
+        VT = mk(vt, vt_l, (k, min(X.block_shape[1], n)))
+        return U, S, VT
 
     def inv(self, X: BlockArray) -> BlockArray:
         assert X.ndim == 2 and X.shape[0] == X.shape[1]

@@ -101,6 +101,31 @@ def svd(chunk: int = DEFAULT_CHUNK):
     return jax.jit(lambda x: _svd_impl(x, chunk))
 
 
+def _randomized_svd_impl(x, omega, k, n_iter, chunk):
+    """Halko randomized top-k SVD as ONE program: sketch, power
+    iterations with TSQR re-orthonormalization, small SVD, back-project.
+    GEMMs run at HIGHEST precision — the sketch width ell ≪ n makes the
+    3-pass fp32 cost negligible next to the accuracy it buys the power
+    iterations."""
+    hi = jax.lax.Precision.HIGHEST
+    mm = functools.partial(jnp.matmul, precision=hi)
+    q, _ = _direct_tsqr_impl(mm(x, omega), chunk)
+    for _ in range(n_iter):  # static unroll
+        z, _ = _direct_tsqr_impl(mm(x.T, q), chunk)
+        q, _ = _direct_tsqr_impl(mm(x, z), chunk)
+    b = mm(q.T, x)  # (ell, n)
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = mm(q, ub)
+    return u[:, :k], s[:k], vt[:k]
+
+
+@functools.lru_cache(maxsize=None)
+def randomized_svd(k: int, n_iter: int, chunk: int = DEFAULT_CHUNK):
+    return jax.jit(
+        lambda x, omega: _randomized_svd_impl(x, omega, k, n_iter, chunk)
+    )
+
+
 _COMP_CHUNK = 4096
 _COMP_MIN_ROWS = 1 << 20
 
