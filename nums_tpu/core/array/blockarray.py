@@ -274,7 +274,14 @@ class BlockArray:
             else tuple(self.grid.shape)
         )
         if tuple(data.shape) == raw_logical:
-            pshape = self.backend.physical_shape(raw_logical)
+            # Same grid-shape hint as __init__ — a hint-less call can
+            # pad/shard axes the grid says are single-block (replicated),
+            # leaving a buffer expected_sharding() calls inapplicable.
+            hint = (
+                tuple(reversed(self.grid.grid_shape)) if transposed
+                else self.grid.grid_shape
+            )
+            pshape = self.backend.physical_shape(raw_logical, hint)
             if pshape != raw_logical:
                 data = padded.repad(data, pshape, self.backend)
         self._data = data

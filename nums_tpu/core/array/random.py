@@ -165,6 +165,12 @@ class NumsRandomState:
         self, ngood, nbad, nsample, shape=None, block_shape=None, dtype=None
     ):
         nsample = int(nsample)
+        if ngood < 0 or nbad < 0 or nsample < 0:
+            raise ValueError("ngood, nbad, nsample must be non-negative")
+        if int(ngood) + int(nbad) < nsample:
+            # numpy raises here; the device chain would silently drive
+            # the urn counts negative and return garbage.
+            raise ValueError("ngood + nbad < nsample")
         if nsample <= random_ops.HYPERGEOMETRIC_DEVICE_MAX_NSAMPLE:
             if dtype is None:
                 dtype = np.int64

@@ -68,16 +68,26 @@ def _fs(app):
 
 
 def steps(name: str):
-    """Sorted list of complete checkpoint step numbers."""
+    """Sorted list of complete checkpoint step numbers.
+
+    Recovery-aware: a step torn mid-publish (crash between the two
+    publish renames) is promoted from its complete orphan directory
+    instead of silently disappearing."""
+    from nums_tpu.core.io.filesystem import _recover_fs_dir
+
     root = _root(name)
     if not os.path.isdir(root):
         return []
-    out = []
+    orphan_re = re.compile(r"^step_(\d+)\.(?:tmp|old)-\d+$")
+    nums = set()
     for entry in os.listdir(root):
-        m = _STEP_RE.match(entry)
-        if m and os.path.isfile(os.path.join(root, entry, "meta.pkl")):
-            out.append(int(m.group(1)))
-    return sorted(out)
+        m = _STEP_RE.match(entry) or orphan_re.match(entry)
+        if m:
+            nums.add(int(m.group(1)))
+    return [
+        n for n in sorted(nums)
+        if _recover_fs_dir(os.path.join(root, f"step_{n}"))
+    ]
 
 
 def save(ba, name: str, step: int, keep: int = 2, replicas: int = None):

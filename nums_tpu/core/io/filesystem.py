@@ -70,6 +70,61 @@ def _replica_paths(final_path: str, count: int):
     return out
 
 
+def _fsync_tree(path: str):
+    """fsync every file in ``path`` and the directory itself so renamed
+    checkpoints survive power loss (rename alone only orders metadata).
+    Disable with NUMS_TPU_CHECKPOINT_FSYNC=0."""
+    if not settings.checkpoint_fsync:
+        return
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if os.path.isfile(full):
+            fd = os.open(full, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _recover_fs_dir(path: str) -> bool:
+    """Promote a COMPLETE orphan when ``path`` vanished mid-publish.
+
+    The overwrite publish is two renames (final→.old, .tmp→final); a
+    crash between them leaves no visible checkpoint but two complete
+    directories. Recovery prefers the newest complete ``.tmp-*`` (the
+    version that was being published), falling back to the ``.old-*``
+    backup. Returns True when ``path`` is (now) a complete checkpoint.
+    """
+    if os.path.isfile(os.path.join(path, "meta.pkl")):
+        return True
+    base = os.path.basename(path)
+    parent = os.path.dirname(path) or "."
+    if not os.path.isdir(parent):
+        return False
+    candidates = []
+    for entry in os.listdir(parent):
+        if not entry.startswith(base + "."):
+            continue
+        suffix = entry[len(base):]
+        if not (suffix.startswith(".tmp-") or suffix.startswith(".old-")):
+            continue
+        full = os.path.join(parent, entry)
+        meta = os.path.join(full, "meta.pkl")
+        if os.path.isfile(meta):
+            rank = (suffix.startswith(".tmp-"), os.path.getmtime(meta))
+            candidates.append((rank, full))
+    if not candidates:
+        return False
+    candidates.sort()
+    os.rename(candidates[-1][1], path)
+    return True
+
+
 def _existing_replicas(final_path: str):
     """Published replica dirs (meta.pkl present), any configuration."""
     # Check both naming schemes so reads work even if the env changed.
@@ -135,6 +190,11 @@ class FileSystem:
         from nums_tpu.core.array.blockarray import Block
         from nums_tpu.core.io import shard_native
 
+        # Materialize ONCE before the thread fan-out: Block.get from
+        # worker threads must only read a concrete buffer — concurrent
+        # LazyOut.force() races materialize() (check-then-act on
+        # call.results) and would compile/run the DAG per thread.
+        ba.touch()
         entries = list(ba.grid.get_entry_iterator())
         results = []
         checksums = {}
@@ -165,16 +225,36 @@ class FileSystem:
         meta = {"grid": ba.grid.to_meta(), "checksums": checksums}
         for t in tmps:
             with open(os.path.join(t, "meta.pkl"), "wb") as f:
-                pickle.dump(meta, f)
+                f.write(pickle.dumps(meta))
+                f.flush()
+                if settings.checkpoint_fsync:
+                    os.fsync(f.fileno())
+            _fsync_tree(t)
         for t, p in list(zip(tmps, targets))[::-1]:
             if os.path.isdir(p):
                 trash = f"{p}.old-{os.getpid()}"
                 shutil.rmtree(trash, ignore_errors=True)
                 os.rename(p, trash)
+                # A crash HERE leaves no visible dir — but both the
+                # complete .tmp and the .old backup survive, and every
+                # reader runs _recover_fs_dir to promote one.
                 os.rename(t, p)
                 shutil.rmtree(trash, ignore_errors=True)
             else:
                 os.rename(t, p)
+        # Orphans from crashed earlier writers (any pid) are stale now.
+        parent = os.path.dirname(final_path) or "."
+        base = os.path.basename(final_path)
+        for entry in os.listdir(parent):
+            suffix = entry[len(base):] if entry.startswith(base + ".") else ""
+            if suffix.startswith(".tmp-") or suffix.startswith(".old-"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+        if settings.checkpoint_fsync:
+            fd = os.open(parent, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
         # Stale replicas from an earlier higher-replication write must
         # not serve outdated blocks to the failover path.
         for stale in _existing_replicas(final_path):
@@ -184,6 +264,7 @@ class FileSystem:
 
     def read_meta_fs(self, filename: str) -> dict:
         path = _fs_path(filename)
+        _recover_fs_dir(path)  # promote a complete orphan if torn
         err = None
         for d in [path] + _existing_replicas(path):
             try:
@@ -300,6 +381,17 @@ class FileSystem:
         path = _fs_path(filename)
         for rep in _existing_replicas(path):
             shutil.rmtree(rep, ignore_errors=True)
+        # Publish orphans too — else a later exists_fs/read would
+        # resurrect the deleted checkpoint from an .old-*/.tmp-* dir.
+        parent = os.path.dirname(path) or "."
+        base = os.path.basename(path)
+        if os.path.isdir(parent):
+            for entry in os.listdir(parent):
+                sfx = entry[len(base):] if entry.startswith(base + ".") else ""
+                if sfx.startswith(".tmp-") or sfx.startswith(".old-"):
+                    shutil.rmtree(
+                        os.path.join(parent, entry), ignore_errors=True
+                    )
         exists = os.path.isdir(path)
         if exists:
             shutil.rmtree(path)
@@ -361,7 +453,7 @@ class FileSystem:
         }
 
     def exists_fs(self, filename: str) -> bool:
-        return os.path.isfile(os.path.join(_fs_path(filename), "meta.pkl"))
+        return _recover_fs_dir(_fs_path(filename))
 
     # -- S3 (parity: storage.py:149-242, filesystem.py:34-56) -----------
 

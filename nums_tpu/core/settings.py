@@ -170,6 +170,9 @@ lazy_program_cache = int(os.environ.get("NUMS_TPU_LAZY_PROGRAM_CACHE", "1024"))
 # (colon-separated; in a real deployment, mounts on distinct failure
 # domains — empty means sibling `<path>.replica<k>` dirs).
 checkpoint_replicas = int(os.environ.get("NUMS_TPU_CHECKPOINT_REPLICAS", "1"))
+# fsync checkpoint files + dirs before/after the publish renames so a
+# published checkpoint survives power loss (0 = rename-ordering only).
+checkpoint_fsync = os.environ.get("NUMS_TPU_CHECKPOINT_FSYNC", "1") == "1"
 replica_roots = [
     p for p in os.environ.get("NUMS_TPU_REPLICA_DIRS", "").split(":") if p
 ]

@@ -51,21 +51,26 @@ def _from_row_parts(parts, dtype=None, block_shape=None):
     sharding = app.backend.sharding_for_grid(grid)
     pshape = app.backend.physical_shape(grid.shape, grid.grid_shape)
 
+    # Regions are PHYSICAL coordinates (pad-and-mask can pad axis 1
+    # too); allocate at physical width so a shard's column slice never
+    # clamps — mirrors read_fs's region loader.
+    pcols = pshape[1] if len(pshape) > 1 else d
+
     def load_region(index):
         r = index[0]
         r0 = 0 if r.start is None else r.start
         r1 = pshape[0] if r.stop is None else r.stop
-        out = np.zeros((r1 - r0, d), dtype=dtype)
+        out = np.zeros((r1 - r0, pcols), dtype=dtype)
         for p, s0, s1 in zip(parts, starts[:-1], starts[1:]):
             lo, hi = max(r0, s0), min(r1, s1)
             if lo >= hi:
                 continue
-            out[lo - r0:hi - r0] = p[lo - s0:hi - s0]
-        return out[:, index[1]] if len(index) > 1 else out
+            out[lo - r0:hi - r0, :d] = p[lo - s0:hi - s0]
+        return out[:, index[1]] if len(index) > 1 else out[:, :d]
 
     if sharding is None:
         data = app.backend.device_put(
-            load_region((slice(0, n), slice(None))), grid
+            load_region((slice(0, n), slice(0, d))), grid
         )
         return BlockArray(data, grid, app.backend)
     data = jax.make_array_from_callback(pshape, sharding, load_region)

@@ -25,7 +25,6 @@ when xgboost is importable and skips otherwise.
 """
 
 import warnings
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -148,14 +147,42 @@ def train(params: dict, data, *args, evals=(), **kwargs):
             # returned model is identical on all ranks.
             return _xgb.train(params, dtrain, *args, evals=ev, **kwargs)
 
-    try:
-        with ThreadPoolExecutor(max_workers=n_workers) as ex:
-            boosters = list(ex.map(worker, range(n_workers)))
-    finally:
+    # Daemon threads + first-error propagation: if one rank dies (OOM
+    # building its DMatrix, a rank-local xgboost error), the surviving
+    # ranks are blocked inside the collective allreduce forever — a
+    # ThreadPoolExecutor would deadlock joining them on __exit__.
+    # Daemon workers are abandoned instead and the error surfaces.
+    import queue
+    import threading
+
+    results = queue.Queue()
+
+    def run_rank(rank):
         try:
-            tracker.wait_for()
-        except Exception:
-            pass
+            results.put((rank, worker(rank), None))
+        except BaseException as e:  # noqa: BLE001 - must reach the main thread
+            results.put((rank, None, e))
+
+    threads = [
+        threading.Thread(target=run_rank, args=(r,), daemon=True)
+        for r in range(n_workers)
+    ]
+    for t in threads:
+        t.start()
+    boosters = {}
+    for _ in range(n_workers):
+        rank, booster, err = results.get()
+        if err is not None:
+            # Don't wait_for the tracker: with a dead rank it would
+            # block as long as the stuck ranks do.
+            raise RuntimeError(
+                f"collective worker rank {rank} failed"
+            ) from err
+        boosters[rank] = booster
+    try:
+        tracker.wait_for()
+    except Exception:
+        pass
     return boosters[0]
 
 

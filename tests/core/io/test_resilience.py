@@ -106,3 +106,45 @@ def test_checkpoint_replicas_and_journal(app_inst, tmp_path):
     assert ("prune", 0) in events
     assert ("restore", 1) in events
     checkpoint.delete(name)
+
+
+def test_torn_publish_promotes_orphan(app_inst, tmp_path):
+    """Crash between the two publish renames (final gone, complete .tmp
+    and .old both present): readers promote the newest complete tmp —
+    the version that was being published."""
+    p = str(tmp_path / "arr6")
+    x1 = np.arange(8, dtype=float)
+    x2 = x1 * 7
+    app_inst.write_fs(app_inst.array(x1, block_shape=(4,)), p)
+    staging = str(tmp_path / "staging")
+    app_inst.write_fs(app_inst.array(x2, block_shape=(4,)), staging)
+    os.rename(p, p + ".old-111")      # simulate: final renamed away...
+    os.rename(staging, p + ".tmp-222")  # ...new version stuck in tmp
+    assert app_inst.fs.exists_fs(p)   # recovery-aware existence
+    assert np.allclose(app_inst.read_fs(p).get(), x2)
+    # The checkpoint is a normal directory again; delete clears orphans.
+    app_inst.delete_fs(p)
+    assert not app_inst.fs.exists_fs(p)
+    assert not os.path.isdir(p + ".old-111")
+
+
+def test_torn_step_visible_to_checkpoint_walk(app_inst, tmp_path):
+    name = str(tmp_path / "ckpt2")
+    a = np.arange(6, dtype=float).reshape(2, 3)
+    checkpoint.save(app_inst.array(a, block_shape=(2, 3)), name, step=5)
+    step_dir = os.path.join(name, "step_5")
+    os.rename(step_dir, step_dir + ".old-9")  # torn publish of step 5
+    assert checkpoint.steps(name) == [5]      # recovered, not invisible
+    step, back = checkpoint.restore_latest(name)
+    assert step == 5 and np.allclose(back.get(), a)
+    checkpoint.delete(name)
+
+
+def test_hypergeometric_validates_nsample(app_inst):
+    rs = app_inst.random_state(0)
+    try:
+        rs.hypergeometric(2, 2, 10, shape=(4,), block_shape=(4,))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
