@@ -50,3 +50,34 @@ def test_from_modin_gated():
         pytest.skip("modin installed: gating not applicable")
     with pytest.raises(RuntimeError, match="modin is not available"):
         nums_modin.from_modin(None)
+
+
+def test_from_row_parts_ragged_columns_2d_mesh():
+    """Column axis padded by pad-and-mask (d=5 on a 2-wide mesh axis):
+    region assembly must allocate at PHYSICAL width — a logical-width
+    buffer clamps the shard's column slice (round-2 review fix)."""
+    import jax
+
+    from nums_tpu.core import application_manager
+    from nums_tpu.core.array.application import ArrayApplication
+    from nums_tpu.core.backend import MeshBackend
+
+    devices = jax.devices("cpu")[:8]
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    backend = MeshBackend(cluster_shape=(4, 2), devices=devices).init()
+    app = ArrayApplication(backend)
+    old = (application_manager.instance()
+           if application_manager.is_initialized() else None)
+    application_manager.set_instance(app)
+    try:
+        rs = np.random.RandomState(2)
+        parts = [rs.randn(r, 5) for r in (9, 8, 7)]
+        ba = nums_modin._from_row_parts(parts, block_shape=(4, 3))
+        assert ba.shape == (24, 5)
+        # Physical buffer is column-padded; logical values are exact.
+        assert ba.raw.shape[1] >= 5
+        assert np.allclose(ba.get(), np.concatenate(parts, axis=0))
+    finally:
+        if old is not None:
+            application_manager.set_instance(old)
