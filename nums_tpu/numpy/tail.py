@@ -9,7 +9,6 @@ CPU-only domains (datetime/busday calendars, np.matrix, nditer, text and
 binary file parsing) where no TPU kernel is meaningful.
 """
 
-import functools
 
 import numpy as np
 
