@@ -1,0 +1,64 @@
+"""Evaluation metrics over BlockArrays (sklearn-style surface).
+
+Beyond the reference's model zoo (it evaluates ad hoc inside tests,
+e.g. accuracy by hand in ``tests/models/test_glms.py`` there). Every
+metric is a BlockArray expression: it stays deferred under lazy
+batching (fusing into the caller's chain) and returns a SCALAR
+BlockArray — ``float(score)`` materializes it.
+"""
+
+import numpy as np
+
+from nums_tpu.core.application_manager import instance as _instance
+from nums_tpu.core.array.blockarray import BlockArray
+
+__all__ = [
+    "accuracy_score", "mean_squared_error", "mean_absolute_error",
+    "r2_score", "log_loss",
+]
+
+
+def _to_ba(x):
+    app = _instance()
+    if isinstance(x, BlockArray):
+        return x
+    return app.array(np.asarray(x), block_shape=None)
+
+
+def accuracy_score(y_true, y_pred):
+    """Fraction of exact matches."""
+    y_true, y_pred = _to_ba(y_true), _to_ba(y_pred)
+    return (y_true == y_pred).astype(np.float64).mean()
+
+
+def mean_squared_error(y_true, y_pred):
+    y_true, y_pred = _to_ba(y_true), _to_ba(y_pred)
+    d = y_true - y_pred
+    return (d * d).mean()
+
+
+def mean_absolute_error(y_true, y_pred):
+    y_true, y_pred = _to_ba(y_true), _to_ba(y_pred)
+    return abs(y_true - y_pred).mean()
+
+
+def r2_score(y_true, y_pred):
+    """1 − SS_res/SS_tot (sklearn semantics)."""
+    app = _instance()
+    y_true, y_pred = _to_ba(y_true), _to_ba(y_pred)
+    d = y_true - y_pred
+    ss_res = app.sum(d * d)
+    c = y_true - y_true.mean()
+    ss_tot = app.sum(c * c)
+    return 1.0 - ss_res / ss_tot
+
+
+def log_loss(y_true, y_proba, eps=1e-15):
+    """Binary cross-entropy. ``y_proba`` is P(class 1) — a vector, or the
+    (n, 2) predict_proba layout (column 0 = P(1), as the GLM emits)."""
+    app = _instance()
+    y_true, y_proba = _to_ba(y_true), _to_ba(y_proba)
+    if y_proba.ndim == 2:
+        y_proba = y_proba[:, 0]
+    p = y_proba.clip(eps, 1.0 - eps)
+    return -(y_true * app.log(p) + (1.0 - y_true) * app.log(1.0 - p)).mean()
