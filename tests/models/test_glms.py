@@ -179,6 +179,24 @@ def test_fused_vs_eager_newton(nps_app_inst):
         fit("1", penalty="l2", C=0.5), fit("0", penalty="l2", C=0.5),
         atol=1e-9,
     )
+    # Every fused kind drifts together with its eager twin (the two
+    # implementations are maintained in parallel — this sweep is the
+    # drift guard).
+    from nums_tpu.models.glms import LinearRegression
+
+    assert np.allclose(
+        fit("1", cls=LinearRegression), fit("0", cls=LinearRegression),
+        atol=1e-8,
+    )
+    assert np.allclose(
+        fit("1", cls=LinearRegression, penalty="l2", C=0.5),
+        fit("0", cls=LinearRegression, penalty="l2", C=0.5),
+        atol=1e-8,
+    )
+    assert np.allclose(
+        fit("1", cls=PoissonRegression), fit("0", cls=PoissonRegression),
+        atol=1e-7,
+    )
 
 
 def test_lbfgs_solver(nps_app_inst):
