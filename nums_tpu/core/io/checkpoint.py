@@ -49,8 +49,13 @@ def journal(name: str):
     out = []
     with open(p) as f:
         for line in f:
-            ts, event, step = line.split()
-            out.append((float(ts), event, int(step)))
+            # Appends are non-atomic: a crash mid-append leaves a torn
+            # final line. The readable prefix is the journal.
+            try:
+                ts, event, step = line.split()
+                out.append((float(ts), event, int(step)))
+            except ValueError:
+                continue
     return out
 
 

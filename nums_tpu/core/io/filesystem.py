@@ -13,6 +13,7 @@ block keyed ``<name>_<i>_<j>`` + pickled meta. Gated on boto3 presence.
 
 import os
 import pickle
+import re
 import shutil
 from io import StringIO
 from concurrent.futures import ThreadPoolExecutor
@@ -52,22 +53,89 @@ def _replica_paths(final_path: str, count: int):
     """Replica directories for a checkpoint at ``final_path``.
 
     With ``NUMS_TPU_REPLICA_DIRS`` (colon-separated roots — in a real
-    deployment, mounts on distinct failure domains) replica k lives
-    under root[(k-1) % len]; otherwise replicas are siblings
-    ``<path>.replica<k>`` (protects against per-file corruption/loss,
-    not device loss).
+    deployment, mounts on distinct failure domains) replica k MIRRORS
+    the checkpoint's full absolute path under root[(k-1) % len] — the
+    full path, not the basename, so distinct checkpoints that share a
+    final path component (every ``step_<k>`` of every model) can never
+    collide on a replica directory. Without roots, replicas are
+    siblings ``<path>.replica<k>`` (protects against per-file
+    corruption/loss, not device loss).
     """
     roots = settings.replica_roots
     out = []
+    mirror = os.path.abspath(final_path).lstrip(os.sep)
     for k in range(1, count):
         if roots:
             root = roots[(k - 1) % len(roots)]
-            out.append(
-                os.path.join(root, os.path.basename(final_path) + f".r{k}")
-            )
+            out.append(os.path.join(root, mirror + f".r{k}"))
         else:
             out.append(f"{final_path}.replica{k}")
     return out
+
+
+_REPLICA_SIBLING_RE = re.compile(r"\.replica\d+$")
+_REPLICA_ROOT_RE = re.compile(r"\.r\d+$")
+_ORPHAN_RE = re.compile(r"\.(?:tmp|old)-\d+$")
+
+
+def _replica_parents(final_path: str):
+    """(parent_dir, base_name) pairs where this checkpoint's replica
+    dirs can live, across both naming schemes."""
+    out = [(os.path.dirname(final_path) or ".",
+            os.path.basename(final_path))]
+    mirror = os.path.abspath(final_path).lstrip(os.sep)
+    for root in settings.replica_roots:
+        p = os.path.join(root, mirror)
+        out.append((os.path.dirname(p), os.path.basename(p)))
+    return out
+
+
+def _existing_replicas(final_path: str):
+    """Published replica dirs (meta.pkl present) — found by LISTING the
+    candidate parents, so any replica count is discovered."""
+    found = []
+    for parent, base in _replica_parents(final_path):
+        if not os.path.isdir(parent):
+            continue
+        for entry in os.listdir(parent):
+            if not entry.startswith(base + "."):
+                continue
+            suffix = entry[len(base):]
+            if not (_REPLICA_SIBLING_RE.fullmatch(suffix)
+                    or _REPLICA_ROOT_RE.fullmatch(suffix)):
+                continue
+            full = os.path.join(parent, entry)
+            if os.path.isfile(os.path.join(full, "meta.pkl")):
+                found.append(full)
+    return found
+
+
+def _cleanup_orphans(final_path: str, include_replicas: bool = False):
+    """Remove publish orphans (``.tmp-*`` / ``.old-*``) of this
+    checkpoint AND of its replica dirs (a writer crashed mid-replica
+    write leaves ``<replica>.tmp-*`` dirs that no later write touches).
+    With ``include_replicas`` the published replica dirs go too."""
+    for parent, base in _replica_parents(final_path):
+        if not os.path.isdir(parent):
+            continue
+        for entry in os.listdir(parent):
+            if not entry.startswith(base + "."):
+                continue
+            suffix = entry[len(base):]
+            core = _ORPHAN_RE.sub("", suffix)
+            is_orphan = _ORPHAN_RE.search(suffix) and (
+                core == ""
+                or _REPLICA_SIBLING_RE.fullmatch(core)
+                or _REPLICA_ROOT_RE.fullmatch(core)
+            )
+            is_replica = include_replicas and (
+                _REPLICA_SIBLING_RE.fullmatch(suffix)
+                or _REPLICA_ROOT_RE.fullmatch(suffix)
+            )
+            if is_orphan or is_replica:
+                shutil.rmtree(
+                    os.path.join(parent, entry), ignore_errors=True
+                )
 
 
 def _fsync_tree(path: str):
@@ -121,20 +189,11 @@ def _recover_fs_dir(path: str) -> bool:
     if not candidates:
         return False
     candidates.sort()
-    os.rename(candidates[-1][1], path)
-    return True
-
-
-def _existing_replicas(final_path: str):
-    """Published replica dirs (meta.pkl present), any configuration."""
-    # Check both naming schemes so reads work even if the env changed.
-    candidates = _replica_paths(final_path, 9)
-    roots = settings.replica_roots
-    if roots:
-        candidates += [f"{final_path}.replica{k}" for k in range(1, 9)]
-    return [
-        p for p in candidates if os.path.isfile(os.path.join(p, "meta.pkl"))
-    ]
+    try:
+        os.rename(candidates[-1][1], path)
+    except OSError:
+        pass  # raced another reader's recovery or a writer's publish
+    return os.path.isfile(os.path.join(path, "meta.pkl"))
 
 
 def _s3_parse(filename: str):
@@ -238,17 +297,25 @@ class FileSystem:
                 # A crash HERE leaves no visible dir — but both the
                 # complete .tmp and the .old backup survive, and every
                 # reader runs _recover_fs_dir to promote one.
-                os.rename(t, p)
+                try:
+                    os.rename(t, p)
+                except OSError:
+                    # A concurrent reader's recovery may have promoted
+                    # our complete tmp into place mid-window; any
+                    # complete final dir means the publish landed.
+                    if not os.path.isfile(os.path.join(p, "meta.pkl")):
+                        raise
                 shutil.rmtree(trash, ignore_errors=True)
             else:
-                os.rename(t, p)
-        # Orphans from crashed earlier writers (any pid) are stale now.
+                try:
+                    os.rename(t, p)
+                except OSError:
+                    if not os.path.isfile(os.path.join(p, "meta.pkl")):
+                        raise
+        # Orphans from crashed earlier writers (any pid, incl. replica
+        # tmp dirs under replica roots) are stale now.
+        _cleanup_orphans(final_path)
         parent = os.path.dirname(final_path) or "."
-        base = os.path.basename(final_path)
-        for entry in os.listdir(parent):
-            suffix = entry[len(base):] if entry.startswith(base + ".") else ""
-            if suffix.startswith(".tmp-") or suffix.startswith(".old-"):
-                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
         if settings.checkpoint_fsync:
             fd = os.open(parent, os.O_RDONLY)
             try:
@@ -311,7 +378,10 @@ class FileSystem:
         path = _fs_path(filename)
         meta = self.read_meta_fs(filename)
         alt_dirs = _existing_replicas(path)
-        checks = meta.get("checksums") if verify else None
+        # Failover is ALWAYS CRC-guarded (a replica could hold a
+        # different version after a torn replicated publish); verify
+        # additionally checks primaries.
+        checks = meta.get("checksums")
         grid = ArrayGrid.from_meta(meta["grid"])
         dtype = np.dtype(grid.dtype)
         sharding = self.backend.sharding_for_grid(grid)
@@ -379,19 +449,9 @@ class FileSystem:
 
     def delete_fs(self, filename: str):
         path = _fs_path(filename)
-        for rep in _existing_replicas(path):
-            shutil.rmtree(rep, ignore_errors=True)
-        # Publish orphans too — else a later exists_fs/read would
-        # resurrect the deleted checkpoint from an .old-*/.tmp-* dir.
-        parent = os.path.dirname(path) or "."
-        base = os.path.basename(path)
-        if os.path.isdir(parent):
-            for entry in os.listdir(parent):
-                sfx = entry[len(base):] if entry.startswith(base + ".") else ""
-                if sfx.startswith(".tmp-") or sfx.startswith(".old-"):
-                    shutil.rmtree(
-                        os.path.join(parent, entry), ignore_errors=True
-                    )
+        # Replicas AND publish orphans (any scheme) go too — else a later
+        # exists_fs/read would resurrect the deleted checkpoint.
+        _cleanup_orphans(path, include_replicas=True)
         exists = os.path.isdir(path)
         if exists:
             shutil.rmtree(path)

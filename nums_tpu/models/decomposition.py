@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from nums_tpu.core.application_manager import instance as _instance
 from nums_tpu.core.array.blockarray import BlockArray
+from nums_tpu.models._common import _to_ba
 
 
 @functools.lru_cache(maxsize=None)
@@ -39,13 +40,6 @@ def _flip_kernel():
         return u * signs[None, :], vt * signs[:, None]
 
     return jax.jit(k)
-
-
-def _to_ba(X):
-    app = _instance()
-    if isinstance(X, BlockArray):
-        return X
-    return app.array(np.asarray(X), block_shape=None)
 
 
 class _BaseSVDModel:

@@ -232,6 +232,23 @@ class GLM:
         g = self.gradient(X, y, self.forward(X, beta), beta=beta)
         return g.T @ g
 
+    def _lam_for(self, X):
+        """λ vector sized for X's columns: during fit X is intercept-
+        augmented (width d+1 == len(lambda_vec)); post-fit callers pass
+        the raw d-column X — drop the intercept slot."""
+        lv = self._lambda_vec
+        if lv is not None and lv.shape[0] == X.shape[1] + 1:
+            return lv[:-1]
+        return lv
+
+    def _beta_for_penalty(self, X, beta):
+        """The coefficient vector the l2 term applies to: the solver's
+        augmented beta during fit, the fitted coefficients after."""
+        if beta is not None:
+            return beta
+        assert self._beta is not None, "penalized gradient needs beta"
+        return self._beta
+
     def predict(self, X):
         raise NotImplementedError()
 
@@ -360,13 +377,13 @@ class LinearRegression(GLM):
             # (The reference's LinearRegression ignores the penalty
             # entirely — glms.py:190-201; Ridge requires it here.)
             return X.T @ (mu - y)
-        assert beta is not None
-        return X.T @ (mu - y) + self._lambda_vec * beta
+        b = self._beta_for_penalty(X, beta)
+        return X.T @ (mu - y) + self._lam_for(X) * b
 
     def hessian(self, X, y, mu=None):
         if self._penalty != "l2":
             return X.T @ X
-        return X.T @ X + self._app.diag(self._lambda_vec)
+        return X.T @ X + self._app.diag(self._lam_for(X))
 
     def deviance(self, y, y_pred):
         return self._app.sum((y - y_pred) ** self._app.two)
@@ -397,8 +414,8 @@ class LogisticRegression(GLM):
             # l1's subgradient is non-smooth — the smooth gradient here
             # is only used by smooth solvers (l1 is ADMM-only).
             return X.T @ (mu - y)
-        assert beta is not None
-        return X.T @ (mu - y) + self._lambda_vec * beta
+        b = self._beta_for_penalty(X, beta)
+        return X.T @ (mu - y) + self._lam_for(X) * b
 
     def hessian(self, X, y, mu=None):
         if mu is None:
@@ -413,7 +430,7 @@ class LogisticRegression(GLM):
         # Hessian (glms.py:239, adding λ_j to EVERY entry of column j,
         # an asymmetric rank-one perturbation); that is a reference bug,
         # fixed here and in the fused path identically (DIVERGENCES.md).
-        return X.T @ (s * X) + self._app.diag(self._lambda_vec)
+        return X.T @ (s * X) + self._app.diag(self._lam_for(X))
 
     def deviance(self, y, y_pred):
         raise NotImplementedError()

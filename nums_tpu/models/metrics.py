@@ -11,18 +11,12 @@ import numpy as np
 
 from nums_tpu.core.application_manager import instance as _instance
 from nums_tpu.core.array.blockarray import BlockArray
+from nums_tpu.models._common import _to_ba
 
 __all__ = [
     "accuracy_score", "mean_squared_error", "mean_absolute_error",
     "r2_score", "log_loss",
 ]
-
-
-def _to_ba(x):
-    app = _instance()
-    if isinstance(x, BlockArray):
-        return x
-    return app.array(np.asarray(x), block_shape=None)
 
 
 def accuracy_score(y_true, y_pred):
@@ -54,11 +48,17 @@ def r2_score(y_true, y_pred):
 
 
 def log_loss(y_true, y_proba, eps=1e-15):
-    """Binary cross-entropy. ``y_proba`` is P(class 1) — a vector, or the
-    (n, 2) predict_proba layout (column 0 = P(1), as the GLM emits)."""
+    """Binary cross-entropy. ``y_proba`` is P(class 1) — a vector, or an
+    (n, 2) matrix in SKLEARN column order (column index == class label,
+    so column 1 = P(1), as sklearn/xgboost ``predict_proba`` emit).
+
+    NOTE: this repo's ``LogisticRegression.predict_proba`` follows the
+    REFERENCE's layout — [P(1), P(0)], the reverse — so pass
+    ``model.predict_proba(X)[:, 0]`` for that model."""
     app = _instance()
     y_true, y_proba = _to_ba(y_true), _to_ba(y_proba)
     if y_proba.ndim == 2:
-        y_proba = y_proba[:, 0]
+        assert y_proba.shape[1] == 2, y_proba.shape
+        y_proba = y_proba[:, 1]
     p = y_proba.clip(eps, 1.0 - eps)
     return -(y_true * app.log(p) + (1.0 - y_true) * app.log(1.0 - p)).mean()

@@ -12,15 +12,9 @@ import numpy as np
 
 from nums_tpu.core.application_manager import instance as _instance
 from nums_tpu.core.array.blockarray import BlockArray
+from nums_tpu.models._common import _to_ba
 
 __all__ = ["train_test_split", "KFold", "cross_val_score"]
-
-
-def _to_ba(x):
-    app = _instance()
-    if isinstance(x, BlockArray):
-        return x
-    return app.array(np.asarray(x), block_shape=None)
 
 
 def _resolve_sizes(n, test_size, train_size):

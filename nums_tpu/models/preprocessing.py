@@ -5,19 +5,12 @@ elementwise expressions that fuse into downstream training chains under
 lazy batching. Beyond the reference (no preprocessing layer there).
 """
 
-import numpy as np
 
 from nums_tpu.core.application_manager import instance as _instance
 from nums_tpu.core.array.blockarray import BlockArray
+from nums_tpu.models._common import _to_ba
 
 __all__ = ["StandardScaler", "MinMaxScaler", "normalize"]
-
-
-def _to_ba(x):
-    app = _instance()
-    if isinstance(x, BlockArray):
-        return x
-    return app.array(np.asarray(x), block_shape=None)
 
 
 class StandardScaler:

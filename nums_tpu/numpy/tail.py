@@ -98,20 +98,32 @@ def ix_(*args):
 def _piecewise_key(funclist):
     """Structural cache key for a funclist: inline lambdas are fresh
     OBJECTS every call but share one code object per source location, so
-    keying on (code, defaults, closure cells) makes the idiomatic
-    ``piecewise(x, conds, [lambda v: -v, ...])`` loop hit the cache
-    instead of compiling and permanently caching a new kernel per call.
-    Returns None (→ uncached path) when any piece isn't hashable."""
+    keying on (code, defaults, closure cells, referenced-global VALUES)
+    makes the idiomatic ``piecewise(x, conds, [lambda v: -v, ...])``
+    loop hit the cache instead of compiling and permanently caching a
+    new kernel per call — while a changed captured value (closure cell
+    OR module global like ``lambda t: t*g``) misses and recompiles.
+    Returns None (→ uncached path) when any piece isn't fully hashable.
+    """
     key = []
     for f in funclist:
         if not callable(f):  # numpy allows scalar pieces
             key.append(("const", f))
             continue
-        cells = ()
-        if getattr(f, "__closure__", None):
-            cells = tuple(c.cell_contents for c in f.__closure__)
-        entry = (getattr(f, "__code__", f), getattr(f, "__defaults__", None),
-                 cells)
+        code = getattr(f, "__code__", None)
+        if code is None:
+            return None  # builtins/callables without code: don't cache
+        try:
+            cells = tuple(
+                c.cell_contents for c in (f.__closure__ or ())
+            )
+        except ValueError:  # not-yet-bound cell
+            return None
+        fglobals = getattr(f, "__globals__", {})
+        globs = tuple(
+            (nm, fglobals[nm]) for nm in code.co_names if nm in fglobals
+        )
+        entry = (code, f.__defaults__, cells, globs)
         try:
             hash(entry)
         except TypeError:

@@ -148,3 +148,56 @@ def test_hypergeometric_validates_nsample(app_inst):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_replica_dirs_no_basename_collision(app_inst, tmp_path):
+    """Two checkpoints sharing a final path component (every model's
+    step_<k>) must NOT share replica directories under
+    NUMS_TPU_REPLICA_DIRS (review finding: basename-keyed replicas let
+    another model's data splice in on failover)."""
+    from nums_tpu.core import settings
+
+    root = str(tmp_path / "replicaroot")
+    old = settings.replica_roots
+    settings.replica_roots = [root]
+    try:
+        a = np.arange(8, dtype=float)
+        b = a * 100.0
+        pa, pb = str(tmp_path / "modelA" / "ckpt"), str(
+            tmp_path / "modelB" / "ckpt")
+        app_inst.write_fs(app_inst.array(a, block_shape=(4,)), pa,
+                          replicas=2)
+        app_inst.write_fs(app_inst.array(b, block_shape=(4,)), pb,
+                          replicas=2)
+        # Lose a primary block of A: failover must return A's data.
+        os.remove(os.path.join(pa, "block_1.npy"))
+        assert np.allclose(app_inst.read_fs(pa).get(), a)
+        app_inst.delete_fs(pa)
+        app_inst.delete_fs(pb)
+    finally:
+        settings.replica_roots = old
+
+
+def test_many_replicas_discovered_and_deleted(app_inst, tmp_path):
+    p = str(tmp_path / "many")
+    x = np.arange(6, dtype=float)
+    app_inst.write_fs(app_inst.array(x, block_shape=(3,)), p, replicas=10)
+    from nums_tpu.core.io.filesystem import _existing_replicas
+
+    reps = _existing_replicas(p)
+    assert len(reps) == 9, reps
+    os.remove(os.path.join(p, "block_0.npy"))
+    assert np.allclose(app_inst.read_fs(p).get(), x)
+    app_inst.delete_fs(p)
+    assert _existing_replicas(p) == []
+
+
+def test_journal_tolerates_torn_line(app_inst, tmp_path):
+    name = str(tmp_path / "jrn")
+    a = np.arange(4, dtype=float)
+    checkpoint.save(app_inst.array(a, block_shape=(4,)), name, step=0)
+    with open(os.path.join(name, "journal.log"), "a") as f:
+        f.write("172390000.1 com")  # torn append (no newline, 2 fields)
+    events = checkpoint.journal(name)
+    assert ("begin", 0) in [(e, s) for _, e, s in events]
+    checkpoint.delete(name)

@@ -169,3 +169,53 @@ def test_piecewise_kernel_cache_structural(nps_app_inst):
     )
     assert np.allclose(out.get(), want)
     assert len(tail._piecewise_cache) == 1
+
+
+def test_fitted_penalized_gradient_callable(nps_app_inst):
+    """grad_norm_sq / gradient on a FITTED penalized model (beta=None,
+    unaugmented X) must work — review finding: the l2 branch asserted
+    beta is not None and would shape-mismatch lambda_vec."""
+    from nums_tpu.models.glms import LogisticRegression, Ridge
+
+    real_X, real_y, _ = _regression_data(n=200, d=4)
+    X = nps_app_inst.array(real_X, block_shape=(50, 4))
+    y = nps_app_inst.array(real_y, block_shape=(50,))
+    r = Ridge(alpha=0.5).fit(X, y)
+    assert np.isfinite(float(r.grad_norm_sq(X, y).get()))
+    yb = (real_y > real_y.mean()).astype(np.float64)
+    by = nps_app_inst.array(yb, block_shape=(50,))
+    m = LogisticRegression(penalty="l2", C=2.0, solver="newton",
+                           max_iter=5).fit(X, by)
+    assert np.isfinite(float(m.grad_norm_sq(X, by).get()))
+
+
+def test_piecewise_cache_sees_global_changes(nps_app_inst):
+    import nums_tpu.numpy as nps
+    from nums_tpu.numpy import tail
+
+    tail._piecewise_cache.clear()
+    x_np = np.array([-2.0, 3.0], dtype=np.float32)
+    x = nps.array(x_np)
+    global _PW_GAIN
+    _PW_GAIN = 10.0
+    out1 = nps.piecewise(
+        x, [x < 0, x >= 0], [lambda t: t * _PW_GAIN, lambda t: t]
+    ).get()
+    _PW_GAIN = 1000.0
+    out2 = nps.piecewise(
+        x, [x < 0, x >= 0], [lambda t: t * _PW_GAIN, lambda t: t]
+    ).get()
+    assert np.allclose(out1, [-20.0, 3.0])
+    assert np.allclose(out2, [-2000.0, 3.0])
+
+
+def test_log_loss_sklearn_column_order(nps_app_inst):
+    from nums_tpu.models import metrics
+
+    labels = np.array([0.0, 1.0, 1.0, 0.0])
+    p1 = np.array([0.1, 0.9, 0.8, 0.2])  # P(class 1)
+    mat = np.stack([1 - p1, p1], axis=1)  # sklearn layout: col 1 = P(1)
+    bl = nps_app_inst.array(labels, block_shape=(4,))
+    bm = nps_app_inst.array(mat, block_shape=(4, 2))
+    want = -np.mean(labels * np.log(p1) + (1 - labels) * np.log(1 - p1))
+    assert np.isclose(float(metrics.log_loss(bl, bm).get()), want)
