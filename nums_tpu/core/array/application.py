@@ -24,6 +24,36 @@ from nums_tpu.core.ops import (
 )
 
 
+def _ooc_y_getter(X, y):
+    """(start, length) → host y slice aligned with X's row panels.
+
+    y may be a 1-D DiskArray sharing X's row partitioning, a BlockArray,
+    or a host array (an (n,) float64 vector is 160 MB even at n=20M —
+    host-resident is fine when X itself is the out-of-core operand).
+    """
+    from nums_tpu.core.array.diskarray import DiskArray
+
+    if isinstance(y, DiskArray):
+        assert y.ndim == 1, y.shape
+        assert list(y.grid.grid_slices[0]) == list(X.grid.grid_slices[0]), (
+            "y DiskArray must share X's row partitioning"
+        )
+        index = {s: i for i, (s, _) in enumerate(y.grid.grid_slices[0])}
+
+        def get(start, length):
+            arr = y.row_panel(index[start])
+            assert arr.shape[0] == length, (arr.shape, length)
+            return arr
+
+        return get
+    host = y.get() if isinstance(y, BlockArray) else np.asarray(y)
+
+    def get(start, length):
+        return host[start:start + length]
+
+    return get
+
+
 class ArrayApplication:
     def __init__(self, backend: Backend, filesystem=None):
         self.backend = backend
@@ -690,6 +720,124 @@ class ArrayApplication:
 
     def verify_fs(self, filename: str, repair: bool = False) -> dict:
         return self.fs.verify_fs(filename, repair=repair)
+
+    # ------------------------------------------------------------------
+    # Out-of-core (DiskArray) streaming ops: datasets larger than HBM
+    # stream row panels through the device with donated accumulators.
+    # The reference's analogue is Ray plasma's implicit disk spilling.
+    # ------------------------------------------------------------------
+
+    def open_fs(self, filename: str):
+        """View an existing ``write_fs`` checkpoint as a DiskArray."""
+        from nums_tpu.core.array.diskarray import DiskArray
+        from nums_tpu.core.io.filesystem import _fs_path
+
+        return DiskArray(_fs_path(filename), self.fs)
+
+    def spill(self, ba: BlockArray, filename: str, replicas: int = None):
+        """Write ``ba`` to disk and return the DiskArray view."""
+        self.write_fs(ba, filename, replicas=replicas)
+        return self.open_fs(filename)
+
+    def _ooc_accumulate(self, X, init, update):
+        """Fold ``update(acc, panel_on_device)`` over X's row panels."""
+        import jax
+
+        acc = init
+        for _, panel in X.iter_row_panels():
+            p = jax.device_put(panel)
+            acc = update(acc, p)
+        return acc
+
+    def gram_ooc(self, X, dtype=None) -> BlockArray:
+        """XᵀX for a DiskArray X in ONE streamed pass (HBM: one panel
+        + the (d, d) accumulator)."""
+        import jax.numpy as jnp
+
+        from nums_tpu.core.ops import streaming
+
+        assert X.ndim == 2
+        d = X.shape[1]
+        # jnp round-trip resolves device coercion (e.g. f64→f32 on TPU).
+        dtype = jnp.asarray(np.zeros(0, dtype or X.dtype)).dtype
+        upd = streaming.gram_update()
+        G = self._ooc_accumulate(
+            X, jnp.zeros((d, d), dtype),
+            lambda acc, p: upd(acc, p.astype(dtype)),
+        )
+        return BlockArray.from_jax(G, backend=self.backend)
+
+    def _reduce0_ooc(self, X, op):
+        import jax.numpy as jnp
+
+        from nums_tpu.core.ops import streaming
+
+        d = X.shape[1] if X.ndim == 2 else 1
+        dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        init_val = {"sum": 0.0, "min": np.inf, "max": -np.inf}[op]
+        upd = streaming.reduce0_update(op)
+        shape = (d,) if X.ndim == 2 else ()
+        acc = self._ooc_accumulate(
+            X, jnp.full(shape, init_val, dtype),
+            lambda a, p: upd(a, p.astype(dtype)),
+        )
+        return BlockArray.from_jax(acc, backend=self.backend)
+
+    def sum_ooc(self, X) -> BlockArray:
+        """Column sums (axis=0) of a DiskArray, one streamed pass."""
+        return self._reduce0_ooc(X, "sum")
+
+    def min_ooc(self, X) -> BlockArray:
+        return self._reduce0_ooc(X, "min")
+
+    def max_ooc(self, X) -> BlockArray:
+        return self._reduce0_ooc(X, "max")
+
+    def mean_ooc(self, X) -> BlockArray:
+        return self.sum_ooc(X) / float(X.shape[0])
+
+    def tsqr_r_ooc(self, X) -> BlockArray:
+        """R factor of a DiskArray via streamed Householder combine
+        R ← qr_r([R; panel]) — robust for any conditioning; peak HBM is
+        one panel + (d, d)."""
+        import jax.numpy as jnp
+
+        from nums_tpu.core.ops import streaming
+
+        assert X.ndim == 2
+        d = X.shape[1]
+        dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        chunk = linalg.choose_chunk(X.shape[0], d)
+        upd = streaming.tsqr_r_update(chunk)
+        R = self._ooc_accumulate(
+            X, jnp.zeros((d, d), dtype),
+            lambda acc, p: upd(acc, p.astype(dtype)),
+        )
+        return BlockArray.from_jax(R, backend=self.backend)
+
+    def linear_regression_ooc(self, X, y, lamb: float = 0.0) -> BlockArray:
+        """(Ridge) regression on a DiskArray via streamed normal
+        equations: one pass accumulates (XᵀX, Xᵀy); one (d, d) solve."""
+        import jax
+        import jax.numpy as jnp
+
+        from nums_tpu.core.ops import streaming
+
+        assert X.ndim == 2
+        d = X.shape[1]
+        dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        y_at = _ooc_y_getter(X, y)
+        upd = streaming.normal_eq_update()
+        G = jnp.zeros((d, d), dtype)
+        b = jnp.zeros((d,), dtype)
+        for start, panel in X.iter_row_panels():
+            p = jax.device_put(panel).astype(dtype)
+            yp = jax.device_put(y_at(start, panel.shape[0])).astype(dtype)
+            G, b = upd(G, b, p, yp)
+        if lamb:
+            G = G + lamb * jnp.eye(d, dtype=dtype)
+        theta = linalg.posdef_solve(G, b)
+        return BlockArray.from_jax(theta, backend=self.backend)
 
     def delete_fs(self, filename: str):
         return self.fs.delete_fs(filename)

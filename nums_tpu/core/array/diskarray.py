@@ -1,0 +1,118 @@
+"""Out-of-core arrays: grid-on-disk with streaming device ops.
+
+The reference gets larger-than-memory aggregates implicitly — Ray's
+plasma object store spills blocks to disk and tasks fault them back in.
+The TPU-native equivalent is EXPLICIT streaming: a ``DiskArray`` is the
+``write_fs`` checkpoint format (one .npy per grid block + meta.pkl,
+replication/CRC compatible) viewed as an array, and the hot ops
+(gram, normal equations, row reductions, TSQR-R, GLM training) stream
+row panels host→HBM with a prefetch thread overlapping disk IO against
+MXU compute. Peak HBM is O(panel + accumulator), so one chip processes
+datasets far beyond its 16 GB — configurations the reference needed an
+8-GPU cluster for (BASELINE.md N≥5M rows).
+
+Usage::
+
+    da = app.spill(ba, "bigX")          # BlockArray -> disk
+    da = app.open_fs("bigX")            # open an existing checkpoint
+    G = app.gram_ooc(da)                # X^T X, one streamed pass
+    model.fit(da, y)                    # GLMs train out-of-core
+"""
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from nums_tpu.core.grid import ArrayGrid
+
+
+class DiskArray:
+    """A 2-D (or 1-D) array resident on disk as grid blocks.
+
+    Immutable view over a ``write_fs`` directory; all compute happens in
+    the streaming ops (``ArrayApplication.*_ooc``), which consume
+    ``iter_row_panels``.
+    """
+
+    def __init__(self, path: str, fs):
+        self._path = path
+        self._fs = fs
+        meta = fs.read_meta_fs(path)
+        self.grid = ArrayGrid.from_meta(meta["grid"])
+        assert len(self.grid.shape) in (1, 2), (
+            "DiskArray supports 1-D/2-D arrays", self.grid.shape
+        )
+
+    @property
+    def path(self):
+        return self._path
+
+    @property
+    def shape(self):
+        return self.grid.shape
+
+    @property
+    def dtype(self):
+        return np.dtype(self.grid.dtype)
+
+    @property
+    def ndim(self):
+        return len(self.grid.shape)
+
+    @property
+    def nbytes(self):
+        return int(np.prod(self.shape)) * self.dtype.itemsize
+
+    def row_panel(self, i: int) -> np.ndarray:
+        """Row stripe i assembled across column blocks (host memory)."""
+        from nums_tpu.core.io.filesystem import _block_fname
+
+        grid = self.grid
+        if self.ndim == 1:
+            entry = (i,)
+            return np.load(os.path.join(self._path, _block_fname(entry)))
+        cols = []
+        for j in range(grid.grid_shape[1]):
+            cols.append(
+                np.load(os.path.join(self._path, _block_fname((i, j))))
+            )
+        return cols[0] if len(cols) == 1 else np.concatenate(cols, axis=1)
+
+    @property
+    def num_row_panels(self):
+        return self.grid.grid_shape[0]
+
+    def iter_row_panels(self, prefetch: bool = True):
+        """Yield (start_row, panel) host arrays in row order.
+
+        With ``prefetch`` the next stripe loads on a worker thread while
+        the caller computes on the current one (NumPy IO releases the
+        GIL), overlapping disk against device time.
+        """
+        n_panels = self.num_row_panels
+        starts = [s for s, _ in self.grid.grid_slices[0]]
+        if not prefetch or n_panels <= 1:
+            for i in range(n_panels):
+                yield starts[i], self.row_panel(i)
+            return
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = ex.submit(self.row_panel, 0)
+            for i in range(n_panels):
+                panel = fut.result()
+                if i + 1 < n_panels:
+                    fut = ex.submit(self.row_panel, i + 1)
+                yield starts[i], panel
+
+    def to_block_array(self, block_shape=None):
+        """Materialize fully into (sharded) device memory."""
+        out = self._fs.read_fs(self._path)
+        if block_shape is not None and block_shape != out.block_shape:
+            out = out.reshape(out.shape, block_shape=block_shape)
+        return out
+
+    def __repr__(self):
+        return (
+            f"DiskArray(shape={self.shape}, dtype={self.dtype.name}, "
+            f"panels={self.num_row_panels}, path={self._path!r})"
+        )

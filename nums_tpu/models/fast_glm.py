@@ -283,6 +283,54 @@ def admm_fit(X, y, beta0, tol, kind="linear", max_iter=100, rho=1.0,
     return z, jnp.maximum(r, s), it
 
 
+def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
+                   penalized=False, lambda_vec=None, dtype=None):
+    """Newton GLM training on an OUT-OF-CORE design matrix.
+
+    X_disk is a ``DiskArray``; each iteration streams its row panels
+    through the device, accumulating the gradient and Hessian with
+    donated buffers (peak HBM: one panel + (d+1)² stats), then takes
+    one on-device Newton step. The per-iteration convergence check is
+    one scalar sync — the same cadence as the reference's eager loop
+    (glms.py:362-372 there), but the dataset never has to fit in device
+    (or even host) memory. The reference needed its whole cluster's
+    object store for this; here ONE chip trains any disk-sized dataset.
+
+    y: host array, BlockArray, or a 1-D DiskArray sharing X's row
+    partitioning. Returns (beta_with_intercept, max|g|, iterations).
+    """
+    from nums_tpu.core.array.application import _ooc_y_getter
+    from nums_tpu.core.ops import streaming
+
+    assert X_disk.ndim == 2
+    d = X_disk.shape[1]
+    import numpy as np
+
+    # jnp round-trip resolves device coercion (e.g. f64→f32 on TPU).
+    dtype = jnp.asarray(np.zeros(0, dtype or X_disk.dtype)).dtype
+    y_at = _ooc_y_getter(X_disk, y)
+    stats = streaming.glm_stats_update(kind)
+    newt = streaming.newton_update(bool(penalized))
+    lv = (
+        jnp.asarray(lambda_vec, dtype) if lambda_vec is not None
+        else jnp.zeros((d + 1,), dtype)
+    )
+    beta = jnp.zeros((d + 1,), dtype)
+    gmax = jnp.array(jnp.inf, dtype)
+    it = 0
+    for it in range(1, int(max_iter) + 1):
+        g = jnp.zeros((d + 1,), dtype)
+        H = jnp.zeros((d + 1, d + 1), dtype)
+        for start, panel in X_disk.iter_row_panels():
+            p = jax.device_put(panel).astype(dtype)
+            yp = jax.device_put(y_at(start, panel.shape[0])).astype(dtype)
+            g, H = stats(g, H, p, yp, beta)
+        beta, gmax = newt(beta, g, H, lv)
+        if float(gmax) <= tol:  # one scalar sync per PASS, not per op
+            break
+    return beta, gmax, it
+
+
 @functools.partial(jax.jit, static_argnames=("kind",))
 def glm_forward(X, beta, beta0, kind="logistic"):
     eta = X @ beta + beta0

@@ -74,7 +74,16 @@ class GLM:
         restored: X is augmented with a ones column so the final beta
         component is the intercept. (The reference fork commented this out
         — glms.py:107-112 — which makes its own fit→predict path fail on a
-        shape mismatch; verified against the fork directly.)"""
+        shape mismatch; verified against the fork directly.)
+
+        ``X`` may also be a ``DiskArray`` (out-of-core): Newton then
+        streams row panels through the device each iteration, so the
+        dataset never has to fit in HBM (see fast_glm.newton_fit_ooc).
+        """
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            return self._fit_ooc(X, y)
         assert X.ndim == 2 and y.ndim == 1
         app = self._app
         X = app.concatenate(
@@ -175,6 +184,43 @@ class GLM:
     # coordinate including the intercept; the sklearn aliases override.
     _penalize_intercept = True
     _sklearn_alpha_scale = False
+
+    def _fit_ooc(self, X, y):
+        """Out-of-core Newton fit on a DiskArray design matrix."""
+        if self._fused_kind is None:
+            raise NotImplementedError(
+                "out-of-core training unsupported for this model family."
+            )
+        if self._opt not in ("newton", "newton-cg"):
+            raise NotImplementedError(
+                "out-of-core training supports solver='newton' only."
+            )
+        if self._penalty not in (None, "l2"):
+            raise NotImplementedError(
+                "out-of-core training supports penalty in {none, l2}."
+            )
+        from nums_tpu.models import fast_glm
+
+        app = self._app
+        d = X.shape[1]
+        lv = None
+        if self._penalty == "l2":
+            lam = self._lambda
+            if self._sklearn_alpha_scale:
+                lam = lam * X.shape[0]
+            lv = np.full(d + 1, lam)
+            if not self._penalize_intercept:
+                lv[-1] = 0.0
+            self._lambda_vec = app.array(lv, block_shape=(d + 1,))
+        beta, _, _ = fast_glm.newton_fit_ooc(
+            X, y, self._tol, kind=self._fused_kind,
+            max_iter=int(self._max_iter),
+            penalized=lv is not None, lambda_vec=lv,
+        )
+        beta = BlockArray.from_jax(beta, backend=app.backend)
+        self._beta0 = beta[-1]
+        self._beta = beta[:-1]
+        return self
 
     def _fused_newton(self, X, y, beta, max_iter):
         """Run Newton as ONE on-device while_loop program when supported.

@@ -1,0 +1,119 @@
+"""Out-of-core DiskArray + streaming ops vs in-core NumPy oracles."""
+
+import numpy as np
+import pytest
+
+from nums_tpu.core.array.diskarray import DiskArray
+
+
+@pytest.fixture
+def disk_xy(app_inst, tmp_path):
+    rs = np.random.RandomState(0)
+    n, d = 103, 6  # ragged: 103 rows over 25-row blocks
+    real_X = rs.randn(n, d)
+    real_y = real_X @ np.linspace(-1, 1, d) + 0.1 * rs.randn(n)
+    X = app_inst.array(real_X, block_shape=(25, d))
+    y = app_inst.array(real_y, block_shape=(25,))
+    dX = app_inst.spill(X, str(tmp_path / "X"))
+    dy = app_inst.spill(y, str(tmp_path / "y"))
+    return real_X, real_y, dX, dy
+
+
+def test_spill_open_roundtrip(app_inst, disk_xy):
+    real_X, _, dX, _ = disk_xy
+    assert isinstance(dX, DiskArray)
+    assert dX.shape == real_X.shape and dX.ndim == 2
+    assert dX.num_row_panels == 5  # ceil(103/25)
+    assert np.allclose(dX.to_block_array().get(), real_X)
+    # Panels tile the rows exactly, prefetch on and off.
+    for prefetch in (False, True):
+        rows = [p for _, p in dX.iter_row_panels(prefetch=prefetch)]
+        assert np.allclose(np.concatenate(rows, axis=0), real_X)
+    back = app_inst.open_fs(dX.path)
+    assert back.shape == dX.shape
+
+
+def test_gram_and_reductions_ooc(app_inst, disk_xy):
+    real_X, _, dX, _ = disk_xy
+    assert np.allclose(
+        app_inst.gram_ooc(dX).get(), real_X.T @ real_X, atol=1e-8
+    )
+    assert np.allclose(app_inst.sum_ooc(dX).get(), real_X.sum(axis=0))
+    assert np.allclose(app_inst.min_ooc(dX).get(), real_X.min(axis=0))
+    assert np.allclose(app_inst.max_ooc(dX).get(), real_X.max(axis=0))
+    assert np.allclose(app_inst.mean_ooc(dX).get(), real_X.mean(axis=0))
+
+
+def test_tsqr_r_ooc(app_inst, disk_xy):
+    real_X, _, dX, _ = disk_xy
+    R = app_inst.tsqr_r_ooc(dX).get()
+    # Factorization-valid: R'R == X'X; R triangular.
+    assert np.allclose(R.T @ R, real_X.T @ real_X, atol=1e-8)
+    assert np.allclose(R, np.triu(R))
+
+
+def test_linear_regression_ooc(app_inst, disk_xy):
+    real_X, real_y, dX, dy = disk_xy
+    want = np.linalg.lstsq(real_X, real_y, rcond=None)[0]
+    # y as host array and as an aligned DiskArray.
+    got_host = app_inst.linear_regression_ooc(dX, real_y).get()
+    got_disk = app_inst.linear_regression_ooc(dX, dy).get()
+    assert np.allclose(got_host, want, atol=1e-6)
+    assert np.allclose(got_disk, want, atol=1e-6)
+    # Ridge shrinkage (closed form).
+    lamb = 5.0
+    want_r = np.linalg.solve(
+        real_X.T @ real_X + lamb * np.eye(6), real_X.T @ real_y
+    )
+    assert np.allclose(
+        app_inst.linear_regression_ooc(dX, real_y, lamb=lamb).get(),
+        want_r, atol=1e-6,
+    )
+
+
+def test_glm_fit_out_of_core_matches_in_core(app_inst, tmp_path):
+    from nums_tpu.core.io.datasets import BimodalGaussian
+    from nums_tpu.models.glms import LogisticRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(600, 5)
+    X = app_inst.array(real_X, block_shape=(150, 5))
+    y = app_inst.array(real_y, block_shape=(150,))
+    dX = app_inst.spill(X, str(tmp_path / "glmX"))
+    dy = app_inst.spill(y, str(tmp_path / "glmy"))
+
+    m_core = LogisticRegression(solver="newton", tol=1e-9, max_iter=10)
+    m_core.fit(X, y)
+    m_ooc = LogisticRegression(solver="newton", tol=1e-9, max_iter=10)
+    m_ooc.fit(dX, dy)  # same fit() entry point, out-of-core path
+    assert np.allclose(
+        m_ooc.coef_.get(), m_core.coef_.get(), atol=1e-5
+    )
+    assert np.isclose(
+        float(m_ooc.intercept_.get()), float(m_core.intercept_.get()),
+        atol=1e-5,
+    )
+    # Predict with the OOC-trained model on in-core data.
+    acc = (m_ooc.predict(X).get() == real_y).mean()
+    assert acc > 0.95
+
+
+def test_glm_fit_ooc_l2_and_errors(app_inst, tmp_path):
+    from nums_tpu.models.glms import LinearRegression, LogisticRegression
+
+    rs = np.random.RandomState(1)
+    real_X = rs.randn(80, 4)
+    real_y = real_X @ np.array([1.0, -2.0, 3.0, 0.5]) + 2.0
+    X = app_inst.array(real_X, block_shape=(20, 4))
+    dX = app_inst.spill(X, str(tmp_path / "rX"))
+
+    m_core = LinearRegression(penalty="l2", C=0.1, solver="newton",
+                              max_iter=10, tol=1e-10).fit(
+        X, app_inst.array(real_y, block_shape=(20,)))
+    m_ooc = LinearRegression(penalty="l2", C=0.1, solver="newton",
+                             max_iter=10, tol=1e-10).fit(dX, real_y)
+    assert np.allclose(m_ooc.coef_.get(), m_core.coef_.get(), atol=1e-6)
+
+    with pytest.raises(NotImplementedError):
+        LogisticRegression(solver="irls").fit(dX, real_y)
+    with pytest.raises(NotImplementedError):
+        LogisticRegression(penalty="l1", solver="admm").fit(dX, real_y)
