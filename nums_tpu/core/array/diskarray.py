@@ -104,6 +104,62 @@ class DiskArray:
                     fut = ex.submit(self.row_panel, i + 1)
                 yield starts[i], panel
 
+    @classmethod
+    def from_panels(cls, path: str, fs, panels, shape, dtype,
+                    block_rows: int):
+        """Write a DiskArray from a stream of row panels.
+
+        ``panels`` yields host arrays whose rows concatenate to
+        ``shape``; each panel must span a whole number of row blocks
+        (``block_rows`` rows per block, last block ragged). Uses the
+        same crash-consistent publish as ``write_fs`` (tmp dir, CRC
+        checksums, meta.pkl last, atomic rename) so the result is a
+        first-class checkpoint. Peak host memory is one panel.
+        """
+        import pickle
+        import shutil
+
+        from nums_tpu.core.io.filesystem import _block_crc, _block_fname
+
+        shape = tuple(int(s) for s in shape)
+        assert len(shape) in (1, 2), shape
+        block_shape = (
+            (block_rows,) if len(shape) == 1
+            else (block_rows, shape[1])
+        )
+        grid = ArrayGrid(shape, block_shape, np.dtype(dtype).name)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        checksums = {}
+        row = 0
+        block_i = 0
+        for panel in panels:
+            panel = np.asarray(panel, dtype=dtype)
+            assert panel.shape[1:] == shape[1:], (panel.shape, shape)
+            off = 0
+            while off < panel.shape[0]:
+                blk = panel[off:off + block_rows]
+                assert blk.shape[0] == min(
+                    block_rows, shape[0] - row
+                ), "panels must align to block_rows boundaries"
+                entry = (block_i,) if len(shape) == 1 else (block_i, 0)
+                fname = _block_fname(entry)
+                np.save(os.path.join(tmp, fname), blk)
+                checksums[fname] = _block_crc(blk)
+                off += blk.shape[0]
+                row += blk.shape[0]
+                block_i += 1
+        assert row == shape[0], (row, shape)
+        meta = {"grid": grid.to_meta(), "checksums": checksums}
+        with open(os.path.join(tmp, "meta.pkl"), "wb") as f:
+            pickle.dump(meta, f)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        return cls(path, fs)
+
     def to_block_array(self, block_shape=None):
         """Materialize fully into (sharded) device memory."""
         out = self._fs.read_fs(self._path)

@@ -89,10 +89,20 @@ class _BaseSVDModel:
         return k
 
     def fit(self, X):
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            self._fit_ooc(X)
+            return self
         self._fit(_to_ba(X))
         return self
 
     def fit_transform(self, X):
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            self._fit_ooc(X)
+            return self.transform(X)  # second streamed pass
         X = _to_ba(X)
         u, s = self._fit(X)
         # u[:, :k] * s[:k] — already computed by the fit's SVD; no second
@@ -100,8 +110,15 @@ class _BaseSVDModel:
         k = self.n_components_
         return u[:, :k] * s[:k]
 
-    def transform(self, X):
+    def transform(self, X, out: str = None):
+        """Project onto the components. An out-of-core ``X`` streams row
+        panels and writes the (n, k) result as a new DiskArray at
+        ``out`` (default: ``<X.path>.transformed``)."""
         assert self.components_ is not None, "fit must be called first"
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            return self._transform_ooc(X, out)
         X = _to_ba(X)
         return self._center(X) @ self.components_.T
 
@@ -109,6 +126,56 @@ class _BaseSVDModel:
         assert self.components_ is not None, "fit must be called first"
         X = _to_ba(X)
         return self._uncenter(X @ self.components_)
+
+    # -- out-of-core paths (gram/covariance eigendecomposition) --------
+
+    def _moments_ooc(self, X):
+        """One streamed pass → host (XᵀX, column means)."""
+        app = _instance()
+        G = np.asarray(app.gram_ooc(X).get(), dtype=np.float64)
+        mu = np.asarray(app.mean_ooc(X).get(), dtype=np.float64)
+        return G, mu
+
+    @staticmethod
+    def _top_eigh(M, k):
+        """Top-k eigenpairs of a symmetric host matrix, descending, with
+        a deterministic sign convention (largest-|entry| positive)."""
+        evals, evecs = np.linalg.eigh(M)
+        order = np.argsort(evals)[::-1]
+        evals = evals[order]
+        evecs = evecs[:, order]
+        comps = evecs[:, :k].T  # (k, d)
+        idx = np.argmax(np.abs(comps), axis=1)
+        signs = np.sign(comps[np.arange(k), idx])
+        signs[signs == 0] = 1.0
+        return evals, comps * signs[:, None]
+
+    def _transform_ooc(self, X, out):
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        comps = np.asarray(self.components_.get())
+        shift = self._ooc_shift()
+        scale = self._ooc_scale()
+        out = out or X.path + ".transformed"
+        block_rows = X.grid.block_shape[0]
+
+        def panels():
+            for _, p in X.iter_row_panels():
+                t = (p - shift) @ comps.T if shift is not None else (
+                    p @ comps.T
+                )
+                yield t / scale if scale is not None else t
+
+        return DiskArray.from_panels(
+            out, X._fs, panels(), (X.shape[0], comps.shape[0]),
+            X.dtype, block_rows,
+        )
+
+    def _ooc_shift(self):
+        return None
+
+    def _ooc_scale(self):
+        return None
 
     # Centering hooks (identity for TruncatedSVD).
     def _center(self, X):
@@ -141,6 +208,33 @@ class TruncatedSVD(_BaseSVDModel):
         total_var = app.sum(app.var(X, axis=0))
         self.explained_variance_ratio_ = self.explained_variance_ / total_var
         return u, s
+
+    def _fit_ooc(self, X):
+        """Out-of-core fit from ONE streamed pass: eigendecomposition of
+        the gram XᵀX (accuracy ~eps·cond² like any normal-equations
+        method; the in-core path's TSQR-SVD is the high-accuracy route).
+        sklearn variance semantics from gram identities:
+        var(Xvᵢ) = sᵢ²/n − (μᵀvᵢ)²; Σvar(X col) = tr(G)/n − ‖μ‖²."""
+        app = _instance()
+        n, d = X.shape
+        k = self._resolve_k(X)
+        G, mu = self._moments_ooc(X)
+        evals, comps = self._top_eigh(G, k)
+        s = np.sqrt(np.maximum(evals[:k], 0.0))
+        self.n_samples_ = n
+        self.n_components_ = k
+        self.components_ = app.array(
+            comps.astype(X.dtype), block_shape=(k, d)
+        )
+        self.singular_values_ = app.array(s.astype(X.dtype),
+                                          block_shape=(k,))
+        ev = s * s / n - (comps @ mu) ** 2
+        total_var = np.trace(G) / n - float(mu @ mu)
+        self.explained_variance_ = app.array(ev.astype(X.dtype),
+                                             block_shape=(k,))
+        self.explained_variance_ratio_ = app.array(
+            (ev / total_var).astype(X.dtype), block_shape=(k,)
+        )
 
 
 class PCA(_BaseSVDModel):
@@ -183,27 +277,79 @@ class PCA(_BaseSVDModel):
             self.noise_variance_ = app.scalar(0.0)
         return u, s
 
+    def _fit_ooc(self, X):
+        """Out-of-core PCA: streamed (XᵀX, μ) → covariance
+        eigendecomposition. cov = (G − n·μμᵀ)/(n−1); sklearn's
+        explained_variance_ IS the top eigenvalues of cov."""
+        app = _instance()
+        n, d = X.shape
+        k = self._resolve_k(X)
+        G, mu = self._moments_ooc(X)
+        cov = (G - n * np.outer(mu, mu)) / (n - 1)
+        evals, comps = self._top_eigh(cov, k)
+        evk = np.maximum(evals[:k], 0.0)
+        self.n_samples_ = n
+        self.n_components_ = k
+        self.mean_ = app.array(mu.astype(X.dtype), block_shape=(d,))
+        self.components_ = app.array(
+            comps.astype(X.dtype), block_shape=(k, d)
+        )
+        self.singular_values_ = app.array(
+            np.sqrt(evk * (n - 1)).astype(X.dtype), block_shape=(k,)
+        )
+        total_var = float(np.trace(cov))
+        self.explained_variance_ = app.array(evk.astype(X.dtype),
+                                             block_shape=(k,))
+        self.explained_variance_ratio_ = app.array(
+            (evk / total_var).astype(X.dtype), block_shape=(k,)
+        )
+        if k < min(n, d):
+            self.noise_variance_ = app.scalar(
+                (total_var - float(evk.sum())) / (min(n, d) - k)
+            )
+        else:
+            self.noise_variance_ = app.scalar(0.0)
+
+    def _ooc_shift(self):
+        return np.asarray(self.mean_.get())
+
+    def _ooc_scale(self):
+        if not self.whiten:
+            return None
+        return np.asarray(self.singular_values_.get()) / float(
+            np.sqrt(self.n_samples_ - 1)
+        )
+
     def _center(self, X):
         return X - self.mean_
 
     def _uncenter(self, X):
         return X + self.mean_
 
-    def transform(self, X):
-        out = super().transform(X)
+    def transform(self, X, out: str = None):
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            # whiten is folded into the panel stream (_ooc_scale).
+            return super().transform(X, out)
+        res = super().transform(X)
         if self.whiten:
-            out = out / (self.singular_values_ / float(
+            res = res / (self.singular_values_ / float(
                 np.sqrt(self.n_samples_ - 1)
             ))
-        return out
+        return res
 
     def fit_transform(self, X):
-        out = super().fit_transform(X)
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            return super().fit_transform(X)
+        res = super().fit_transform(X)
         if self.whiten:
-            out = out / (self.singular_values_ / float(
+            res = res / (self.singular_values_ / float(
                 np.sqrt(self.n_samples_ - 1)
             ))
-        return out
+        return res
 
     def inverse_transform(self, X):
         if self.whiten:

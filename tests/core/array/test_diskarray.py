@@ -117,3 +117,103 @@ def test_glm_fit_ooc_l2_and_errors(app_inst, tmp_path):
         LogisticRegression(solver="irls").fit(dX, real_y)
     with pytest.raises(NotImplementedError):
         LogisticRegression(penalty="l1", solver="admm").fit(dX, real_y)
+
+
+def test_from_panels_roundtrip(app_inst, tmp_path):
+    rs = np.random.RandomState(4)
+    x = rs.randn(53, 3)
+
+    def panels():
+        yield x[:20]
+        yield x[20:40]
+        yield x[40:]
+
+    da = DiskArray.from_panels(
+        str(tmp_path / "fp"), app_inst.fs, panels(), x.shape, x.dtype, 10
+    )
+    assert da.shape == (53, 3)
+    assert np.allclose(da.to_block_array().get(), x)
+    # First-class checkpoint: CRC scrub is clean.
+    assert app_inst.verify_fs(da.path)["ok"]
+
+
+def test_pca_out_of_core_matches_in_core(app_inst, tmp_path):
+    from nums_tpu.models.decomposition import PCA
+
+    rs = np.random.RandomState(5)
+    real_X = rs.randn(300, 8) @ np.diag([5, 4, 3, 2, 1, 0.5, 0.2, 0.1])
+    real_X += rs.randn(8)  # non-zero mean
+    X = app_inst.array(real_X, block_shape=(60, 8))
+    dX = app_inst.spill(X, str(tmp_path / "pcaX"))
+    k = 3
+    core = PCA(n_components=k).fit(X)
+    ooc = PCA(n_components=k).fit(dX)
+    # Components match up to the shared sign convention.
+    c1, c2 = core.components_.get(), ooc.components_.get()
+    for i in range(k):
+        assert np.allclose(c1[i], c2[i], atol=1e-6) or np.allclose(
+            c1[i], -c2[i], atol=1e-6
+        )
+    assert np.allclose(
+        core.explained_variance_.get(), ooc.explained_variance_.get(),
+        rtol=1e-6,
+    )
+    assert np.allclose(
+        core.explained_variance_ratio_.get(),
+        ooc.explained_variance_ratio_.get(), rtol=1e-6,
+    )
+    assert np.isclose(
+        float(core.noise_variance_.get()), float(ooc.noise_variance_.get()),
+        rtol=1e-6,
+    )
+    # Streaming transform writes a DiskArray matching in-core transform
+    # (up to per-component sign).
+    t_disk = ooc.transform(dX, out=str(tmp_path / "pcaT"))
+    t_core = ooc.transform(X).get()
+    assert t_disk.shape == (300, k)
+    assert np.allclose(t_disk.to_block_array().get(), t_core, atol=1e-6)
+    # fit_transform on disk == fit + transform.
+    t2 = PCA(n_components=k).fit_transform(dX)
+    assert np.allclose(
+        np.abs(t2.to_block_array().get()), np.abs(t_core), atol=1e-5
+    )
+
+
+def test_pca_ooc_whiten(app_inst, tmp_path):
+    from nums_tpu.models.decomposition import PCA
+
+    rs = np.random.RandomState(6)
+    real_X = rs.randn(200, 5) * [3.0, 2.0, 1.0, 0.5, 0.1]
+    X = app_inst.array(real_X, block_shape=(50, 5))
+    dX = app_inst.spill(X, str(tmp_path / "wX"))
+    m = PCA(n_components=3, whiten=True).fit(dX)
+    t = m.transform(dX).to_block_array().get()
+    # Whitened projections have ~unit variance per component.
+    assert np.allclose(t.var(axis=0, ddof=1), 1.0, rtol=1e-3)
+
+
+def test_truncated_svd_out_of_core(app_inst, tmp_path):
+    from nums_tpu.models.decomposition import TruncatedSVD
+
+    rs = np.random.RandomState(7)
+    real_X = rs.randn(250, 6) + 10.0  # non-centered (the LSA case)
+    X = app_inst.array(real_X, block_shape=(50, 6))
+    dX = app_inst.spill(X, str(tmp_path / "tsX"))
+    k = 2
+    core = TruncatedSVD(n_components=k).fit(X)
+    ooc = TruncatedSVD(n_components=k).fit(dX)
+    assert np.allclose(
+        np.abs(core.components_.get()), np.abs(ooc.components_.get()),
+        atol=1e-6,
+    )
+    assert np.allclose(
+        core.singular_values_.get(), ooc.singular_values_.get(), rtol=1e-6
+    )
+    assert np.allclose(
+        core.explained_variance_.get(), ooc.explained_variance_.get(),
+        rtol=1e-5,
+    )
+    assert np.allclose(
+        core.explained_variance_ratio_.get(),
+        ooc.explained_variance_ratio_.get(), rtol=1e-5,
+    )
