@@ -32,27 +32,66 @@ def _dists2(x, c):
     return jnp.maximum(xx - 2.0 * (x @ c.T) + cc[None, :], 0.0)
 
 
+def _plusplus_init(k, key, x):
+    n = x.shape[0]
+    first = jr.randint(jr.fold_in(key, 0), (), 0, n)
+    centers = jnp.zeros((k, x.shape[1]), x.dtype)
+    centers = centers.at[0].set(x[first])
+
+    def body(i, centers):
+        d2 = _dists2(x, centers)
+        # distance to the nearest ALREADY-CHOSEN center (j < i)
+        chosen = jnp.arange(k) < i
+        d2 = jnp.where(chosen[None, :], d2, jnp.inf).min(axis=1)
+        # sample proportional to d² via the Gumbel-max trick
+        # (jittable categorical without normalizing)
+        logits = jnp.log(jnp.maximum(d2, 1e-30))
+        gumbel = jr.gumbel(jr.fold_in(key, i), (n,), x.dtype)
+        nxt = jnp.argmax(logits + gumbel)
+        return centers.at[i].set(x[nxt])
+
+    return jax.lax.fori_loop(1, k, body, centers)
+
+
+@functools.lru_cache(maxsize=None)
+def _seed_kernel(k: int):
+    return jax.jit(lambda x, key: _plusplus_init(k, key, x))
+
+
+@functools.lru_cache(maxsize=None)
+def _ooc_stats_kernel():
+    """Per-panel Lloyd statistics with DONATED accumulators."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def k(sums, counts, inertia, panel, centers):
+        d2 = _dists2(panel, centers)
+        assign = jnp.argmin(d2, axis=1)
+        sums = sums.at[assign].add(panel)
+        counts = counts.at[assign].add(1.0)
+        inertia = inertia + d2.min(axis=1).sum()
+        return sums, counts, inertia
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def _ooc_update_kernel():
+    @jax.jit
+    def k(centers, sums, counts):
+        new = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0),
+            centers,
+        )
+        shift = jnp.sqrt(((new - centers) ** 2).sum(axis=1)).max()
+        return new, shift
+
+    return k
+
+
 @functools.lru_cache(maxsize=None)
 def _fit_kernel(k: int, max_iter: int, tol: float):
     def plusplus_init(key, x):
-        n = x.shape[0]
-        first = jr.randint(jr.fold_in(key, 0), (), 0, n)
-        centers = jnp.zeros((k, x.shape[1]), x.dtype)
-        centers = centers.at[0].set(x[first])
-
-        def body(i, centers):
-            d2 = _dists2(x, centers)
-            # distance to the nearest ALREADY-CHOSEN center (j < i)
-            chosen = jnp.arange(k) < i
-            d2 = jnp.where(chosen[None, :], d2, jnp.inf).min(axis=1)
-            # sample proportional to d² via the Gumbel-max trick
-            # (jittable categorical without normalizing)
-            logits = jnp.log(jnp.maximum(d2, 1e-30))
-            gumbel = jr.gumbel(jr.fold_in(key, i), (n,), x.dtype)
-            nxt = jnp.argmax(logits + gumbel)
-            return centers.at[i].set(x[nxt])
-
-        return jax.lax.fori_loop(1, k, body, centers)
+        return _plusplus_init(k, key, x)
 
     def fit(x, key):
         n, d = x.shape
@@ -101,6 +140,10 @@ class KMeans:
         self.n_iter_ = None
 
     def fit(self, X: BlockArray):
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            return self._fit_ooc(X)
         app = _instance()
         X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
         xd = X.data.astype(jnp.float32)
@@ -115,10 +158,82 @@ class KMeans:
         self._fit_X = X
         return self
 
+    def _fit_ooc(self, X):
+        """Streamed Lloyd's on a DiskArray: each iteration runs one pass
+        over the row panels, accumulating per-cluster sums/counts with
+        donated buffers. Seeding is k-means++ on the FIRST panel (the
+        standard sample-seeded approach for out-of-core k-means); one
+        scalar (shift) sync per pass. labels are produced on demand via
+        ``predict(X, out=...)`` → a labels DiskArray."""
+        import jax as _jax
+
+        k = self.n_clusters
+        first = next(iter(X.iter_row_panels(prefetch=False)))[1]
+        sample = jnp.asarray(first, jnp.float32)
+        assert sample.shape[0] >= k, "first panel smaller than n_clusters"
+        centers = _seed_kernel(k)(sample, jr.key(self.seed))
+        stats = _ooc_stats_kernel()
+        update = _ooc_update_kernel()
+        d = X.shape[1]
+
+        def one_pass(centers):
+            sums = jnp.zeros((k, d), jnp.float32)
+            counts = jnp.zeros((k,), jnp.float32)
+            inertia = jnp.zeros((), jnp.float32)
+            for _, panel in X.iter_row_panels():
+                p = _jax.device_put(panel).astype(jnp.float32)
+                sums, counts, inertia = stats(sums, counts, inertia, p,
+                                              centers)
+            return sums, counts, inertia
+
+        it = 0
+        for it in range(1, self.max_iter + 1):
+            sums, counts, _ = one_pass(centers)
+            centers, shift = update(centers, sums, counts)
+            if float(shift) <= self.tol:
+                break
+        # Final inertia against the FINAL centers (sklearn semantics).
+        _, _, inertia = one_pass(centers)
+        app = _instance()
+        self.cluster_centers_ = app.array(
+            np.asarray(_jax.device_get(centers))
+        )
+        self.inertia_ = float(inertia)
+        self.n_iter_ = int(it)
+        self._labels_data = None
+        self._fit_X = None
+        return self
+
+    def predict_ooc(self, X, out: str = None):
+        """Labels for a DiskArray, written as a 1-D int32 DiskArray."""
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        assert self.cluster_centers_ is not None, "fit first"
+        centers = jnp.asarray(
+            self.cluster_centers_.get(), jnp.float32
+        )
+        kern = _predict_kernel()
+        out = out or X.path + ".labels"
+
+        def panels():
+            for _, panel in X.iter_row_panels():
+                yield np.asarray(
+                    kern(jnp.asarray(panel, jnp.float32), centers)
+                )
+
+        return DiskArray.from_panels(
+            out, X._fs, panels(), (X.shape[0],), np.int32,
+            X.grid.block_shape[0],
+        )
+
     @property
     def labels_(self):
         from nums_tpu.core.grid import ArrayGrid
 
+        assert self._labels_data is not None, (
+            "labels_ is unavailable after an out-of-core fit; use "
+            "predict_ooc(X, out=...) to stream labels to disk."
+        )
         X = self._fit_X
         grid = ArrayGrid(
             (X.shape[0],), (X.block_shape[0],), self._labels_data.dtype.name

@@ -50,3 +50,35 @@ def test_kmeans_deterministic_and_ragged(app_inst):
         a.cluster_centers_.get(), b.cluster_centers_.get()
     )
     assert _cluster_accuracy(a.labels_.get(), y, 3) > 0.97
+
+
+def test_kmeans_out_of_core(app_inst, tmp_path):
+    """Streamed Lloyd's on a DiskArray clusters well-separated blobs and
+    predict_ooc writes a labels DiskArray consistent with in-core
+    predict."""
+    rs = np.random.RandomState(0)
+    blobs = [rs.randn(70, 4) * 0.2 + c for c in
+             (np.zeros(4), np.full(4, 5.0), np.array([5, 0, 5, 0.0]))]
+    real_X = np.concatenate(blobs, axis=0)
+    rs.shuffle(real_X)
+    X = app_inst.array(real_X, block_shape=(42, 4))
+    dX = app_inst.spill(X, str(tmp_path / "kmX"))
+    m = KMeans(n_clusters=3, max_iter=50, seed=1).fit(dX)
+    assert m.cluster_centers_.shape == (3, 4)
+    # Each blob center is ~recovered by some cluster center.
+    centers = m.cluster_centers_.get()
+    for c in (np.zeros(4), np.full(4, 5.0), np.array([5, 0, 5, 0.0])):
+        assert np.min(np.linalg.norm(centers - c, axis=1)) < 0.5
+    # inertia ~ within-cluster var * n
+    assert m.inertia_ < 100.0
+    labels_disk = m.predict_ooc(dX, out=str(tmp_path / "kmL"))
+    assert labels_disk.shape == (210,)
+    want = m.predict(X).get()
+    assert np.array_equal(labels_disk.to_block_array().get(), want)
+    # labels_ explains itself after an OOC fit
+    try:
+        m.labels_
+        raised = False
+    except AssertionError:
+        raised = True
+    assert raised
