@@ -110,6 +110,25 @@ def main():
     ok &= check("rng normal moments", [sample.mean(), sample.std()],
                 [2.0, 3.0], tol=2e-2)
 
+    # Out-of-core path: spill → streamed gram + logistic fit (small:
+    # bulk host↔device transfer is MB/s-scale through tunneled
+    # transports; this checks correctness, not throughput).
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        xo = rs.randn(4000, 50).astype(np.float32)
+        Xo = app.array(xo, block_shape=(1000, 50))
+        dX = app.spill(Xo, td + "/oocX")
+        ok &= check("ooc streamed gram", app.gram_ooc(dX).get(),
+                    xo.T @ xo, tol=5e-3)
+        yo = (xo[:, 0] > 0).astype(np.float64)
+        mo = LogisticRegression(solver="newton", max_iter=5, tol=1e-8)
+        mo.fit(dX, yo)
+        acc_o = float(np.mean(mo.predict(Xo).get() == yo))
+        print(f"{'PASS' if acc_o > 0.95 else 'FAIL'} "
+              f"ooc logistic fit acc: {acc_o}")
+        ok &= acc_o > 0.95
+
     print("OVERALL:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
