@@ -113,6 +113,46 @@ def save(ba, name: str, step: int, keep: int = 2, replicas: int = None):
     return step
 
 
+_async_executor = None
+
+
+def _executor():
+    global _async_executor
+    if _async_executor is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        # ONE worker: async saves are strictly ordered (step k publishes
+        # before step k+1 starts), so pruning and the journal stay
+        # consistent.
+        _async_executor = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-save"
+        )
+    return _async_executor
+
+
+def save_async(ba, name: str, step: int, keep: int = 2,
+               replicas: int = None):
+    """Non-blocking ``save``: the device→host fetch and disk writes run
+    on a background worker so the training loop keeps the chip busy.
+
+    The array is materialized (``touch``) in the CALLER's thread first —
+    BlockArrays are immutable, so the snapshot is exactly the value at
+    call time, and the worker never races the main thread's lazy
+    engine. Returns a Future; ``.result()`` yields the step number and
+    re-raises any write error. Saves are ordered (single worker).
+    """
+    ba.touch()
+    return _executor().submit(save, ba, name, step, keep, replicas)
+
+
+def wait_pending():
+    """Block until every in-flight ``save_async`` has published."""
+    global _async_executor
+    if _async_executor is not None:
+        _async_executor.shutdown(wait=True)
+        _async_executor = None
+
+
 def restore_latest(name: str, verify: bool = False):
     """(step, BlockArray) of the newest checkpoint that loads cleanly.
 

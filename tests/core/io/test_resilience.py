@@ -201,3 +201,39 @@ def test_journal_tolerates_torn_line(app_inst, tmp_path):
     events = checkpoint.journal(name)
     assert ("begin", 0) in [(e, s) for _, e, s in events]
     checkpoint.delete(name)
+
+
+def test_save_async_ordered_and_restorable(app_inst, tmp_path):
+    """Async saves snapshot call-time values, publish in order, and
+    surface worker errors through the future."""
+    name = str(tmp_path / "async_ckpt")
+    rs = np.random.RandomState(3)
+    arrays = [rs.randn(6, 3) for _ in range(3)]
+    handles = [
+        checkpoint.save_async(
+            app_inst.array(a, block_shape=(3, 3)), name, step=i, keep=2
+        )
+        for i, a in enumerate(arrays)
+    ]
+    assert [h.result() for h in handles] == [0, 1, 2]
+    checkpoint.wait_pending()
+    assert checkpoint.steps(name) == [1, 2]  # keep=2 pruning held
+    step, back = checkpoint.restore_latest(name)
+    assert step == 2 and np.allclose(back.get(), arrays[2])
+    events = [(e, s) for _, e, s in checkpoint.journal(name)]
+    # Ordered worker: step k commits before step k+1 begins.
+    assert events.index(("commit", 0)) < events.index(("begin", 1))
+    assert events.index(("commit", 1)) < events.index(("begin", 2))
+    checkpoint.delete(name)
+    # A worker failure surfaces on .result().
+    bad = checkpoint.save_async(
+        app_inst.array(np.zeros(2), block_shape=(2,)),
+        "/proc/definitely/not/writable/x", step=0,
+    )
+    try:
+        bad.result()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    checkpoint.wait_pending()
