@@ -11,3 +11,45 @@ def _to_ba(x):
     if isinstance(x, BlockArray):
         return x
     return _instance().array(np.asarray(x), block_shape=None)
+
+
+def save_model_arrays(path: str, meta: dict, arrays: dict):
+    """Persist a fitted model: ``model.json`` (hyperparams + scalars) +
+    ``arrays.npz`` (fitted tensors), written atomically (tmp + rename).
+    The format every non-GLM model's save/load shares."""
+    import json
+    import os
+    import shutil
+
+    from nums_tpu.core.io.filesystem import _fs_path
+
+    path = _fs_path(path)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    host = {
+        k: (np.asarray(v.get()) if hasattr(v, "get") else np.asarray(v))
+        for k, v in arrays.items() if v is not None
+    }
+    np.savez(os.path.join(tmp, "arrays.npz"), **host)
+    with open(os.path.join(tmp, "model.json"), "w") as f:
+        json.dump(meta, f)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def load_model_arrays(path: str):
+    """(meta, {name: np.ndarray}) from ``save_model_arrays`` output."""
+    import json
+    import os
+
+    from nums_tpu.core.io.filesystem import _fs_path
+
+    path = _fs_path(path)
+    with open(os.path.join(path, "model.json")) as f:
+        meta = json.load(f)
+    with np.load(os.path.join(path, "arrays.npz")) as z:
+        arrays = {k: z[k] for k in z.files}
+    return meta, arrays

@@ -251,3 +251,31 @@ class KMeans:
 
     def fit_predict(self, X: BlockArray) -> BlockArray:
         return self.fit(X).labels_
+
+    def save(self, path: str):
+        from nums_tpu.models._common import save_model_arrays
+
+        assert self.cluster_centers_ is not None, "fit before save"
+        save_model_arrays(
+            path,
+            {"model": "KMeans", "n_clusters": self.n_clusters,
+             "max_iter": self.max_iter, "tol": self.tol,
+             "seed": self.seed, "inertia": self.inertia_,
+             "n_iter": self.n_iter_},
+            {"cluster_centers": self.cluster_centers_},
+        )
+
+    @classmethod
+    def load(cls, path: str):
+        from nums_tpu.models._common import load_model_arrays
+
+        meta, arrays = load_model_arrays(path)
+        assert meta["model"] == "KMeans", meta
+        m = cls(n_clusters=meta["n_clusters"], max_iter=meta["max_iter"],
+                tol=meta["tol"], seed=meta["seed"])
+        m.cluster_centers_ = _instance().array(arrays["cluster_centers"])
+        m.inertia_ = meta["inertia"]
+        m.n_iter_ = meta["n_iter"]
+        m._labels_data = None
+        m._fit_X = None
+        return m

@@ -177,6 +177,68 @@ class _BaseSVDModel:
     def _ooc_scale(self):
         return None
 
+    # -- persistence (model.json + arrays.npz, atomic) ------------------
+
+    _extra_meta = ()
+    _extra_arrays = ()
+
+    def save(self, path: str):
+        from nums_tpu.models._common import save_model_arrays
+
+        assert self.components_ is not None, "fit before save"
+        meta = {
+            "model": type(self).__name__,
+            "n_components": self.n_components_,
+            "svd_solver": self.svd_solver,
+            "n_oversamples": self.n_oversamples,
+            "power_iters": self.power_iters,
+            "seed": self.seed,
+            "n_samples": self.n_samples_,
+        }
+        for k in self._extra_meta:
+            meta[k] = getattr(self, k)
+        arrays = {
+            "components": self.components_,
+            "singular_values": self.singular_values_,
+            "explained_variance": self.explained_variance_,
+            "explained_variance_ratio": self.explained_variance_ratio_,
+        }
+        for k in self._extra_arrays:
+            arrays[k] = getattr(self, k + "_", None)
+        save_model_arrays(path, meta, arrays)
+
+    @classmethod
+    def load(cls, path: str):
+        from nums_tpu.models._common import load_model_arrays
+
+        meta, arrays = load_model_arrays(path)
+        kw = {}
+        if meta.get("whiten") is not None:
+            kw["whiten"] = meta["whiten"]
+        m = cls(
+            n_components=meta["n_components"],
+            svd_solver=meta["svd_solver"],
+            n_oversamples=meta["n_oversamples"],
+            power_iters=meta["power_iters"], seed=meta["seed"], **kw
+        )
+        assert meta["model"] == type(m).__name__, meta
+        app = _instance()
+        m.n_components_ = meta["n_components"]
+        m.n_samples_ = meta["n_samples"]
+        m.components_ = app.array(arrays["components"])
+        m.singular_values_ = app.array(arrays["singular_values"])
+        m.explained_variance_ = app.array(arrays["explained_variance"])
+        m.explained_variance_ratio_ = app.array(
+            arrays["explained_variance_ratio"]
+        )
+        if "mean" in arrays:
+            m.mean_ = app.array(arrays["mean"])
+        if "noise_variance" in arrays:
+            m.noise_variance_ = app.scalar(
+                float(arrays["noise_variance"])
+            )
+        return m
+
     # Centering hooks (identity for TruncatedSVD).
     def _center(self, X):
         return X
@@ -242,6 +304,9 @@ class PCA(_BaseSVDModel):
 
     ``whiten=True`` scales projections to unit component-wise variance.
     """
+
+    _extra_meta = ("whiten",)
+    _extra_arrays = ("mean", "noise_variance")
 
     def __init__(self, n_components=None, whiten=False, **solver_kwargs):
         super().__init__(n_components, **solver_kwargs)

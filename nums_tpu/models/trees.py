@@ -215,6 +215,41 @@ class GradientBoostedTrees:
         assert self.objective == "logistic"
         return self._wrap(X, jax.nn.sigmoid(self._raw_predict(X)))
 
+    def save(self, path: str):
+        from nums_tpu.models._common import save_model_arrays
+
+        assert self._trees is not None, "fit before save"
+        feats, cuts, leaf_vals = self._trees
+        save_model_arrays(
+            path,
+            {"model": type(self).__name__, "objective": self.objective,
+             "n_estimators": self.n_estimators,
+             "max_depth": self.max_depth,
+             "learning_rate": self.learning_rate, "n_bins": self.n_bins,
+             "reg_lambda": self.reg_lambda, "base": self._base},
+            {"edges": np.asarray(self._edges),
+             "feats": np.asarray(feats), "cuts": np.asarray(cuts),
+             "leaf_vals": np.asarray(leaf_vals)},
+        )
+
+    @classmethod
+    def load(cls, path: str):
+        from nums_tpu.models._common import load_model_arrays
+
+        meta, arrays = load_model_arrays(path)
+        m = cls(objective=meta["objective"],
+                n_estimators=meta["n_estimators"],
+                max_depth=meta["max_depth"],
+                learning_rate=meta["learning_rate"],
+                n_bins=meta["n_bins"], reg_lambda=meta["reg_lambda"])
+        m._base = meta["base"]
+        m._edges = jnp.asarray(arrays["edges"])
+        m._trees = (
+            jnp.asarray(arrays["feats"]), jnp.asarray(arrays["cuts"]),
+            jnp.asarray(arrays["leaf_vals"]),
+        )
+        return m
+
 
 class GBTRegressor(GradientBoostedTrees):
     def __init__(self, **kwargs):

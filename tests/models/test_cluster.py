@@ -82,3 +82,17 @@ def test_kmeans_out_of_core(app_inst, tmp_path):
     except AssertionError:
         raised = True
     assert raised
+
+
+def test_kmeans_save_load(nps_app_inst, tmp_path):
+    rs = np.random.RandomState(2)
+    real_X = _blobs(rs, 3, 40, 4)[0]
+    X = nps_app_inst.array(real_X, block_shape=(30, 4))
+    m = KMeans(n_clusters=3, seed=5).fit(X)
+    m.save(str(tmp_path / "km"))
+    m2 = KMeans.load(str(tmp_path / "km"))
+    assert np.allclose(
+        m2.cluster_centers_.get(), m.cluster_centers_.get()
+    )
+    assert m2.inertia_ == m.inertia_ and m2.n_iter_ == m.n_iter_
+    assert np.array_equal(m2.predict(X).get(), m.predict(X).get())

@@ -197,3 +197,37 @@ def test_pca_randomized_solver(nps_app_inst):
         np.abs(rand.transform(X).get()), np.abs(full.transform(X).get()),
         atol=1e-4,
     )
+
+
+def test_pca_save_load(nps_app_inst, tmp_path):
+    from nums_tpu.models.decomposition import PCA
+
+    rs = np.random.RandomState(8)
+    x = rs.randn(120, 6) + 3.0
+    X = nps_app_inst.array(x, block_shape=(40, 6))
+    m = PCA(n_components=2, whiten=True).fit(X)
+    m.save(str(tmp_path / "pca"))
+    m2 = PCA.load(str(tmp_path / "pca"))
+    assert m2.whiten is True
+    assert np.allclose(m2.components_.get(), m.components_.get())
+    assert np.allclose(m2.transform(X).get(), m.transform(X).get())
+    assert np.isclose(
+        float(m2.noise_variance_.get()), float(m.noise_variance_.get())
+    )
+
+
+def test_truncated_svd_save_load(nps_app_inst, tmp_path):
+    from nums_tpu.models.decomposition import TruncatedSVD
+
+    rs = np.random.RandomState(9)
+    x = rs.randn(100, 5) + 4.0
+    X = nps_app_inst.array(x, block_shape=(25, 5))
+    m = TruncatedSVD(n_components=2).fit(X)
+    m.save(str(tmp_path / "tsvd"))
+    m2 = TruncatedSVD.load(str(tmp_path / "tsvd"))
+    assert np.allclose(m2.components_.get(), m.components_.get())
+    assert np.allclose(m2.transform(X).get(), m.transform(X).get())
+    assert np.allclose(
+        m2.explained_variance_ratio_.get(),
+        m.explained_variance_ratio_.get(),
+    )

@@ -75,3 +75,18 @@ def test_ragged_rows(app_inst):
     clf = GBTClassifier(n_estimators=15, max_depth=3).fit(bX, by)
     acc = float((clf.predict(bX).get() == y).mean())
     assert acc > 0.9, acc
+
+
+def test_gbt_save_load(nps_app_inst, tmp_path):
+    rs = np.random.RandomState(3)
+    real_X = rs.randn(300, 5)
+    real_y = (real_X[:, 0] + real_X[:, 1] > 0).astype(np.float64)
+    X = nps_app_inst.array(real_X, block_shape=(100, 5))
+    y = nps_app_inst.array(real_y, block_shape=(100,))
+    m = GBTClassifier(n_estimators=5, max_depth=3).fit(X, y)
+    m.save(str(tmp_path / "gbt"))
+    m2 = GBTClassifier.load(str(tmp_path / "gbt"))
+    assert np.array_equal(m2.predict(X).get(), m.predict(X).get())
+    assert np.allclose(
+        m2.predict_proba(X).get(), m.predict_proba(X).get()
+    )
