@@ -298,6 +298,34 @@ class GLM:
     def predict(self, X):
         raise NotImplementedError()
 
+    def predict_ooc(self, X, out: str = None):
+        """Predictions for an out-of-core design matrix, streamed to a
+        new 1-D DiskArray (``out`` defaults to ``<X.path>.pred``)."""
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        assert isinstance(X, DiskArray), type(X)
+        assert self._beta is not None, "fit must be called first"
+        app = self._app
+        coef = np.asarray(self._beta.get())
+        b0 = float(self._beta0.get())
+        out = out or X.path + ".pred"
+
+        def panels():
+            for _, p in X.iter_row_panels():
+                eta = p @ coef + b0
+                yield np.asarray(self._host_link(eta))
+
+        dtype = self._host_link(np.zeros(1)).dtype
+        da = DiskArray.from_panels(
+            out, app.fs, panels(), (X.shape[0],), dtype,
+            X.grid.block_shape[0],
+        )
+        return da
+
+    def _host_link(self, eta):
+        """Host-side link_inv + decision for predict_ooc panels."""
+        raise NotImplementedError()
+
     def link_inv(self, eta):
         raise NotImplementedError()
 
@@ -437,6 +465,9 @@ class LinearRegression(GLM):
     def predict(self, X):
         return self.forward(X)
 
+    def _host_link(self, eta):
+        return eta
+
 
 class LogisticRegression(GLM):
     # Canonical link: logit (glms.py:211-251).
@@ -493,6 +524,9 @@ class LogisticRegression(GLM):
             ).astype(np.int64)
         return (self.forward(X) > 0.5).astype(np.int64)
 
+    def _host_link(self, eta):
+        return (1.0 / (1.0 + np.exp(-eta)) > 0.5).astype(np.int64)
+
     def predict_proba(self, X):
         y_pos = self.forward(X).reshape(
             (X.shape[0], 1), block_shape=(X.block_shape[0], 1)
@@ -533,6 +567,9 @@ class PoissonRegression(GLM):
 
     def predict(self, X):
         return self.forward(X)
+
+    def _host_link(self, eta):
+        return np.exp(eta)
 
 
 class ExponentialRegression(GLM):

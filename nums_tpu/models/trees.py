@@ -258,6 +258,136 @@ class GBTRegressor(GradientBoostedTrees):
 
 
 class GBTClassifier(GradientBoostedTrees):
+    """Binary natively; MULTICLASS via one-vs-rest (one booster per
+    class, sigmoid scores normalized, argmax decision — sklearn's OvR
+    semantics). ``classes_`` carries the original labels."""
+
     def __init__(self, **kwargs):
         kwargs.setdefault("objective", "logistic")
         super().__init__(**kwargs)
+        self.classes_ = None
+        self._ovr = None
+
+    def _params(self):
+        return dict(
+            objective="logistic", n_estimators=self.n_estimators,
+            max_depth=self.max_depth, learning_rate=self.learning_rate,
+            n_bins=self.n_bins, reg_lambda=self.reg_lambda,
+        )
+
+    def fit(self, X, y):
+        app = _instance()
+        X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
+        y_host = np.asarray(y.get() if hasattr(y, "get") else y)
+        self.classes_ = np.unique(y_host)
+        bs = (X.block_shape[0],)
+        if len(self.classes_) <= 2:
+            self._ovr = None
+            yb = (y_host == self.classes_[-1]).astype(np.float64)
+            super().fit(X, app.array(yb, block_shape=bs))
+            return self
+        self._ovr = []
+        for c in self.classes_:
+            m = GradientBoostedTrees(**self._params())
+            m.fit(X, app.array(
+                (y_host == c).astype(np.float64), block_shape=bs
+            ))
+            self._ovr.append(m)
+        return self
+
+    def predict(self, X):
+        app = _instance()
+        X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
+        if self._ovr is None:
+            idx = super().predict(X).get()
+        else:
+            scores = np.stack(
+                [np.asarray(jax.device_get(
+                    jax.nn.sigmoid(m._raw_predict(X))
+                )) for m in self._ovr], axis=1,
+            )
+            idx = scores.argmax(axis=1)
+        return app.array(
+            self.classes_[idx], block_shape=(X.block_shape[0],)
+        )
+
+    def predict_proba(self, X):
+        app = _instance()
+        X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
+        if self._ovr is None:
+            p1 = np.asarray(jax.device_get(
+                jax.nn.sigmoid(self._raw_predict(X))
+            ))
+            out = np.stack([1.0 - p1, p1], axis=1)
+        else:
+            scores = np.stack(
+                [np.asarray(jax.device_get(
+                    jax.nn.sigmoid(m._raw_predict(X))
+                )) for m in self._ovr], axis=1,
+            )
+            out = scores / scores.sum(axis=1, keepdims=True)
+        return app.array(out, block_shape=(X.block_shape[0], out.shape[1]))
+
+    def save(self, path: str):
+        from nums_tpu.models._common import save_model_arrays
+
+        if self._ovr is None:
+            assert self._trees is not None, "fit before save"
+            feats, cuts, leaf_vals = self._trees
+            save_model_arrays(
+                path,
+                {**self._params(), "model": "GBTClassifier",
+                 "classes": np.asarray(self.classes_).tolist(),
+                 "base": self._base},
+                {"edges": np.asarray(self._edges),
+                 "feats": np.asarray(feats), "cuts": np.asarray(cuts),
+                 "leaf_vals": np.asarray(leaf_vals)},
+            )
+            return
+        arrays = {}
+        for i, m in enumerate(self._ovr):
+            f, c, lv = m._trees
+            arrays[f"edges{i}"] = np.asarray(m._edges)
+            arrays[f"feats{i}"] = np.asarray(f)
+            arrays[f"cuts{i}"] = np.asarray(c)
+            arrays[f"leaf_vals{i}"] = np.asarray(lv)
+        save_model_arrays(
+            path,
+            {**self._params(), "model": "GBTClassifier",
+             "classes": np.asarray(self.classes_).tolist(), "base": 0.0},
+            arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str):
+        from nums_tpu.models._common import load_model_arrays
+
+        meta, arrays = load_model_arrays(path)
+        assert meta["model"] == "GBTClassifier", meta
+        m = cls(n_estimators=meta["n_estimators"],
+                max_depth=meta["max_depth"],
+                learning_rate=meta["learning_rate"],
+                n_bins=meta["n_bins"], reg_lambda=meta["reg_lambda"])
+        m.classes_ = np.asarray(meta["classes"])
+        if "edges" in arrays:  # binary
+            m._base = meta["base"]
+            m._edges = jnp.asarray(arrays["edges"])
+            m._trees = (
+                jnp.asarray(arrays["feats"]), jnp.asarray(arrays["cuts"]),
+                jnp.asarray(arrays["leaf_vals"]),
+            )
+            m._ovr = None
+            return m
+        m._ovr = []
+        k = len(m.classes_)
+        for i in range(k):
+            sub = GradientBoostedTrees(**m._params())
+            sub._base = 0.0
+            sub._edges = jnp.asarray(arrays[f"edges{i}"])
+            sub._trees = (
+                jnp.asarray(arrays[f"feats{i}"]),
+                jnp.asarray(arrays[f"cuts{i}"]),
+                jnp.asarray(arrays[f"leaf_vals{i}"]),
+            )
+            m._ovr.append(sub)
+        return m

@@ -217,3 +217,28 @@ def test_truncated_svd_out_of_core(app_inst, tmp_path):
         core.explained_variance_ratio_.get(),
         ooc.explained_variance_ratio_.get(), rtol=1e-5,
     )
+
+
+def test_glm_predict_ooc_streams_to_disk(app_inst, tmp_path):
+    from nums_tpu.core.io.datasets import BimodalGaussian
+    from nums_tpu.models.glms import LinearRegression, LogisticRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(400, 4)
+    X = app_inst.array(real_X, block_shape=(100, 4))
+    y = app_inst.array(real_y, block_shape=(100,))
+    dX = app_inst.spill(X, str(tmp_path / "pX"))
+    m = LogisticRegression(solver="newton", tol=1e-9, max_iter=10)
+    m.fit(X, y)
+    pred_disk = m.predict_ooc(dX, out=str(tmp_path / "pred"))
+    assert pred_disk.shape == (400,)
+    assert np.array_equal(
+        pred_disk.to_block_array().get(), m.predict(X).get()
+    )
+    # Linear: continuous predictions match too.
+    yl = real_X @ np.arange(1.0, 5.0) + 1.0
+    lm = LinearRegression(solver="newton", tol=1e-10, max_iter=5)
+    lm.fit(X, app_inst.array(yl, block_shape=(100,)))
+    pl = lm.predict_ooc(dX, out=str(tmp_path / "predl"))
+    assert np.allclose(
+        pl.to_block_array().get(), lm.predict(X).get(), atol=1e-5
+    )

@@ -21,8 +21,13 @@ def test_classifier_learns_xor(app_inst):
     acc = float((clf.predict(bX).get() == y).mean())
     assert acc > 0.95, acc
     proba = clf.predict_proba(bX).get()
-    assert proba.shape == (n,)
+    # sklearn layout: column index == class index, rows sum to 1.
+    assert proba.shape == (n, 2)
     assert ((proba >= 0) & (proba <= 1)).all()
+    assert np.allclose(proba.sum(axis=1), 1.0)
+    assert np.array_equal(
+        clf.classes_[proba.argmax(axis=1)], clf.predict(bX).get()
+    )
     # sanity: a linear model really can't do this
     from nums_tpu.models.glms import LogisticRegression
 
@@ -86,6 +91,47 @@ def test_gbt_save_load(nps_app_inst, tmp_path):
     m = GBTClassifier(n_estimators=5, max_depth=3).fit(X, y)
     m.save(str(tmp_path / "gbt"))
     m2 = GBTClassifier.load(str(tmp_path / "gbt"))
+    assert np.array_equal(m2.predict(X).get(), m.predict(X).get())
+    assert np.allclose(
+        m2.predict_proba(X).get(), m.predict_proba(X).get()
+    )
+
+
+def test_gbt_multiclass_ovr(nps_app_inst):
+    """3-class one-vs-rest: blobs with non-contiguous labels."""
+    rs = np.random.RandomState(5)
+    centers = np.array([[0.0, 0.0], [4.0, 4.0], [4.0, -4.0]])
+    labels = np.array([2.0, 5.0, 9.0])  # non-0..k-1 labels
+    X_np = np.concatenate([c + rs.randn(80, 2) * 0.5 for c in centers])
+    y_np = np.repeat(labels, 80)
+    perm = rs.permutation(len(X_np))
+    X_np, y_np = X_np[perm], y_np[perm]
+    X = nps_app_inst.array(X_np, block_shape=(60, 2))
+    y = nps_app_inst.array(y_np, block_shape=(60,))
+    m = GBTClassifier(n_estimators=10, max_depth=3).fit(X, y)
+    assert np.array_equal(m.classes_, labels)
+    pred = m.predict(X).get()
+    assert set(np.unique(pred)) <= set(labels)
+    assert (pred == y_np).mean() > 0.97
+    proba = m.predict_proba(X).get()
+    assert proba.shape == (240, 3)
+    assert np.allclose(proba.sum(axis=1), 1.0)
+    assert np.array_equal(labels[proba.argmax(axis=1)], pred)
+
+
+def test_gbt_multiclass_save_load(nps_app_inst, tmp_path):
+    rs = np.random.RandomState(6)
+    X_np = np.concatenate(
+        [c + rs.randn(50, 3) for c in (np.zeros(3), np.full(3, 4.0),
+                                       np.array([4.0, 0, 4.0]))]
+    )
+    y_np = np.repeat([0.0, 1.0, 2.0], 50)
+    X = nps_app_inst.array(X_np, block_shape=(50, 3))
+    y = nps_app_inst.array(y_np, block_shape=(50,))
+    m = GBTClassifier(n_estimators=5, max_depth=2).fit(X, y)
+    m.save(str(tmp_path / "gbt3"))
+    m2 = GBTClassifier.load(str(tmp_path / "gbt3"))
+    assert np.array_equal(m2.classes_, m.classes_)
     assert np.array_equal(m2.predict(X).get(), m.predict(X).get())
     assert np.allclose(
         m2.predict_proba(X).get(), m.predict_proba(X).get()
