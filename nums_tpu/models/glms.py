@@ -528,11 +528,15 @@ class LogisticRegression(GLM):
         return (1.0 / (1.0 + np.exp(-eta)) > 0.5).astype(np.int64)
 
     def predict_proba(self, X):
+        """(n, 2) probabilities in SKLEARN column order — column index ==
+        class label, so column 1 = P(1). (The reference emits the
+        reverse, [P(1), P(0)]; we diverge for consistency with the rest
+        of the model zoo and metrics — DIVERGENCES.md.)"""
         y_pos = self.forward(X).reshape(
             (X.shape[0], 1), block_shape=(X.block_shape[0], 1)
         )
         y_neg = 1 - y_pos
-        return self._app.concatenate([y_pos, y_neg], axis=1, axis_block_size=2)
+        return self._app.concatenate([y_neg, y_pos], axis=1, axis_block_size=2)
 
 
 class PoissonRegression(GLM):

@@ -49,12 +49,9 @@ def r2_score(y_true, y_pred):
 
 def log_loss(y_true, y_proba, eps=1e-15):
     """Binary cross-entropy. ``y_proba`` is P(class 1) — a vector, or an
-    (n, 2) matrix in SKLEARN column order (column index == class label,
-    so column 1 = P(1), as sklearn/xgboost ``predict_proba`` emit).
-
-    NOTE: this repo's ``LogisticRegression.predict_proba`` follows the
-    REFERENCE's layout — [P(1), P(0)], the reverse — so pass
-    ``model.predict_proba(X)[:, 0]`` for that model."""
+    (n, 2) matrix in sklearn column order (column index == class label,
+    so column 1 = P(1)) — the layout every predict_proba in this repo
+    emits."""
     app = _instance()
     y_true, y_proba = _to_ba(y_true), _to_ba(y_proba)
     if y_proba.ndim == 2:

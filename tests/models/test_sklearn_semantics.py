@@ -219,3 +219,24 @@ def test_log_loss_sklearn_column_order(nps_app_inst):
     bm = nps_app_inst.array(mat, block_shape=(4, 2))
     want = -np.mean(labels * np.log(p1) + (1 - labels) * np.log(1 - p1))
     assert np.isclose(float(metrics.log_loss(bl, bm).get()), want)
+
+
+def test_glm_predict_proba_sklearn_layout(nps_app_inst):
+    """Column 1 = P(class 1): rows predicted 1 must have proba[:,1]>0.5
+    (the reference emits the reverse order; DIVERGENCES.md #12)."""
+    from nums_tpu.core.io.datasets import BimodalGaussian
+    from nums_tpu.models.glms import LogisticRegression
+
+    real_X, real_y = BimodalGaussian.get_dataset(300, 4)
+    X = nps_app_inst.array(real_X, block_shape=(75, 4))
+    y = nps_app_inst.array(real_y, block_shape=(75,))
+    m = LogisticRegression(solver="newton", max_iter=10).fit(X, y)
+    proba = m.predict_proba(X).get()
+    pred = m.predict(X).get()
+    assert np.array_equal(pred == 1, proba[:, 1] > 0.5)
+    # log_loss consumes the layout directly for a sensible loss.
+    from nums_tpu.models import metrics
+
+    ll = float(metrics.log_loss(
+        y, nps_app_inst.array(proba, block_shape=(75, 2))).get())
+    assert ll < 0.2, ll
