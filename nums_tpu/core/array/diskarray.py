@@ -119,8 +119,11 @@ class DiskArray:
         import pickle
         import shutil
 
-        from nums_tpu.core.io.filesystem import _block_crc, _block_fname
+        from nums_tpu.core.io.filesystem import (
+            _block_crc, _block_fname, _fs_path,
+        )
 
+        path = _fs_path(path)  # relative names live under data_dir
         shape = tuple(int(s) for s in shape)
         assert len(shape) in (1, 2), shape
         block_shape = (
