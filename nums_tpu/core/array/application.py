@@ -727,12 +727,13 @@ class ArrayApplication:
     # The reference's analogue is Ray plasma's implicit disk spilling.
     # ------------------------------------------------------------------
 
-    def open_fs(self, filename: str):
-        """View an existing ``write_fs`` checkpoint as a DiskArray."""
+    def open_fs(self, filename: str, verify: bool = False):
+        """View an existing ``write_fs`` checkpoint as a DiskArray.
+        ``verify=True`` CRC-checks every block on every panel read."""
         from nums_tpu.core.array.diskarray import DiskArray
         from nums_tpu.core.io.filesystem import _fs_path
 
-        return DiskArray(_fs_path(filename), self.fs)
+        return DiskArray(_fs_path(filename), self.fs, verify=verify)
 
     def spill(self, ba: BlockArray, filename: str, replicas: int = None):
         """Write ``ba`` to disk and return the DiskArray view."""

@@ -35,13 +35,33 @@ class DiskArray:
     ``iter_row_panels``.
     """
 
-    def __init__(self, path: str, fs):
+    def __init__(self, path: str, fs, verify: bool = False):
         self._path = path
         self._fs = fs
         meta = fs.read_meta_fs(path)
         self.grid = ArrayGrid.from_meta(meta["grid"])
         assert len(self.grid.shape) in (1, 2), (
             "DiskArray supports 1-D/2-D arrays", self.grid.shape
+        )
+        # Same resilience semantics as read_fs: a missing/unreadable
+        # primary block fails over to replica copies CRC-guarded;
+        # verify=True additionally CRC-checks primaries on every read.
+        self._checks = meta.get("checksums")
+        self._verify = bool(verify)
+
+    def _load_block(self, fname: str) -> np.ndarray:
+        from nums_tpu.core.io.filesystem import (
+            FileSystem, _existing_replicas,
+        )
+
+        primary = os.path.join(self._path, fname)
+        if not self._verify:
+            try:
+                return np.load(primary)
+            except Exception:
+                pass  # fail over (CRC-guarded) to replica copies
+        return FileSystem._load_block_checked(
+            primary, _existing_replicas(self._path), self._checks
         )
 
     @property
@@ -70,13 +90,11 @@ class DiskArray:
 
         grid = self.grid
         if self.ndim == 1:
-            entry = (i,)
-            return np.load(os.path.join(self._path, _block_fname(entry)))
-        cols = []
-        for j in range(grid.grid_shape[1]):
-            cols.append(
-                np.load(os.path.join(self._path, _block_fname((i, j))))
-            )
+            return self._load_block(_block_fname((i,)))
+        cols = [
+            self._load_block(_block_fname((i, j)))
+            for j in range(grid.grid_shape[1])
+        ]
         return cols[0] if len(cols) == 1 else np.concatenate(cols, axis=1)
 
     @property
@@ -113,8 +131,9 @@ class DiskArray:
         ``shape``; each panel must span a whole number of row blocks
         (``block_rows`` rows per block, last block ragged). Uses the
         same crash-consistent publish as ``write_fs`` (tmp dir, CRC
-        checksums, meta.pkl last, atomic rename) so the result is a
-        first-class checkpoint. Peak host memory is one panel.
+        checksums, meta.pkl last + fsync, atomic rename with an .old-
+        backup in the overwrite window) so the result is a first-class
+        checkpoint. Peak host memory is one panel.
         """
         import pickle
         import shutil
@@ -156,11 +175,26 @@ class DiskArray:
                 block_i += 1
         assert row == shape[0], (row, shape)
         meta = {"grid": grid.to_meta(), "checksums": checksums}
+        from nums_tpu.core import settings
+        from nums_tpu.core.io.filesystem import _fsync_tree
+
         with open(os.path.join(tmp, "meta.pkl"), "wb") as f:
-            pickle.dump(meta, f)
+            f.write(pickle.dumps(meta))
+            f.flush()
+            if settings.checkpoint_fsync:
+                os.fsync(f.fileno())
+        _fsync_tree(tmp)
+        # Same publish discipline as write_fs: old version becomes an
+        # .old- backup (recoverable by readers if we crash mid-window),
+        # never rmtree'd before the new version is in place.
         if os.path.isdir(path):
-            shutil.rmtree(path)
-        os.rename(tmp, path)
+            trash = f"{path}.old-{os.getpid()}"
+            shutil.rmtree(trash, ignore_errors=True)
+            os.rename(path, trash)
+            os.rename(tmp, path)
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            os.rename(tmp, path)
         return cls(path, fs)
 
     def to_block_array(self, block_shape=None):

@@ -79,14 +79,19 @@ _ORPHAN_RE = re.compile(r"\.(?:tmp|old)-\d+$")
 
 
 def _replica_parents(final_path: str):
-    """(parent_dir, base_name) pairs where this checkpoint's replica
-    dirs can live, across both naming schemes."""
+    """(parent_dir, base_name, replica_re) triples where this
+    checkpoint's replica dirs can live. The suffix pattern is PER
+    SCHEME: ``.replicaN`` only next to the primary, ``.rN`` only under
+    configured roots — so an unrelated user checkpoint named
+    ``<base>.r2`` beside the primary is never mistaken for (and never
+    deleted as) a replica."""
     out = [(os.path.dirname(final_path) or ".",
-            os.path.basename(final_path))]
+            os.path.basename(final_path), _REPLICA_SIBLING_RE)]
     mirror = os.path.abspath(final_path).lstrip(os.sep)
     for root in settings.replica_roots:
         p = os.path.join(root, mirror)
-        out.append((os.path.dirname(p), os.path.basename(p)))
+        out.append((os.path.dirname(p), os.path.basename(p),
+                    _REPLICA_ROOT_RE))
     return out
 
 
@@ -94,15 +99,13 @@ def _existing_replicas(final_path: str):
     """Published replica dirs (meta.pkl present) — found by LISTING the
     candidate parents, so any replica count is discovered."""
     found = []
-    for parent, base in _replica_parents(final_path):
+    for parent, base, rep_re in _replica_parents(final_path):
         if not os.path.isdir(parent):
             continue
         for entry in os.listdir(parent):
             if not entry.startswith(base + "."):
                 continue
-            suffix = entry[len(base):]
-            if not (_REPLICA_SIBLING_RE.fullmatch(suffix)
-                    or _REPLICA_ROOT_RE.fullmatch(suffix)):
+            if not rep_re.fullmatch(entry[len(base):]):
                 continue
             full = os.path.join(parent, entry)
             if os.path.isfile(os.path.join(full, "meta.pkl")):
@@ -115,7 +118,7 @@ def _cleanup_orphans(final_path: str, include_replicas: bool = False):
     checkpoint AND of its replica dirs (a writer crashed mid-replica
     write leaves ``<replica>.tmp-*`` dirs that no later write touches).
     With ``include_replicas`` the published replica dirs go too."""
-    for parent, base in _replica_parents(final_path):
+    for parent, base, rep_re in _replica_parents(final_path):
         if not os.path.isdir(parent):
             continue
         for entry in os.listdir(parent):
@@ -124,14 +127,9 @@ def _cleanup_orphans(final_path: str, include_replicas: bool = False):
             suffix = entry[len(base):]
             core = _ORPHAN_RE.sub("", suffix)
             is_orphan = _ORPHAN_RE.search(suffix) and (
-                core == ""
-                or _REPLICA_SIBLING_RE.fullmatch(core)
-                or _REPLICA_ROOT_RE.fullmatch(core)
+                core == "" or rep_re.fullmatch(core)
             )
-            is_replica = include_replicas and (
-                _REPLICA_SIBLING_RE.fullmatch(suffix)
-                or _REPLICA_ROOT_RE.fullmatch(suffix)
-            )
+            is_replica = include_replicas and rep_re.fullmatch(suffix)
             if is_orphan or is_replica:
                 shutil.rmtree(
                     os.path.join(parent, entry), ignore_errors=True

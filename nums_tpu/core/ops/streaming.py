@@ -27,6 +27,18 @@ def gram_update():
 
 
 @functools.lru_cache(maxsize=None)
+def gram_and_sum_update():
+    """(G, s) += (panelᵀ panel, panel.sum(0)) — the moments PCA needs,
+    in ONE pass over the data."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def k(G, s, panel):
+        return G + panel.T @ panel, s + panel.sum(axis=0)
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
 def normal_eq_update():
     """(G, b) += (panelᵀ panel, panelᵀ y_panel) — normal equations."""
 

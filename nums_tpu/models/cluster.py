@@ -231,8 +231,8 @@ class KMeans:
         from nums_tpu.core.grid import ArrayGrid
 
         assert self._labels_data is not None, (
-            "labels_ is unavailable after an out-of-core fit; use "
-            "predict_ooc(X, out=...) to stream labels to disk."
+            "labels_ requires an in-core fit in this process; use "
+            "predict(X) (in-core) or predict_ooc(X, out=...) instead."
         )
         X = self._fit_X
         grid = ArrayGrid(
@@ -250,6 +250,10 @@ class KMeans:
         return BlockArray(out, grid, X.backend)
 
     def fit_predict(self, X: BlockArray) -> BlockArray:
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        if isinstance(X, DiskArray):
+            return self.fit(X).predict_ooc(X)  # labels DiskArray
         return self.fit(X).labels_
 
     def save(self, path: str):

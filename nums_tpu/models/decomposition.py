@@ -130,10 +130,23 @@ class _BaseSVDModel:
     # -- out-of-core paths (gram/covariance eigendecomposition) --------
 
     def _moments_ooc(self, X):
-        """One streamed pass → host (XᵀX, column means)."""
-        app = _instance()
-        G = np.asarray(app.gram_ooc(X).get(), dtype=np.float64)
-        mu = np.asarray(app.mean_ooc(X).get(), dtype=np.float64)
+        """ONE streamed pass → host (XᵀX, column means): both moments
+        accumulate in the same per-panel kernel (disk IO is the
+        dominant cost of an out-of-core fit — never read twice)."""
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from nums_tpu.core.ops import streaming
+
+        d = X.shape[1]
+        dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        upd = streaming.gram_and_sum_update()
+        G = jnp.zeros((d, d), dtype)
+        s = jnp.zeros((d,), dtype)
+        for _, panel in X.iter_row_panels():
+            G, s = upd(G, s, _jax.device_put(panel).astype(dtype))
+        G = np.asarray(_jax.device_get(G), dtype=np.float64)
+        mu = np.asarray(_jax.device_get(s), dtype=np.float64) / X.shape[0]
         return G, mu
 
     @staticmethod

@@ -280,6 +280,10 @@ class GBTClassifier(GradientBoostedTrees):
         X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
         y_host = np.asarray(y.get() if hasattr(y, "get") else y)
         self.classes_ = np.unique(y_host)
+        if len(self.classes_) < 2:
+            raise ValueError(
+                "y contains a single class; classification needs >= 2."
+            )
         bs = (X.block_shape[0],)
         if len(self.classes_) <= 2:
             self._ovr = None

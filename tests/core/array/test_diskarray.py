@@ -1,5 +1,7 @@
 """Out-of-core DiskArray + streaming ops vs in-core NumPy oracles."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -242,3 +244,63 @@ def test_glm_predict_ooc_streams_to_disk(app_inst, tmp_path):
     assert np.allclose(
         pl.to_block_array().get(), lm.predict(X).get(), atol=1e-5
     )
+
+
+def test_diskarray_reads_fail_over_to_replicas(app_inst, tmp_path):
+    """Streamed panel reads share read_fs's resilience: a lost primary
+    block fails over (CRC-guarded) to a replica copy."""
+    rs = np.random.RandomState(10)
+    x = rs.randn(60, 4)
+    X = app_inst.array(x, block_shape=(20, 4))
+    dX = app_inst.spill(X, str(tmp_path / "repX"), replicas=2)
+    os.remove(os.path.join(dX.path, "block_1_0.npy"))
+    rows = np.concatenate([p for _, p in dX.iter_row_panels()])
+    assert np.allclose(rows, x)
+    # verify=True catches SILENT corruption and routes around it.
+    np.save(os.path.join(dX.path, "block_0_0.npy"), rs.randn(20, 4))
+    dv = app_inst.open_fs(str(tmp_path / "repX"), verify=True)
+    rows = np.concatenate([p for _, p in dv.iter_row_panels()])
+    assert np.allclose(rows, x)
+    app_inst.delete_fs(str(tmp_path / "repX"))
+
+
+def test_unrelated_rN_sibling_not_treated_as_replica(app_inst, tmp_path):
+    """A user checkpoint literally named '<base>.r2' next to the primary
+    must never be deleted as a replica (suffix patterns are per
+    scheme)."""
+    base = str(tmp_path / "run")
+    other = str(tmp_path / "run.r2")
+    a, b = np.arange(4.0), np.arange(4.0) * 9
+    app_inst.write_fs(app_inst.array(a, block_shape=(4,)), base)
+    app_inst.write_fs(app_inst.array(b, block_shape=(4,)), other)
+    app_inst.write_fs(app_inst.array(a + 1, block_shape=(4,)), base)
+    assert np.allclose(app_inst.read_fs(other).get(), b)  # survived
+    app_inst.delete_fs(base)
+    assert np.allclose(app_inst.read_fs(other).get(), b)  # still there
+    app_inst.delete_fs(other)
+
+
+def test_kmeans_fit_predict_ooc(app_inst, tmp_path):
+    from nums_tpu.models.cluster import KMeans
+
+    rs = np.random.RandomState(11)
+    x = np.concatenate([rs.randn(40, 3), rs.randn(40, 3) + 6.0])
+    X = app_inst.array(x, block_shape=(20, 3))
+    dX = app_inst.spill(X, str(tmp_path / "kfp"))
+    labels = KMeans(n_clusters=2, seed=2).fit_predict(dX)
+    from nums_tpu.core.array.diskarray import DiskArray
+
+    assert isinstance(labels, DiskArray)
+    host = labels.to_block_array().get()
+    assert len(set(host[:40])) == 1 and len(set(host[40:])) == 1
+    assert host[0] != host[-1]
+
+
+def test_gbt_single_class_raises(app_inst):
+    from nums_tpu.models.trees import GBTClassifier
+
+    rs = np.random.RandomState(12)
+    X = app_inst.array(rs.randn(40, 3), block_shape=(20, 3))
+    y = app_inst.array(np.zeros(40), block_shape=(20,))
+    with pytest.raises(ValueError, match="single class"):
+        GBTClassifier(n_estimators=2, max_depth=2).fit(X, y)
