@@ -200,19 +200,15 @@ def force(x):
 _compiled = collections.OrderedDict()
 
 
-def materialize(root: LazyOut):
-    """Compile + run the expression DAG below ``root`` as ONE program.
+def _trace(root: LazyOut):
+    """Walk the unmaterialized DAG below ``root``.
 
-    Only SINK calls (calls whose outputs nothing in this graph consumes)
-    plus the root get concrete results — interior values stay fused
-    inside the program (returning them would force every intermediate to
-    HBM and defeat fusion). An interior node separately held by a
-    BlockArray re-materializes later with its own (cached) program.
+    Returns (order, specs, leaves, leaf_pos, call_pos, key_of, seen):
+    topological call order (parents after children), per-call argument
+    specs (('c', call_pos, out_idx) | ('f', leaf_idx)), deduped concrete
+    leaves, and structural-key fragments. Shared by ``materialize`` and
+    the autodiff path (``program_for``).
     """
-    if root.call.results is not None:
-        return root.call.results[root.idx]
-
-    # Topological order over unmaterialized calls (iterative DFS).
     order = []  # parents after children
     seen = set()
     leaves = []  # discovery order, deduped by id (duplicate jit args
@@ -276,6 +272,48 @@ def materialize(root: LazyOut):
                 frag.append(("f", li, leaf_key(a)))
         specs.append(spec)
         key_of[id(call)] = tuple(frag)
+    return order, specs, leaves, leaf_pos, call_pos, key_of, seen
+
+
+def program_for(root: LazyOut):
+    """(run_root, leaves, leaf_pos, key) for the DAG below ``root``:
+    ``run_root(*leaf_vals)`` is a PURE function of the concrete leaves
+    returning root's single output — jax-transformable (grad/jvp/vmap),
+    the hook the autodiff layer differentiates through."""
+    order, specs, leaves, leaf_pos, call_pos, key_of, _ = _trace(root)
+    root_pos = call_pos[id(root.call)]
+    fns = [c.fn for c in order]
+    nouts = [len(c.avals) for c in order]
+    root_idx = root.idx
+
+    def run_root(*leaf_vals):
+        vals = []
+        for fn, nout, spec in zip(fns, nouts, specs):
+            call_args = [
+                vals[s[1]][s[2]] if s[0] == "c" else leaf_vals[s[1]]
+                for s in spec
+            ]
+            out = fn(*call_args)
+            vals.append((out,) if nout == 1 else tuple(out))
+        return vals[root_pos][root_idx]
+
+    key = (tuple(key_of[id(c)] for c in order), root_pos, root_idx)
+    return run_root, leaves, leaf_pos, key
+
+
+def materialize(root: LazyOut):
+    """Compile + run the expression DAG below ``root`` as ONE program.
+
+    Only SINK calls (calls whose outputs nothing in this graph consumes)
+    plus the root get concrete results — interior values stay fused
+    inside the program (returning them would force every intermediate to
+    HBM and defeat fusion). An interior node separately held by a
+    BlockArray re-materializes later with its own (cached) program.
+    """
+    if root.call.results is not None:
+        return root.call.results[root.idx]
+
+    order, specs, leaves, leaf_pos, call_pos, key_of, seen = _trace(root)
 
     # Store results for the root, every call some live BlockArray still
     # references, AND every call a pending consumer OUTSIDE this graph

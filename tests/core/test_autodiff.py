@@ -1,0 +1,115 @@
+"""Autodiff through the BlockArray/facade API (no reference analogue —
+the reference's Ray tasks are opaque to differentiation)."""
+
+import numpy as np
+import pytest
+
+from nums_tpu import autodiff
+
+
+def test_grad_elementwise_chain(app_inst):
+    x_np = np.linspace(-1.0, 2.0, 12)
+    x = app_inst.array(x_np, block_shape=(4,))
+
+    def f(v):
+        return ((v * v) * 3.0 + v).sum()
+
+    g = autodiff.grad(f)(x)
+    assert g.shape == x.shape and g.block_shape == x.block_shape
+    assert np.allclose(g.get(), 6.0 * x_np + 1.0)
+
+
+def test_value_and_grad_least_squares(app_inst):
+    rs = np.random.RandomState(0)
+    X_np = rs.randn(24, 5)
+    y_np = rs.randn(24)
+    beta_np = rs.randn(5)
+    X = app_inst.array(X_np, block_shape=(8, 5))
+    y = app_inst.array(y_np, block_shape=(8,))
+    beta = app_inst.array(beta_np, block_shape=(5,))
+
+    def loss(b):
+        r = X @ b - y
+        return (r * r).sum()
+
+    val, g = autodiff.value_and_grad(loss)(beta)
+    want_val = float(((X_np @ beta_np - y_np) ** 2).sum())
+    want_g = 2.0 * X_np.T @ (X_np @ beta_np - y_np)
+    assert np.isclose(float(val.get()), want_val)
+    assert np.allclose(g.get(), want_g, atol=1e-8)
+
+
+def test_grad_multiple_argnums(app_inst):
+    rs = np.random.RandomState(1)
+    a_np, b_np = rs.randn(6), rs.randn(6)
+    a = app_inst.array(a_np, block_shape=(3,))
+    b = app_inst.array(b_np, block_shape=(3,))
+
+    def f(u, v):
+        return (u * v).sum() + (u * u).sum()
+
+    ga, gb = autodiff.grad(f, argnums=(0, 1))(a, b)
+    assert np.allclose(ga.get(), b_np + 2 * a_np)
+    assert np.allclose(gb.get(), a_np)
+
+
+def test_grad_through_facade_ops(nps_app_inst):
+    import nums_tpu.numpy as nps
+
+    x_np = np.linspace(0.1, 2.0, 10)
+    x = nps.array(x_np)
+
+    def f(v):
+        return nps.sum(nps.exp(v) + nps.log(v) * 0.5)
+
+    g = autodiff.grad(f)(x)
+    assert np.allclose(g.get(), np.exp(x_np) + 0.5 / x_np)
+
+
+def test_grad_ragged_mesh(app_inst):
+    """Pad-and-mask: gradient of a mesh-indivisible array is exact on
+    the logical entries (pads carry zero cotangent)."""
+    n = 13  # indivisible by the 8-device mesh
+    x_np = np.linspace(-1.0, 1.0, n)
+    x = app_inst.array(x_np, block_shape=(4,))
+    g = autodiff.grad(lambda v: (v * v).sum())(x)
+    assert np.allclose(g.get(), 2 * x_np)
+
+
+def test_check_grad_utility(app_inst):
+    rs = np.random.RandomState(2)
+    b = app_inst.array(rs.randn(4), block_shape=(2,))
+    X = app_inst.array(rs.randn(8, 4), block_shape=(4, 4))
+
+    def f(v):
+        r = X @ v
+        return (r * r).sum()
+
+    worst = autodiff.check_grad(f, (b,), atol=1e-4)
+    assert worst < 1e-4
+
+
+def test_grad_errors(app_inst):
+    x = app_inst.array(np.arange(4.0), block_shape=(2,))
+    # Non-scalar output
+    with pytest.raises(AssertionError):
+        autodiff.grad(lambda v: v * 2.0)(x)
+    # Severed graph: output independent of the argument
+    y = app_inst.array(np.arange(4.0), block_shape=(2,))
+    with pytest.raises(RuntimeError, match="not reachable"):
+        autodiff.grad(lambda v: (y * y).sum())(x)
+
+
+def test_grad_program_cache_hits(app_inst):
+    """Same structure twice → one cached grad executor."""
+    from nums_tpu.core import lazy
+
+    x = app_inst.array(np.arange(6.0) + 1.0, block_shape=(3,))
+    f = autodiff.grad(lambda v: (v * v).sum())
+    before = len(lazy._compiled)
+    g1 = f(x).get()
+    n_after_first = len(lazy._compiled)
+    g2 = f(x).get()
+    assert np.allclose(g1, g2)
+    assert len(lazy._compiled) == n_after_first
+    assert n_after_first >= before
