@@ -30,7 +30,7 @@ import numpy as np
 from nums_tpu.core import lazy, settings
 from nums_tpu.core.array.blockarray import BlockArray
 
-__all__ = ["grad", "value_and_grad"]
+__all__ = ["grad", "value_and_grad", "hvp", "check_grad"]
 
 # (program key, argnums) -> jitted value_and_grad executor (shares the
 # lazy cache's LRU policy).
@@ -122,6 +122,56 @@ def grad(f, argnums=0):
 
     def wrapped(*args, **kwargs):
         return vag(*args, **kwargs)[1]
+
+    return wrapped
+
+
+def hvp(f, argnums=0):
+    """Hessian-vector product: ``wrapped(*args, v) -> BlockArray``
+    computing ∂²f · v for a single differentiated argument — forward-
+    over-reverse on the recorded DAG, one compiled program."""
+    nums, single = _normalize_argnums(argnums)
+    assert single, "hvp supports a single argnum"
+    (i,) = nums
+
+    def wrapped(*args_and_v, **kwargs):
+        *args, v = args_and_v
+        a = args[i]
+        assert isinstance(a, BlockArray) and isinstance(v, BlockArray)
+        assert v.shape == a.shape, (v.shape, a.shape)
+        a.touch()
+        v.touch()
+        out = f(*args, **kwargs)
+        assert isinstance(out, BlockArray) and out.shape == ()
+        root = out._data
+        assert isinstance(root, lazy.LazyOut), "graph severed (see grad)"
+        run_root, leaves, leaf_pos, key = lazy.program_for(root)
+        li = leaf_pos.get(id(a.raw))
+        if li is None:
+            raise RuntimeError(f"argument {i} not reachable in the graph")
+        cache_key = ("hvp", key, li)
+        executor = _vag_cache.get(cache_key)
+        if executor is not None:
+            _vag_cache.move_to_end(cache_key)
+        else:
+            def hvp_fn(x, tangent, others):
+                def g_of_x(xx):
+                    vals = list(others)
+                    vals[li] = xx
+                    return jax.grad(
+                        lambda *ls: run_root(*ls), argnums=li
+                    )(*vals)
+
+                return jax.jvp(g_of_x, (x,), (tangent,))[1]
+
+            executor = jax.jit(hvp_fn)
+            lazy._lru_put(
+                _vag_cache, cache_key, executor,
+                settings.lazy_program_cache,
+            )
+        res = executor(leaves[li], v.raw, tuple(leaves))
+        return BlockArray(res, a.grid.copy(), a.backend,
+                          transposed=a.is_transposed)
 
     return wrapped
 

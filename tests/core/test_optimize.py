@@ -1,0 +1,67 @@
+"""Generic optimizer over BlockArray objectives (autodiff + optax)."""
+
+import numpy as np
+import pytest
+
+from nums_tpu import autodiff, optimize
+
+
+def test_minimize_quadratic_converges(app_inst):
+    rs = np.random.RandomState(0)
+    target = rs.randn(6)
+    t = app_inst.array(target, block_shape=(3,))
+    x0 = app_inst.array(np.zeros(6), block_shape=(3,))
+
+    def f(x):
+        d = x - t
+        return (d * d).sum()
+
+    res = optimize.minimize(f, x0, method="momentum", learning_rate=0.1,
+                            steps=500, tol=1e-8)
+    assert res.converged
+    assert np.allclose(res.x.get(), target, atol=1e-4)
+    assert res.fun < 1e-8
+
+
+def test_minimize_least_squares_matches_closed_form(app_inst):
+    rs = np.random.RandomState(1)
+    X_np = rs.randn(60, 4)
+    y_np = X_np @ np.array([1.0, -2.0, 0.5, 3.0]) + 0.01 * rs.randn(60)
+    X = app_inst.array(X_np, block_shape=(20, 4))
+    y = app_inst.array(y_np, block_shape=(20,))
+    b0 = app_inst.array(np.zeros(4), block_shape=(4,))
+
+    def loss(b):
+        r = X @ b - y
+        return (r * r).sum() * (1.0 / 60.0)
+
+    seen = []
+    res = optimize.minimize(
+        loss, b0, method="adam", learning_rate=0.2, steps=800, tol=1e-7,
+        callback=lambda it, v, g: seen.append(v),
+    )
+    want = np.linalg.lstsq(X_np, y_np, rcond=None)[0]
+    assert np.allclose(res.x.get(), want, atol=1e-3), res.x.get()
+    assert seen == sorted(seen, reverse=True) or len(seen) > 3
+
+
+def test_minimize_unknown_method(app_inst):
+    x0 = app_inst.array(np.zeros(2), block_shape=(2,))
+    with pytest.raises(ValueError, match="unknown method"):
+        optimize.minimize(lambda v: (v * v).sum(), x0, method="nope")
+
+
+def test_hvp_quadratic(app_inst):
+    """H·v for f = x'Ax is (A + A')v."""
+    rs = np.random.RandomState(2)
+    A_np = rs.randn(5, 5)
+    A = app_inst.array(A_np, block_shape=(5, 5))
+    x = app_inst.array(rs.randn(5), block_shape=(5,))
+    v_np = rs.randn(5)
+    v = app_inst.array(v_np, block_shape=(5,))
+
+    def f(u):
+        return (u @ (A @ u)).sum()
+
+    got = autodiff.hvp(f)(x, v).get()
+    assert np.allclose(got, (A_np + A_np.T) @ v_np, atol=1e-6)
