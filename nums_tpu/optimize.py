@@ -56,7 +56,8 @@ def _optimizer(method, learning_rate, **kw):
 
 def minimize(f, x0: BlockArray, method: str = "adam",
              learning_rate: float = 0.1, steps: int = 200,
-             tol: float = 1e-6, callback=None, **optimizer_kwargs):
+             tol: float = 1e-6, callback=None, fused: bool = False,
+             **optimizer_kwargs):
     """Minimize scalar ``f(x)`` starting from BlockArray ``x0``.
 
     Each step runs ONE cached value-and-grad program (the whole
@@ -64,9 +65,20 @@ def minimize(f, x0: BlockArray, method: str = "adam",
     buffer; the convergence test max|g| <= tol costs one scalar sync
     per step — the same cadence as the reference's solver loops.
     ``callback(step, value, grad_max)`` observes progress.
+
+    ``fused=True`` compiles the ENTIRE loop — objective, gradient,
+    optax update, convergence test — into ONE on-device
+    ``lax.while_loop`` program with ZERO per-step host syncs (the
+    ``fast_glm`` treatment, for arbitrary objectives; no callback).
     """
     import jax.numpy as jnp
 
+    if fused:
+        assert callback is None, "fused=True runs on-device (no callback)"
+        return _minimize_fused(
+            f, x0, method, learning_rate, int(steps), float(tol),
+            optimizer_kwargs,
+        )
     vag = autodiff.value_and_grad(f)
     opt = _optimizer(method, learning_rate, **optimizer_kwargs)
     x = x0
@@ -93,4 +105,74 @@ def minimize(f, x0: BlockArray, method: str = "adam",
         val = float(vag(x)[0].get())
     return OptimizeResult(
         x=x, fun=val, grad_max=gmax, n_iter=it, converged=gmax <= tol
+    )
+
+
+def _minimize_fused(f, x0, method, learning_rate, steps, tol, opt_kwargs):
+    """The whole optimization as ONE XLA program: a lax.while_loop over
+    (value_and_grad → optax update), cached by graph structure +
+    optimizer config. Zero host syncs until the final fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    from nums_tpu.core import lazy, settings
+
+    if not settings.lazy_batch:
+        raise RuntimeError("fused minimize requires NUMS_TPU_LAZY=1")
+    x0.touch()
+    out = f(x0)
+    assert isinstance(out, BlockArray) and out.shape == (), (
+        "f must return a scalar BlockArray"
+    )
+    root = out._data
+    assert isinstance(root, lazy.LazyOut), "graph severed inside f"
+    run_root, leaves, leaf_pos, key = lazy.program_for(root)
+    li = leaf_pos.get(id(x0.raw))
+    if li is None:
+        raise RuntimeError("x0 is not reachable in f's recorded graph")
+    opt_items = tuple(sorted(opt_kwargs.items()))
+    cache_key = ("fmin", key, li, method, learning_rate, steps, opt_items)
+    executor = autodiff._vag_cache.get(cache_key)
+    if executor is not None:
+        autodiff._vag_cache.move_to_end(cache_key)
+    else:
+        opt = _optimizer(method, learning_rate, **dict(opt_items))
+
+        def fused(tol_v, *leaf_vals):
+            import optax
+
+            def f_of_x(x):
+                vals = list(leaf_vals)
+                vals[li] = x
+                return run_root(*vals)
+
+            def cond(c):
+                it, _, _, gmax = c
+                return jnp.logical_and(it < steps, gmax > tol_v)
+
+            def body(c):
+                it, x, st, _ = c
+                g = jax.grad(f_of_x)(x)
+                upd, st = opt.update(g, st, x)
+                x = optax.apply_updates(x, upd)
+                return it + 1, x, st, jnp.max(jnp.abs(g))
+
+            x0_v = leaf_vals[li]
+            init = (jnp.int32(0), x0_v, opt.init(x0_v),
+                    jnp.asarray(jnp.inf, x0_v.dtype))
+            it, x, _, gmax = jax.lax.while_loop(cond, body, init)
+            return x, f_of_x(x), gmax, it
+
+        executor = jax.jit(fused)
+        lazy._lru_put(
+            autodiff._vag_cache, cache_key, executor,
+            settings.lazy_program_cache,
+        )
+    x_raw, val, gmax, it = executor(tol, *leaves)
+    x = BlockArray(x_raw, x0.grid.copy(), x0.backend,
+                   transposed=x0.is_transposed)
+    gmax_f = float(gmax)
+    return OptimizeResult(
+        x=x, fun=float(val), grad_max=gmax_f, n_iter=int(it),
+        converged=gmax_f <= tol,
     )

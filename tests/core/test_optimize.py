@@ -65,3 +65,26 @@ def test_hvp_quadratic(app_inst):
 
     got = autodiff.hvp(f)(x, v).get()
     assert np.allclose(got, (A_np + A_np.T) @ v_np, atol=1e-6)
+
+
+def test_minimize_fused_matches_eager(app_inst):
+    rs = np.random.RandomState(3)
+    X_np = rs.randn(40, 3)
+    y_np = X_np @ np.array([2.0, -1.0, 0.5])
+    X = app_inst.array(X_np, block_shape=(20, 3))
+    y = app_inst.array(y_np, block_shape=(20,))
+    b0 = app_inst.array(np.zeros(3), block_shape=(3,))
+
+    def loss(b):
+        r = X @ b - y
+        return (r * r).sum() * (1.0 / 40.0)
+
+    kw = dict(method="momentum", learning_rate=0.2, steps=300, tol=1e-9)
+    eager = optimize.minimize(loss, b0, **kw)
+    fused = optimize.minimize(loss, b0, fused=True, **kw)
+    assert fused.converged == eager.converged
+    assert np.allclose(fused.x.get(), eager.x.get(), atol=1e-6)
+    assert abs(fused.fun - eager.fun) < 1e-8
+    # Second fused call hits the cached whole-loop program.
+    fused2 = optimize.minimize(loss, b0, fused=True, **kw)
+    assert np.allclose(fused2.x.get(), fused.x.get())
