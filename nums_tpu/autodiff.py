@@ -32,15 +32,29 @@ from nums_tpu.core.array.blockarray import BlockArray
 
 __all__ = ["grad", "value_and_grad", "hvp", "check_grad"]
 
-# (program key, argnums) -> jitted value_and_grad executor (shares the
-# lazy cache's LRU policy).
-_vag_cache = lazy._compiled  # same bounded store, distinct key tag
-
 
 def _normalize_argnums(argnums):
     if isinstance(argnums, int):
         return (argnums,), True
     return tuple(argnums), False
+
+
+def _trace_pure(f, args, kwargs):
+    """Run ``f`` verifying NO materialization fired inside it: a host
+    sync between dependent ops would rebind intermediates to concrete
+    buffers, and a gradient through the remaining graph would silently
+    treat them as constants."""
+    before = lazy.materialize_count
+    out = f(*args, **kwargs)
+    if lazy.materialize_count != before:
+        raise RuntimeError(
+            "a host sync (get/float/bool/print/...) fired INSIDE the "
+            "traced function: the synced subexpressions were materialized "
+            "and a gradient would silently treat them as constants. "
+            "Remove syncs from the traced function (or raise "
+            "NUMS_TPU_LAZY_MAX_DEPTH if a deep chain forced one)."
+        )
+    return out
 
 
 def value_and_grad(f, argnums=0):
@@ -67,19 +81,21 @@ def value_and_grad(f, argnums=0):
             )
             a.touch()  # concrete buffer == the DAG leaf identity
             wrt.append(a)
-        out = f(*args, **kwargs)
+        out = _trace_pure(f, args, kwargs)
         assert isinstance(out, BlockArray) and out.shape == (), (
             "f must return a SCALAR BlockArray (shape ()); got "
             f"{getattr(out, 'shape', type(out))}"
         )
         root = out._data
-        if not isinstance(root, lazy.LazyOut):
+        if not isinstance(root, lazy.LazyOut) or root.call.results is not None:
             raise RuntimeError(
                 "f's output is already materialized — a host sync inside "
                 "f (get/float/bool/...) severed the recorded graph before "
                 "the gradient could be taken."
             )
-        run_root, leaves, leaf_pos, key = lazy.program_for(root)
+        run_root, leaves, leaf_pos, key = lazy.program_for(
+            root, forbid_interior_constants=True
+        )
         idxs = []
         for i, a in zip(nums, wrt):
             li = leaf_pos.get(id(a.raw))
@@ -91,18 +107,12 @@ def value_and_grad(f, argnums=0):
                     "intermediate value."
                 )
             idxs.append(li)
-        cache_key = ("vag", key, tuple(idxs))
-        executor = _vag_cache.get(cache_key)
-        if executor is not None:
-            _vag_cache.move_to_end(cache_key)
-        else:
-            executor = jax.jit(
+        executor = lazy.cached_executor(
+            ("vag", key, tuple(idxs)),
+            lambda: jax.jit(
                 jax.value_and_grad(run_root, argnums=tuple(idxs))
-            )
-            lazy._lru_put(
-                _vag_cache, cache_key, executor,
-                settings.lazy_program_cache,
-            )
+            ),
+        )
         val, grads = executor(*leaves)
         backend = wrt[0].backend
         val_ba = BlockArray.from_jax(val, backend=backend)
@@ -141,19 +151,25 @@ def hvp(f, argnums=0):
         assert v.shape == a.shape, (v.shape, a.shape)
         a.touch()
         v.touch()
-        out = f(*args, **kwargs)
+        if tuple(v.raw.shape) != tuple(a.raw.shape):
+            # Same logical shape but different physical padding/blocking
+            # would fail deep inside jax.jvp; reblock the tangent to the
+            # primal's layout up front.
+            v = v.reshape(a.shape, block_shape=a.block_shape)
+            v.touch()
+        out = _trace_pure(f, args, kwargs)
         assert isinstance(out, BlockArray) and out.shape == ()
         root = out._data
-        assert isinstance(root, lazy.LazyOut), "graph severed (see grad)"
-        run_root, leaves, leaf_pos, key = lazy.program_for(root)
+        if not isinstance(root, lazy.LazyOut) or root.call.results is not None:
+            raise RuntimeError("graph severed inside f (see grad)")
+        run_root, leaves, leaf_pos, key = lazy.program_for(
+            root, forbid_interior_constants=True
+        )
         li = leaf_pos.get(id(a.raw))
         if li is None:
             raise RuntimeError(f"argument {i} not reachable in the graph")
-        cache_key = ("hvp", key, li)
-        executor = _vag_cache.get(cache_key)
-        if executor is not None:
-            _vag_cache.move_to_end(cache_key)
-        else:
+
+        def build():
             def hvp_fn(x, tangent, others):
                 def g_of_x(xx):
                     vals = list(others)
@@ -164,11 +180,9 @@ def hvp(f, argnums=0):
 
                 return jax.jvp(g_of_x, (x,), (tangent,))[1]
 
-            executor = jax.jit(hvp_fn)
-            lazy._lru_put(
-                _vag_cache, cache_key, executor,
-                settings.lazy_program_cache,
-            )
+            return jax.jit(hvp_fn)
+
+        executor = lazy.cached_executor(("hvp", key, li), build)
         res = executor(leaves[li], v.raw, tuple(leaves))
         return BlockArray(res, a.grid.copy(), a.backend,
                           transposed=a.is_transposed)

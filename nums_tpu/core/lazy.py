@@ -199,6 +199,11 @@ def force(x):
 # structural key -> jitted graph executor (LRU, see _eval_memo note)
 _compiled = collections.OrderedDict()
 
+# Incremented every time a graph actually executes; the autodiff layer
+# snapshots it around the traced function to detect host syncs inside
+# (which sever the recorded DAG and would silently freeze values).
+materialize_count = 0
+
 
 def _trace(root: LazyOut):
     """Walk the unmaterialized DAG below ``root``.
@@ -250,6 +255,7 @@ def _trace(root: LazyOut):
     # Argument specs and the structural key.
     specs = []  # per call: list of ('c', call_pos, out_idx) | ('f', leaf_idx)
     call_pos = {}
+    has_interior_constants = False
     for pos, call in enumerate(order):
         call_pos[id(call)] = pos
         spec = []
@@ -263,7 +269,11 @@ def _trace(root: LazyOut):
                 frag.append(("c", p, a.idx))
             else:
                 if isinstance(a, _Ref):
+                    # An already-materialized intermediate folds in as a
+                    # CONSTANT leaf — correct for materialize, but it
+                    # hides dependencies from autodiff (see program_for).
                     a = a.call.results[a.idx]
+                    has_interior_constants = True
                 li = add_leaf(a)
                 spec.append(("f", li))
                 # The leaf INDEX must be part of the key: graphs that
@@ -272,15 +282,49 @@ def _trace(root: LazyOut):
                 frag.append(("f", li, leaf_key(a)))
         specs.append(spec)
         key_of[id(call)] = tuple(frag)
-    return order, specs, leaves, leaf_pos, call_pos, key_of, seen
+    return (order, specs, leaves, leaf_pos, call_pos, key_of, seen,
+            has_interior_constants)
 
 
-def program_for(root: LazyOut):
+def cached_executor(key, builder, cache=None):
+    """LRU-bounded executor lookup shared by materialize and autodiff."""
+    cache = _compiled if cache is None else cache
+    ex = cache.get(key)
+    if ex is not None:
+        cache.move_to_end(key)
+        return ex
+    ex = builder()
+    _lru_put(cache, key, ex, settings.lazy_program_cache)
+    return ex
+
+
+def program_for(root: LazyOut, forbid_interior_constants: bool = False):
     """(run_root, leaves, leaf_pos, key) for the DAG below ``root``:
     ``run_root(*leaf_vals)`` is a PURE function of the concrete leaves
     returning root's single output — jax-transformable (grad/jvp/vmap),
-    the hook the autodiff layer differentiates through."""
-    order, specs, leaves, leaf_pos, call_pos, key_of, _ = _trace(root)
+    the hook the autodiff layer differentiates through.
+
+    ``forbid_interior_constants=True`` (the autodiff setting) raises if
+    any already-materialized intermediate was folded into a constant
+    leaf — a gradient through such a graph would silently treat those
+    values as constants (host syncs inside the traced function, sibling
+    materializations, or chains past NUMS_TPU_LAZY_MAX_DEPTH cause
+    this)."""
+    if root.call.results is not None:
+        raise ValueError(
+            "root is already materialized — there is no pending graph "
+            "to build a program from."
+        )
+    (order, specs, leaves, leaf_pos, call_pos, key_of, _,
+     interior_consts) = _trace(root)
+    if forbid_interior_constants and interior_consts:
+        raise RuntimeError(
+            "the recorded graph contains already-materialized "
+            "intermediates (a host sync inside the function, a sibling "
+            "materialization, or a chain past NUMS_TPU_LAZY_MAX_DEPTH); "
+            "gradients would silently treat them as constants. Remove "
+            "syncs from the traced function or raise the depth cap."
+        )
     root_pos = call_pos[id(root.call)]
     fns = [c.fn for c in order]
     nouts = [len(c.avals) for c in order]
@@ -313,7 +357,8 @@ def materialize(root: LazyOut):
     if root.call.results is not None:
         return root.call.results[root.idx]
 
-    order, specs, leaves, leaf_pos, call_pos, key_of, seen = _trace(root)
+    (order, specs, leaves, leaf_pos, call_pos, key_of, seen,
+     _interior) = _trace(root)
 
     # Store results for the root, every call some live BlockArray still
     # references, AND every call a pending consumer OUTSIDE this graph
@@ -334,10 +379,7 @@ def materialize(root: LazyOut):
     )
     key = (tuple(key_of[id(c)] for c in order), out_positions)
 
-    executor = _compiled.get(key)
-    if executor is not None:
-        _compiled.move_to_end(key)
-    else:
+    def build():
         fns = [c.fn for c in order]
         nouts = [len(c.avals) for c in order]
 
@@ -352,9 +394,11 @@ def materialize(root: LazyOut):
                 vals.append((out,) if nout == 1 else tuple(out))
             return tuple(vals[p] for p in out_positions)
 
-        executor = jax.jit(run)
-        _lru_put(_compiled, key, executor, settings.lazy_program_cache)
+        return jax.jit(run)
 
+    executor = cached_executor(key, build)
+    global materialize_count
+    materialize_count += 1
     results = executor(*leaves)
     for p, res in zip(out_positions, results):
         order[p].results = tuple(res)

@@ -43,7 +43,9 @@ def _optimizer(method, learning_rate, **kw):
 
     table = {
         "sgd": lambda: optax.sgd(learning_rate, **kw),
-        "momentum": lambda: optax.sgd(learning_rate, momentum=0.9, **kw),
+        "momentum": lambda: optax.sgd(
+            learning_rate, **{"momentum": 0.9, **kw}
+        ),
         "adam": lambda: optax.adam(learning_rate, **kw),
         "adamw": lambda: optax.adamw(learning_rate, **kw),
         "rmsprop": lambda: optax.rmsprop(learning_rate, **kw),
@@ -83,28 +85,30 @@ def minimize(f, x0: BlockArray, method: str = "adam",
     opt = _optimizer(method, learning_rate, **optimizer_kwargs)
     x = x0
     opt_state = opt.init(x0.raw)
-    val = np.inf
-    gmax = np.inf
+    # Invariant: fun and grad_max in the result are evaluated AT the
+    # returned x (both exit paths), so res.fun == f(res.x).
     it = 0
     for it in range(1, int(steps) + 1):
         val_ba, g = vag(x)
+        gmax = float(jnp.max(jnp.abs(g.raw)))  # one scalar sync
+        if callback is not None:
+            callback(it, float(val_ba.get()), gmax)
+        if gmax <= tol:
+            return OptimizeResult(
+                x=x, fun=float(val_ba.get()), grad_max=gmax,
+                n_iter=it, converged=True,
+            )
         updates, opt_state = opt.update(g.raw, opt_state, x.raw)
         import optax
 
         new_raw = optax.apply_updates(x.raw, updates)
         x = BlockArray(new_raw, x.grid.copy(), x.backend,
                        transposed=x.is_transposed)
-        gmax = float(jnp.max(jnp.abs(g.raw)))  # one scalar sync
-        if callback is not None:
-            val = float(val_ba.get())
-            callback(it, val, gmax)
-        if gmax <= tol:
-            val = float(val_ba.get())
-            break
-    else:
-        val = float(vag(x)[0].get())
+    val_ba, g = vag(x)  # evaluate at the final (returned) iterate
+    gmax = float(jnp.max(jnp.abs(g.raw)))
     return OptimizeResult(
-        x=x, fun=val, grad_max=gmax, n_iter=it, converged=gmax <= tol
+        x=x, fun=float(val_ba.get()), grad_max=gmax, n_iter=it,
+        converged=gmax <= tol,
     )
 
 
@@ -120,22 +124,21 @@ def _minimize_fused(f, x0, method, learning_rate, steps, tol, opt_kwargs):
     if not settings.lazy_batch:
         raise RuntimeError("fused minimize requires NUMS_TPU_LAZY=1")
     x0.touch()
-    out = f(x0)
+    out = autodiff._trace_pure(f, (x0,), {})
     assert isinstance(out, BlockArray) and out.shape == (), (
         "f must return a scalar BlockArray"
     )
     root = out._data
     assert isinstance(root, lazy.LazyOut), "graph severed inside f"
-    run_root, leaves, leaf_pos, key = lazy.program_for(root)
+    run_root, leaves, leaf_pos, key = lazy.program_for(
+        root, forbid_interior_constants=True
+    )
     li = leaf_pos.get(id(x0.raw))
     if li is None:
         raise RuntimeError("x0 is not reachable in f's recorded graph")
     opt_items = tuple(sorted(opt_kwargs.items()))
-    cache_key = ("fmin", key, li, method, learning_rate, steps, opt_items)
-    executor = autodiff._vag_cache.get(cache_key)
-    if executor is not None:
-        autodiff._vag_cache.move_to_end(cache_key)
-    else:
+
+    def build():
         opt = _optimizer(method, learning_rate, **dict(opt_items))
 
         def fused(tol_v, *leaf_vals):
@@ -160,14 +163,16 @@ def _minimize_fused(f, x0, method, learning_rate, steps, tol, opt_kwargs):
             x0_v = leaf_vals[li]
             init = (jnp.int32(0), x0_v, opt.init(x0_v),
                     jnp.asarray(jnp.inf, x0_v.dtype))
-            it, x, _, gmax = jax.lax.while_loop(cond, body, init)
-            return x, f_of_x(x), gmax, it
+            it, x, _, _ = jax.lax.while_loop(cond, body, init)
+            # Value AND gradient at the RETURNED x (result invariant).
+            val, g_final = jax.value_and_grad(f_of_x)(x)
+            return x, val, jnp.max(jnp.abs(g_final)), it
 
-        executor = jax.jit(fused)
-        lazy._lru_put(
-            autodiff._vag_cache, cache_key, executor,
-            settings.lazy_program_cache,
-        )
+        return jax.jit(fused)
+
+    executor = lazy.cached_executor(
+        ("fmin", key, li, method, learning_rate, steps, opt_items), build
+    )
     x_raw, val, gmax, it = executor(tol, *leaves)
     x = BlockArray(x_raw, x0.grid.copy(), x0.backend,
                    transposed=x0.is_transposed)

@@ -113,3 +113,33 @@ def test_grad_program_cache_hits(app_inst):
     assert np.allclose(g1, g2)
     assert len(lazy._compiled) == n_after_first
     assert n_after_first >= before
+
+
+def test_grad_rejects_interior_materialization(app_inst):
+    """A host sync on an INTERMEDIATE inside f must raise, not silently
+    treat the synced subexpression as a constant."""
+    x_np = np.arange(1.0, 5.0)
+    x = app_inst.array(x_np, block_shape=(2,))
+
+    def f(v):
+        a = (v * v).sum()
+        float(a.get())  # sync severs a's subtree
+        return a + v.sum()
+
+    with pytest.raises(RuntimeError, match="INSIDE the traced function"):
+        autodiff.grad(f)(x)
+
+
+def test_hvp_reblocks_mismatched_tangent(app_inst):
+    rs = np.random.RandomState(4)
+    A_np = rs.randn(4, 4)
+    A = app_inst.array(A_np, block_shape=(4, 4))
+    x = app_inst.array(rs.randn(4), block_shape=(2,))
+    v_np = rs.randn(4)
+    v = app_inst.array(v_np, block_shape=(4,))  # different blocking
+
+    def f(u):
+        return (u @ (A @ u)).sum()
+
+    got = autodiff.hvp(f)(x, v).get()
+    assert np.allclose(got, (A_np + A_np.T) @ v_np, atol=1e-6)

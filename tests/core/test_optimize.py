@@ -42,7 +42,8 @@ def test_minimize_least_squares_matches_closed_form(app_inst):
     )
     want = np.linalg.lstsq(X_np, y_np, rcond=None)[0]
     assert np.allclose(res.x.get(), want, atol=1e-3), res.x.get()
-    assert seen == sorted(seen, reverse=True) or len(seen) > 3
+    assert len(seen) > 3
+    assert seen[-1] < seen[0] * 1e-3  # loss actually decreased
 
 
 def test_minimize_unknown_method(app_inst):
