@@ -31,7 +31,7 @@ __all__ = ["minimize", "OptimizeResult"]
 
 @dataclasses.dataclass
 class OptimizeResult:
-    x: BlockArray          # final parameters
+    x: "BlockArray | tuple"  # final parameters (tuple iff x0 was one)
     fun: float             # final objective value
     grad_max: float        # max|g| at the final iterate
     n_iter: int
@@ -68,6 +68,11 @@ def minimize(f, x0: BlockArray, method: str = "adam",
     per step — the same cadence as the reference's solver loops.
     ``callback(step, value, grad_max)`` observes progress.
 
+    ``x0`` may be a single BlockArray or a TUPLE of BlockArrays
+    (multi-parameter models — ``f`` then takes one argument per
+    parameter and ``result.x`` is a tuple); optax treats the raw
+    buffers as one pytree.
+
     ``fused=True`` compiles the ENTIRE loop — objective, gradient,
     optax update, convergence test — into ONE on-device
     ``lax.while_loop`` program with ZERO per-step host syncs (the
@@ -75,47 +80,62 @@ def minimize(f, x0: BlockArray, method: str = "adam",
     """
     import jax.numpy as jnp
 
+    multi = isinstance(x0, (tuple, list))
+    xs = tuple(x0) if multi else (x0,)
     if fused:
         assert callback is None, "fused=True runs on-device (no callback)"
         return _minimize_fused(
-            f, x0, method, learning_rate, int(steps), float(tol),
+            f, xs, multi, method, learning_rate, int(steps), float(tol),
             optimizer_kwargs,
         )
-    vag = autodiff.value_and_grad(f)
+    vag = autodiff.value_and_grad(f, argnums=tuple(range(len(xs))))
     opt = _optimizer(method, learning_rate, **optimizer_kwargs)
-    x = x0
-    opt_state = opt.init(x0.raw)
+    opt_state = opt.init(tuple(x.raw for x in xs))
+
+    def rewrap(raws, templates):
+        return tuple(
+            BlockArray(r, t.grid.copy(), t.backend,
+                       transposed=t.is_transposed)
+            for r, t in zip(raws, templates)
+        )
+
     # Invariant: fun and grad_max in the result are evaluated AT the
     # returned x (both exit paths), so res.fun == f(res.x).
+    def result(xs, val_ba, gmax, it):
+        return OptimizeResult(
+            x=xs if multi else xs[0], fun=float(val_ba.get()),
+            grad_max=gmax, n_iter=it, converged=gmax <= tol,
+        )
+
     it = 0
     for it in range(1, int(steps) + 1):
-        val_ba, g = vag(x)
-        gmax = float(jnp.max(jnp.abs(g.raw)))  # one scalar sync
+        val_ba, gs = vag(*xs)
+        gmax = max(
+            float(jnp.max(jnp.abs(g.raw))) for g in gs
+        )  # one scalar sync per param
         if callback is not None:
             callback(it, float(val_ba.get()), gmax)
         if gmax <= tol:
-            return OptimizeResult(
-                x=x, fun=float(val_ba.get()), grad_max=gmax,
-                n_iter=it, converged=True,
-            )
-        updates, opt_state = opt.update(g.raw, opt_state, x.raw)
+            return result(xs, val_ba, gmax, it)
+        updates, opt_state = opt.update(
+            tuple(g.raw for g in gs), opt_state,
+            tuple(x.raw for x in xs),
+        )
         import optax
 
-        new_raw = optax.apply_updates(x.raw, updates)
-        x = BlockArray(new_raw, x.grid.copy(), x.backend,
-                       transposed=x.is_transposed)
-    val_ba, g = vag(x)  # evaluate at the final (returned) iterate
-    gmax = float(jnp.max(jnp.abs(g.raw)))
-    return OptimizeResult(
-        x=x, fun=float(val_ba.get()), grad_max=gmax, n_iter=it,
-        converged=gmax <= tol,
-    )
+        new_raws = optax.apply_updates(tuple(x.raw for x in xs), updates)
+        xs = rewrap(new_raws, xs)
+    val_ba, gs = vag(*xs)  # evaluate at the final (returned) iterate
+    gmax = max(float(jnp.max(jnp.abs(g.raw))) for g in gs)
+    return result(xs, val_ba, gmax, it)
 
 
-def _minimize_fused(f, x0, method, learning_rate, steps, tol, opt_kwargs):
+def _minimize_fused(f, xs, multi, method, learning_rate, steps, tol,
+                    opt_kwargs):
     """The whole optimization as ONE XLA program: a lax.while_loop over
     (value_and_grad → optax update), cached by graph structure +
-    optimizer config. Zero host syncs until the final fetch."""
+    optimizer config. Zero host syncs until the final fetch. Supports a
+    tuple of parameters (one while_loop over the whole pytree)."""
     import jax
     import jax.numpy as jnp
 
@@ -123,8 +143,10 @@ def _minimize_fused(f, x0, method, learning_rate, steps, tol, opt_kwargs):
 
     if not settings.lazy_batch:
         raise RuntimeError("fused minimize requires NUMS_TPU_LAZY=1")
-    x0.touch()
-    out = autodiff._trace_pure(f, (x0,), {})
+    for x in xs:
+        assert isinstance(x, BlockArray), type(x)
+        x.touch()
+    out = autodiff._trace_pure(f, xs, {})
     assert isinstance(out, BlockArray) and out.shape == (), (
         "f must return a scalar BlockArray"
     )
@@ -133,9 +155,15 @@ def _minimize_fused(f, x0, method, learning_rate, steps, tol, opt_kwargs):
     run_root, leaves, leaf_pos, key = lazy.program_for(
         root, forbid_interior_constants=True
     )
-    li = leaf_pos.get(id(x0.raw))
-    if li is None:
-        raise RuntimeError("x0 is not reachable in f's recorded graph")
+    lis = []
+    for i, x in enumerate(xs):
+        li = leaf_pos.get(id(x.raw))
+        if li is None:
+            raise RuntimeError(
+                f"x0[{i}] is not reachable in f's recorded graph"
+            )
+        lis.append(li)
+    lis = tuple(lis)
     opt_items = tuple(sorted(opt_kwargs.items()))
 
     def build():
@@ -144,40 +172,48 @@ def _minimize_fused(f, x0, method, learning_rate, steps, tol, opt_kwargs):
         def fused(tol_v, *leaf_vals):
             import optax
 
-            def f_of_x(x):
+            def f_of_params(params):
                 vals = list(leaf_vals)
-                vals[li] = x
+                for li, p in zip(lis, params):
+                    vals[li] = p
                 return run_root(*vals)
+
+            def gmax_of(gs):
+                return jnp.max(jnp.asarray(
+                    [jnp.max(jnp.abs(g)) for g in gs]
+                ))
 
             def cond(c):
                 it, _, _, gmax = c
                 return jnp.logical_and(it < steps, gmax > tol_v)
 
             def body(c):
-                it, x, st, _ = c
-                g = jax.grad(f_of_x)(x)
-                upd, st = opt.update(g, st, x)
-                x = optax.apply_updates(x, upd)
-                return it + 1, x, st, jnp.max(jnp.abs(g))
+                it, params, st, _ = c
+                gs = jax.grad(f_of_params)(params)
+                upd, st = opt.update(gs, st, params)
+                params = optax.apply_updates(params, upd)
+                return it + 1, params, st, gmax_of(gs)
 
-            x0_v = leaf_vals[li]
-            init = (jnp.int32(0), x0_v, opt.init(x0_v),
-                    jnp.asarray(jnp.inf, x0_v.dtype))
-            it, x, _, _ = jax.lax.while_loop(cond, body, init)
-            # Value AND gradient at the RETURNED x (result invariant).
-            val, g_final = jax.value_and_grad(f_of_x)(x)
-            return x, val, jnp.max(jnp.abs(g_final)), it
+            p0 = tuple(leaf_vals[li] for li in lis)
+            init = (jnp.int32(0), p0, opt.init(p0),
+                    jnp.asarray(jnp.inf, p0[0].dtype))
+            it, params, _, _ = jax.lax.while_loop(cond, body, init)
+            # Value AND gradient at the RETURNED params (invariant).
+            val, g_final = jax.value_and_grad(f_of_params)(params)
+            return params, val, gmax_of(g_final), it
 
         return jax.jit(fused)
 
     executor = lazy.cached_executor(
-        ("fmin", key, li, method, learning_rate, steps, opt_items), build
+        ("fmin", key, lis, method, learning_rate, steps, opt_items), build
     )
-    x_raw, val, gmax, it = executor(tol, *leaves)
-    x = BlockArray(x_raw, x0.grid.copy(), x0.backend,
-                   transposed=x0.is_transposed)
+    raws, val, gmax, it = executor(tol, *leaves)
+    outs = tuple(
+        BlockArray(r, x.grid.copy(), x.backend, transposed=x.is_transposed)
+        for r, x in zip(raws, xs)
+    )
     gmax_f = float(gmax)
     return OptimizeResult(
-        x=x, fun=float(val), grad_max=gmax_f, n_iter=int(it),
-        converged=gmax_f <= tol,
+        x=outs if multi else outs[0], fun=float(val), grad_max=gmax_f,
+        n_iter=int(it), converged=gmax_f <= tol,
     )

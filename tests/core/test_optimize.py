@@ -89,3 +89,31 @@ def test_minimize_fused_matches_eager(app_inst):
     # Second fused call hits the cached whole-loop program.
     fused2 = optimize.minimize(loss, b0, fused=True, **kw)
     assert np.allclose(fused2.x.get(), fused.x.get())
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_minimize_multi_parameter(app_inst, fused):
+    """Tuple-of-parameters objective (W, b) — a tiny linear model with
+    separate weight and bias arrays."""
+    rs = np.random.RandomState(4)
+    X_np = rs.randn(50, 3)
+    w_true = np.array([1.0, -0.5, 2.0])
+    b_true = 0.7
+    y_np = X_np @ w_true + b_true
+    X = app_inst.array(X_np, block_shape=(25, 3))
+    y = app_inst.array(y_np, block_shape=(25,))
+    w0 = app_inst.array(np.zeros(3), block_shape=(3,))
+    b0 = app_inst.array(np.zeros(1), block_shape=(1,))
+
+    def loss(w, b):
+        r = X @ w + b.sum() - y
+        return (r * r).sum() * (1.0 / 50.0)
+
+    res = optimize.minimize(
+        loss, (w0, b0), method="adam", learning_rate=0.1, steps=1200,
+        tol=1e-8, fused=fused,
+    )
+    w_fit, b_fit = res.x
+    assert np.allclose(w_fit.get(), w_true, atol=1e-3)
+    assert np.isclose(float(b_fit.get()[0]), b_true, atol=1e-3)
+    assert res.fun < 1e-6
