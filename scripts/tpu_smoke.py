@@ -129,6 +129,24 @@ def main():
               f"ooc logistic fit acc: {acc_o}")
         ok &= acc_o > 0.95
 
+    # Autodiff on hardware: gradient of a least-squares chain.
+    from nums_tpu import autodiff
+
+    xa = rs.randn(2000, 20).astype(np.float32)
+    ya = rs.randn(2000).astype(np.float32)
+    ba = rs.randn(20).astype(np.float32)
+    Xa_ = app.array(xa, block_shape=(500, 20))
+    ya_ = app.array(ya, block_shape=(500,))
+    ba_ = app.array(ba, block_shape=(20,))
+
+    def lsq(b):
+        r = Xa_ @ b - ya_
+        return (r * r).sum()
+
+    _, g = autodiff.value_and_grad(lsq)(ba_)
+    ok &= check("autodiff lsq gradient", g.get(),
+                2.0 * xa.T @ (xa @ ba - ya), tol=5e-3)
+
     print("OVERALL:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
