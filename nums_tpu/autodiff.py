@@ -39,6 +39,13 @@ def _normalize_argnums(argnums):
     return tuple(argnums), False
 
 
+def _rebuild(raw, template: BlockArray) -> BlockArray:
+    """New BlockArray with ``template``'s grid/backend/transpose over a
+    same-layout raw buffer (gradient/update results)."""
+    return BlockArray(raw, template.grid.copy(), template.backend,
+                      transposed=template.is_transposed)
+
+
 def _trace_pure(f, args, kwargs):
     """Run ``f`` verifying NO materialization fired inside it: a host
     sync between dependent ops would rebind intermediates to concrete
@@ -107,6 +114,12 @@ def value_and_grad(f, argnums=0):
                     "intermediate value."
                 )
             idxs.append(li)
+        if len(set(idxs)) != len(idxs):
+            raise ValueError(
+                "two differentiated arguments share the same underlying "
+                "buffer (the same array, or views like x and x.T); pass "
+                "distinct arrays or differentiate one argument."
+            )
         executor = lazy.cached_executor(
             ("vag", key, tuple(idxs)),
             lambda: jax.jit(
@@ -117,9 +130,7 @@ def value_and_grad(f, argnums=0):
         backend = wrt[0].backend
         val_ba = BlockArray.from_jax(val, backend=backend)
         grad_bas = tuple(
-            BlockArray(g, a.grid.copy(), a.backend,
-                       transposed=a.is_transposed)
-            for g, a in zip(grads, wrt)
+            _rebuild(g, a) for g, a in zip(grads, wrt)
         )
         return val_ba, (grad_bas[0] if single else grad_bas)
 
@@ -184,8 +195,7 @@ def hvp(f, argnums=0):
 
         executor = lazy.cached_executor(("hvp", key, li), build)
         res = executor(leaves[li], v.raw, tuple(leaves))
-        return BlockArray(res, a.grid.copy(), a.backend,
-                          transposed=a.is_transposed)
+        return _rebuild(res, a)
 
     return wrapped
 

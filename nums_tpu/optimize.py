@@ -82,6 +82,14 @@ def minimize(f, x0: BlockArray, method: str = "adam",
 
     multi = isinstance(x0, (tuple, list))
     xs = tuple(x0) if multi else (x0,)
+    for x in xs:
+        assert isinstance(x, BlockArray), type(x)
+        x.touch()
+    if len({id(x.raw) for x in xs}) != len(xs):
+        raise ValueError(
+            "parameters share the same underlying buffer (the same "
+            "array, or views like x and x.T); pass distinct arrays."
+        )
     if fused:
         assert callback is None, "fused=True runs on-device (no callback)"
         return _minimize_fused(
@@ -94,9 +102,7 @@ def minimize(f, x0: BlockArray, method: str = "adam",
 
     def rewrap(raws, templates):
         return tuple(
-            BlockArray(r, t.grid.copy(), t.backend,
-                       transposed=t.is_transposed)
-            for r, t in zip(raws, templates)
+            autodiff._rebuild(r, t) for r, t in zip(raws, templates)
         )
 
     # Invariant: fun and grad_max in the result are evaluated AT the
@@ -107,12 +113,17 @@ def minimize(f, x0: BlockArray, method: str = "adam",
             grad_max=gmax, n_iter=it, converged=gmax <= tol,
         )
 
+    def host_gmax(gs):
+        # ONE device-side reduction + one scalar sync (not one per
+        # param — syncs ride a high-latency tunnel here).
+        return float(jnp.max(jnp.asarray(
+            [jnp.max(jnp.abs(g.raw)).astype(jnp.float32) for g in gs]
+        )))
+
     it = 0
     for it in range(1, int(steps) + 1):
         val_ba, gs = vag(*xs)
-        gmax = max(
-            float(jnp.max(jnp.abs(g.raw))) for g in gs
-        )  # one scalar sync per param
+        gmax = host_gmax(gs)
         if callback is not None:
             callback(it, float(val_ba.get()), gmax)
         if gmax <= tol:
@@ -126,7 +137,7 @@ def minimize(f, x0: BlockArray, method: str = "adam",
         new_raws = optax.apply_updates(tuple(x.raw for x in xs), updates)
         xs = rewrap(new_raws, xs)
     val_ba, gs = vag(*xs)  # evaluate at the final (returned) iterate
-    gmax = max(float(jnp.max(jnp.abs(g.raw))) for g in gs)
+    gmax = host_gmax(gs)
     return result(xs, val_ba, gmax, it)
 
 
@@ -179,8 +190,9 @@ def _minimize_fused(f, xs, multi, method, learning_rate, steps, tol,
                 return run_root(*vals)
 
             def gmax_of(gs):
+                # Fixed carry dtype regardless of (mixed) param dtypes.
                 return jnp.max(jnp.asarray(
-                    [jnp.max(jnp.abs(g)) for g in gs]
+                    [jnp.max(jnp.abs(g)).astype(jnp.float32) for g in gs]
                 ))
 
             def cond(c):
@@ -196,7 +208,7 @@ def _minimize_fused(f, xs, multi, method, learning_rate, steps, tol,
 
             p0 = tuple(leaf_vals[li] for li in lis)
             init = (jnp.int32(0), p0, opt.init(p0),
-                    jnp.asarray(jnp.inf, p0[0].dtype))
+                    jnp.asarray(jnp.inf, jnp.float32))
             it, params, _, _ = jax.lax.while_loop(cond, body, init)
             # Value AND gradient at the RETURNED params (invariant).
             val, g_final = jax.value_and_grad(f_of_params)(params)

@@ -117,3 +117,37 @@ def test_minimize_multi_parameter(app_inst, fused):
     assert np.allclose(w_fit.get(), w_true, atol=1e-3)
     assert np.isclose(float(b_fit.get()[0]), b_true, atol=1e-3)
     assert res.fun < 1e-6
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_minimize_mixed_dtype_params(app_inst, fused):
+    """float32 weights + float64 bias (np.zeros default) must work on
+    both paths — review finding: the fused carry pinned gmax to the
+    first param's dtype."""
+    rs = np.random.RandomState(5)
+    X_np = rs.randn(30, 2).astype(np.float32)
+    y_np = (X_np @ np.array([1.0, -1.0], np.float32)) + 0.3
+    X = app_inst.array(X_np, block_shape=(15, 2))
+    y = app_inst.array(y_np, block_shape=(15,))
+    w0 = app_inst.array(np.zeros(2, np.float32), block_shape=(2,))
+    b0 = app_inst.array(np.zeros(1), block_shape=(1,))  # float64 default
+
+    def loss(w, b):
+        r = X @ w + b.sum() - y
+        return (r * r).sum()
+
+    res = optimize.minimize(loss, (w0, b0), method="momentum",
+                            learning_rate=0.01, steps=400, tol=1e-6,
+                            fused=fused)
+    w_fit, b_fit = res.x
+    assert np.allclose(w_fit.get(), [1.0, -1.0], atol=1e-2)
+    assert np.isclose(float(b_fit.get()[0]), 0.3, atol=1e-2)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_minimize_rejects_shared_buffers(app_inst, fused):
+    x = app_inst.array(np.ones(3), block_shape=(3,))
+    with pytest.raises(ValueError, match="share the same underlying"):
+        optimize.minimize(
+            lambda a, b: (a * b).sum(), (x, x), fused=fused, steps=2
+        )
