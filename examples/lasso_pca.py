@@ -22,12 +22,14 @@ X = nps.array(rs.randn(n, d).astype(np.float32))
 y = X @ nps.array(theta.astype(np.float32))
 y = y + 0.01 * nps.random.randn(n).astype(np.float32)
 
-lasso = Lasso(alpha=50.0, tol=1e-5, max_iter=500).fit(X, y)
+# alpha uses sklearn's convention (1/(2n) residual scaling): 50/n on
+# the old raw-lambda scale.
+lasso = Lasso(alpha=5e-4, tol=1e-5, max_iter=500).fit(X, y)
 beta = lasso._beta.get()
 print("lasso support:", np.flatnonzero(np.abs(beta) > 1e-8).tolist())
 print("lasso R^2:", round(float(lasso.score(X, y)), 4))
 
-enet = ElasticNet(alpha=50.0, l1_ratio=0.9, tol=1e-5, max_iter=500).fit(X, y)
+enet = ElasticNet(alpha=5e-4, l1_ratio=0.9, tol=1e-5, max_iter=500).fit(X, y)
 print("elastic-net support:",
       np.flatnonzero(np.abs(enet._beta.get()) > 1e-8).tolist())
 
