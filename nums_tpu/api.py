@@ -32,3 +32,27 @@ def read_csv(filename, dtype=float, delimiter=",", has_header=False,
         filename, dtype=dtype, delimiter=delimiter, has_header=has_header,
         num_workers=num_workers,
     )
+
+
+def read_parquet(filename, columns=None, dtype=None):
+    """Parquet file → BlockArray (beyond the reference's CSV/S3/npy).
+
+    Row groups are read one at a time and assembled region-wise into
+    the sharded array (the same partition-streamed path the pandas/
+    modin bridge uses) — peak extra host memory is the decoded groups,
+    never a second full-frame copy. Requires pyarrow.
+    """
+    import pyarrow.parquet as pq
+
+    from nums_tpu.experimental.nums_modin import _from_row_parts
+
+    pf = pq.ParquetFile(filename)
+    parts = []
+    for i in range(pf.num_row_groups):
+        tbl = pf.read_row_group(i, columns=columns)
+        arr = tbl.to_pandas().to_numpy()
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        parts.append(arr)
+    assert parts, f"{filename}: no row groups"
+    return _from_row_parts(parts, dtype=dtype)
