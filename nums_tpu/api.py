@@ -34,25 +34,116 @@ def read_csv(filename, dtype=float, delimiter=",", has_header=False,
     )
 
 
-def read_parquet(filename, columns=None, dtype=None):
+def _parquet_row_groups(filename, columns, dtype):
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(filename)
+    assert pf.num_row_groups > 0, f"{filename}: no row groups"
+    for i in range(pf.num_row_groups):
+        arr = pf.read_row_group(i, columns=columns).to_pandas().to_numpy()
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        yield arr
+
+
+def _rechunk(panels, rows_per_panel):
+    """Re-slice a stream of row panels into exact ``rows_per_panel``
+    chunks (last ragged) — O(one output panel) buffered."""
+    import numpy as np
+
+    buf = []
+    have = 0
+    for p in panels:
+        buf.append(p)
+        have += p.shape[0]
+        while have >= rows_per_panel:
+            cat = np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+            yield cat[:rows_per_panel]
+            rest = cat[rows_per_panel:]
+            buf = [rest] if rest.shape[0] else []
+            have = rest.shape[0]
+    if have:
+        yield np.concatenate(buf, axis=0) if len(buf) > 1 else buf[0]
+
+
+def read_parquet(filename, columns=None, dtype=None, out=None,
+                 block_rows=None):
     """Parquet file → BlockArray (beyond the reference's CSV/S3/npy).
 
     Row groups are read one at a time and assembled region-wise into
     the sharded array (the same partition-streamed path the pandas/
-    modin bridge uses) — peak extra host memory is the decoded groups,
-    never a second full-frame copy. Requires pyarrow.
+    modin bridge uses). With ``out=<path>`` the groups stream straight
+    to a DiskArray on disk instead — OUT-OF-CORE ingestion: peak host
+    memory is one row group + one block, so the file size is bounded by
+    disk, not RAM/HBM. Requires pyarrow.
     """
     import pyarrow.parquet as pq
 
+    if out is not None:
+        import numpy as np
+
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        pf = pq.ParquetFile(filename)
+        n = pf.metadata.num_rows
+        first = next(_parquet_row_groups(filename, columns, dtype))
+        d = first.shape[1]
+        out_dtype = np.dtype(dtype or first.dtype)
+        if block_rows is None:
+            block_rows = max(1, min(n, first.shape[0]))
+        app = _instance()
+
+        def panels():
+            yield from _rechunk(
+                _parquet_row_groups(filename, columns, dtype), block_rows
+            )
+
+        return DiskArray.from_panels(
+            out, app.fs, panels(), (n, d), out_dtype, block_rows
+        )
     from nums_tpu.experimental.nums_modin import _from_row_parts
 
-    pf = pq.ParquetFile(filename)
-    parts = []
-    for i in range(pf.num_row_groups):
-        tbl = pf.read_row_group(i, columns=columns)
-        arr = tbl.to_pandas().to_numpy()
-        if dtype is not None:
-            arr = arr.astype(dtype)
-        parts.append(arr)
-    assert parts, f"{filename}: no row groups"
+    parts = list(_parquet_row_groups(filename, columns, dtype))
     return _from_row_parts(parts, dtype=dtype)
+
+
+def write_parquet(ba, filename: str, column_names=None,
+                  row_group_rows: int = None):
+    """BlockArray (or DiskArray) → Parquet file, one row group per row
+    stripe (fetched block-batch-at-a-time: O(stripe) host memory)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nums_tpu.core.array.diskarray import DiskArray
+
+    assert ba.ndim == 2, ba.shape
+    d = ba.shape[1]
+    names = (
+        list(column_names) if column_names is not None
+        else [f"c{i}" for i in range(d)]
+    )
+    assert len(names) == d, (len(names), d)
+
+    if isinstance(ba, DiskArray):
+        stripes = (p for _, p in ba.iter_row_panels())
+    else:
+        rows = row_group_rows or ba.block_shape[0]
+
+        def gen():
+            for start in range(0, ba.shape[0], rows):
+                yield np.asarray(ba[start:start + rows].get())
+
+        stripes = gen()
+    writer = None
+    try:
+        for stripe in stripes:
+            table = pa.table(
+                {nm: stripe[:, j] for j, nm in enumerate(names)}
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(filename, table.schema)
+            writer.write_table(table)
+    finally:
+        if writer is not None:
+            writer.close()

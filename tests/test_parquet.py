@@ -22,3 +22,36 @@ def test_read_parquet_roundtrip(nps_app_inst, tmp_path):
     ba2 = nums_tpu.read_parquet(p, columns=["c1", "c3"], dtype=np.float32)
     assert ba2.shape == (1000, 2) and ba2.dtype == np.float32
     assert np.allclose(ba2.get(), data[:, [1, 3]].astype(np.float32))
+
+
+def test_read_parquet_out_of_core(nps_app_inst, tmp_path):
+    """out=<path> streams row groups straight to a DiskArray."""
+    from nums_tpu.core.array.diskarray import DiskArray
+
+    rs = np.random.RandomState(1)
+    data = rs.randn(777, 4)  # ragged vs any block size
+    table = pa.table({f"c{i}": data[:, i] for i in range(4)})
+    p = str(tmp_path / "big.parquet")
+    pq.write_table(table, p, row_group_size=100)
+    da = nums_tpu.read_parquet(p, out=str(tmp_path / "daX"),
+                               block_rows=150)
+    assert isinstance(da, DiskArray)
+    assert da.shape == (777, 4)
+    assert np.allclose(da.to_block_array().get(), data)
+    # and it is a first-class checkpoint (CRC scrub clean)
+    assert nps_app_inst.verify_fs(da.path)["ok"]
+
+
+def test_write_parquet_roundtrip(nps_app_inst, tmp_path):
+    rs = np.random.RandomState(2)
+    data = rs.randn(300, 3)
+    ba = nps_app_inst.array(data, block_shape=(100, 3))
+    p = str(tmp_path / "w.parquet")
+    nums_tpu.api.write_parquet(ba, p, column_names=["a", "b", "c"])
+    back = nums_tpu.read_parquet(p)
+    assert np.allclose(back.get(), data)
+    # DiskArray source writes too (stream -> stream)
+    da = nps_app_inst.spill(ba, str(tmp_path / "spilled"))
+    p2 = str(tmp_path / "w2.parquet")
+    nums_tpu.api.write_parquet(da, p2)
+    assert np.allclose(nums_tpu.read_parquet(p2).get(), data)
