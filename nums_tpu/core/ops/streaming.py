@@ -50,6 +50,21 @@ def normal_eq_update():
 
 
 @functools.lru_cache(maxsize=None)
+def normal_eq_aug_update():
+    """Intercept-AUGMENTED normal equations: with pa = [panel, 1],
+    (G, q) += (paᵀ pa, paᵀ y) — one pass yields everything the linear
+    ADMM (lasso/elastic-net) solve needs."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def k(G, q, panel, y_panel):
+        ones = jnp.ones((panel.shape[0], 1), panel.dtype)
+        pa = jnp.concatenate([panel, ones], axis=1)
+        return G + pa.T @ pa, q + pa.T @ y_panel
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
 def reduce0_update(op: str):
     """acc = combine(acc, reduce(panel, axis=0)) for sum/min/max."""
     red = {"sum": jnp.sum, "min": jnp.min, "max": jnp.max}[op]

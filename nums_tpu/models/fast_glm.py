@@ -175,6 +175,63 @@ def _soft_threshold(v, k):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("max_iter", "penalty")
+)
+def admm_fit_gram(G, q0, beta0, tol, max_iter=100, rho=1.0,
+                  penalty="l1", lambda_vec=None, l1_ratio=0.5):
+    """Linear-kind ADMM from PRECOMPUTED normal-equation moments
+    (G = XᵀX, q0 = Xᵀy): the whole loop touches only (d, d) state, so
+    an out-of-core X needs ONE streamed pass for (G, q0) and the lasso/
+    elastic-net solve costs no further data passes. Same math as
+    ``admm_fit(kind='linear')`` (which hoists exactly these moments)."""
+    d = beta0.shape[0]
+    rho0 = jnp.asarray(rho, G.dtype)
+    lv = lambda_vec if lambda_vec is not None else jnp.zeros_like(beta0)
+    eye = jnp.eye(d, dtype=G.dtype)
+
+    def beta_update(v, rho):
+        L = jnp.linalg.cholesky(G + rho * eye)
+        w = jax.scipy.linalg.solve_triangular(
+            L, q0 + rho * v, lower=True
+        )
+        return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+
+    def z_update(bu, rho):
+        if penalty == "l1":
+            return _soft_threshold(bu, lv / rho)
+        if penalty == "l2":
+            return rho * bu / (lv + rho)
+        if penalty == "elasticnet":
+            a = jnp.asarray(l1_ratio, G.dtype)
+            st = _soft_threshold(bu, lv * a / rho)
+            return st / (1.0 + lv * (1.0 - a) / rho)
+        return bu
+
+    def cond(state):
+        _, _, _, r, s, it = state
+        return jnp.logical_and(it < max_iter, jnp.maximum(r, s) > tol)
+
+    def body(state):
+        z, u, rho, _, _, it = state
+        beta = beta_update(z - u, rho)
+        z_new = z_update(beta + u, rho)
+        u = u + beta - z_new
+        r = jnp.max(jnp.abs(beta - z_new))
+        s = jnp.max(jnp.abs(rho * (z_new - z)))
+        rho_new = jnp.where(
+            r > 10.0 * s, rho * 2.0, jnp.where(s > 10.0 * r, rho * 0.5, rho)
+        )
+        u = u * (rho / rho_new)
+        return z_new, u, rho_new, r, s, it + 1
+
+    inf = jnp.array(jnp.inf, G.dtype)
+    init = (beta0, jnp.zeros_like(beta0), rho0, inf, inf,
+            jnp.array(0, jnp.int32))
+    z, u, rho_f, r, s, it = jax.lax.while_loop(cond, body, init)
+    return z, jnp.maximum(r, s), it
+
+
+@functools.partial(
     jax.jit, static_argnames=("kind", "max_iter", "penalty", "newton_steps")
 )
 def admm_fit(X, y, beta0, tol, kind="linear", max_iter=100, rho=1.0,

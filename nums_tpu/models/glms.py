@@ -186,25 +186,22 @@ class GLM:
     _sklearn_alpha_scale = False
 
     def _fit_ooc(self, X, y):
-        """Out-of-core Newton fit on a DiskArray design matrix."""
+        """Out-of-core fit on a DiskArray design matrix.
+
+        Newton streams the dataset once per iteration (any fused kind);
+        ADMM (lasso/ridge/elastic-net, linear kind) streams ONCE total —
+        the whole prox loop runs on the (d+1)² normal-equation moments.
+        """
         if self._fused_kind is None:
             raise NotImplementedError(
                 "out-of-core training unsupported for this model family."
-            )
-        if self._opt not in ("newton", "newton-cg"):
-            raise NotImplementedError(
-                "out-of-core training supports solver='newton' only."
-            )
-        if self._penalty not in (None, "l2"):
-            raise NotImplementedError(
-                "out-of-core training supports penalty in {none, l2}."
             )
         from nums_tpu.models import fast_glm
 
         app = self._app
         d = X.shape[1]
         lv = None
-        if self._penalty == "l2":
+        if self._penalty in ("l2", "l1", "elasticnet"):
             lam = self._lambda
             if self._sklearn_alpha_scale:
                 lam = lam * X.shape[0]
@@ -212,15 +209,63 @@ class GLM:
             if not self._penalize_intercept:
                 lv[-1] = 0.0
             self._lambda_vec = app.array(lv, block_shape=(d + 1,))
-        beta, _, _ = fast_glm.newton_fit_ooc(
-            X, y, self._tol, kind=self._fused_kind,
-            max_iter=int(self._max_iter),
-            penalized=lv is not None, lambda_vec=lv,
-        )
+        if self._opt == "admm":
+            if self._fused_kind != "linear":
+                raise NotImplementedError(
+                    "out-of-core admm supports linear models only."
+                )
+            beta = self._admm_ooc(X, y, lv)
+        elif self._opt in ("newton", "newton-cg"):
+            if self._penalty not in (None, "l2"):
+                raise NotImplementedError(
+                    "out-of-core Newton supports penalty in {none, l2}."
+                )
+            beta, _, _ = fast_glm.newton_fit_ooc(
+                X, y, self._tol, kind=self._fused_kind,
+                max_iter=int(self._max_iter),
+                penalized=lv is not None, lambda_vec=lv,
+            )
+        else:
+            raise NotImplementedError(
+                "out-of-core training supports solver in {newton, admm}."
+            )
         beta = BlockArray.from_jax(beta, backend=app.backend)
         self._beta0 = beta[-1]
         self._beta = beta[:-1]
         return self
+
+    def _admm_ooc(self, X, y, lv):
+        """ONE streamed pass for (G, q) = ([X,1]ᵀ[X,1], [X,1]ᵀy), then
+        the cached-factorization ADMM loop on (d+1)² state — lasso on a
+        disk-sized dataset costs a single read of it."""
+        import jax
+        import jax.numpy as jnp
+
+        from nums_tpu.core.array.application import _ooc_y_getter
+        from nums_tpu.core.ops import streaming
+        from nums_tpu.models import fast_glm
+
+        d = X.shape[1]
+        dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        y_at = _ooc_y_getter(X, y)
+        upd = streaming.normal_eq_aug_update()
+        G = jnp.zeros((d + 1, d + 1), dtype)
+        q = jnp.zeros((d + 1,), dtype)
+        for start, panel in X.iter_row_panels():
+            p = jax.device_put(panel).astype(dtype)
+            yp = jax.device_put(y_at(start, panel.shape[0])).astype(dtype)
+            G, q = upd(G, q, p, yp)
+        beta0 = jnp.zeros((d + 1,), dtype)
+        lam = (
+            jnp.asarray(lv, dtype) if lv is not None
+            else jnp.zeros((d + 1,), dtype)
+        )
+        beta, _, _ = fast_glm.admm_fit_gram(
+            G, q, beta0, self._tol, max_iter=int(self._max_iter),
+            rho=self._admm_rho, penalty=self._penalty or "none",
+            lambda_vec=lam, l1_ratio=self._l1_ratio,
+        )
+        return beta
 
     def _fused_newton(self, X, y, beta, max_iter):
         """Run Newton as ONE on-device while_loop program when supported.

@@ -304,3 +304,34 @@ def test_gbt_single_class_raises(app_inst):
     y = app_inst.array(np.zeros(40), block_shape=(20,))
     with pytest.raises(ValueError, match="single class"):
         GBTClassifier(n_estimators=2, max_depth=2).fit(X, y)
+
+
+def test_lasso_out_of_core_one_pass(app_inst, tmp_path):
+    """Lasso on a DiskArray: one streamed pass for the moments, prox
+    loop on (d+1)^2 state — matches the in-core fused ADMM solution."""
+    from nums_tpu.models.glms import ElasticNet, Lasso
+
+    rs = np.random.RandomState(13)
+    n, d = 600, 8
+    theta = np.zeros(d)
+    theta[[1, 4, 6]] = [2.0, -1.5, 3.0]
+    real_X = rs.randn(n, d)
+    real_y = real_X @ theta + 1.0 + 0.01 * rs.randn(n)
+    X = app_inst.array(real_X, block_shape=(150, d))
+    y = app_inst.array(real_y, block_shape=(150,))
+    dX = app_inst.spill(X, str(tmp_path / "lassoX"))
+
+    kw = dict(alpha=0.02, tol=1e-7, max_iter=500)
+    core = Lasso(**kw).fit(X, y)
+    ooc = Lasso(**kw).fit(dX, real_y)
+    assert np.allclose(ooc.coef_.get(), core.coef_.get(), atol=1e-4)
+    assert np.isclose(float(ooc.intercept_.get()),
+                      float(core.intercept_.get()), atol=1e-3)
+    support = set(np.flatnonzero(np.abs(ooc.coef_.get()) > 1e-6))
+    assert support == {1, 4, 6}, support
+    # elastic-net too
+    en_core = ElasticNet(l1_ratio=0.7, **kw).fit(X, y)
+    en_ooc = ElasticNet(l1_ratio=0.7, **kw).fit(dX, real_y)
+    assert np.allclose(
+        en_ooc.coef_.get(), en_core.coef_.get(), atol=1e-4
+    )
