@@ -24,6 +24,31 @@ from nums_tpu.core.ops import (
 )
 
 
+def ooc_put(backend, panel, fill=0.0):
+    """Host panel → device, ROW-SHARDED over the whole mesh (rows pad
+    to the device-count multiple with ``fill``); single-device backends
+    place it whole. Returns (device_panel, n_valid_rows). Streaming
+    kernels consuming padded panels must be fill-neutral (0 for
+    additive stats, ±inf for min/max) or row-masked (GLM/KMeans stats
+    mask via the n_valid argument)."""
+    import jax
+
+    mesh = getattr(backend, "mesh", None)
+    rows = panel.shape[0]
+    if mesh is None:
+        return jax.device_put(panel), rows
+    n_dev = int(np.prod(mesh.devices.shape))
+    pad = (-rows) % n_dev
+    if pad:
+        filler = np.full((pad,) + panel.shape[1:], fill, panel.dtype)
+        panel = np.concatenate([panel, filler], axis=0)
+    spec = jax.sharding.PartitionSpec(
+        tuple(mesh.axis_names), *([None] * (panel.ndim - 1))
+    )
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    return jax.device_put(panel, sharding), rows
+
+
 def _ooc_y_getter(X, y):
     """(start, length) → host y slice aligned with X's row panels.
 
@@ -740,13 +765,16 @@ class ArrayApplication:
         self.write_fs(ba, filename, replicas=replicas)
         return self.open_fs(filename)
 
-    def _ooc_accumulate(self, X, init, update):
-        """Fold ``update(acc, panel_on_device)`` over X's row panels."""
-        import jax
+    def _ooc_put(self, panel, fill=0.0):
+        return ooc_put(self.backend, panel, fill=fill)
 
+    def _ooc_accumulate(self, X, init, update, fill=0.0):
+        """Fold ``update(acc, panel_on_device)`` over X's row panels;
+        under a mesh each panel is row-sharded across every device (the
+        per-panel GEMM/reduction partitions with a psum)."""
         acc = init
         for _, panel in X.iter_row_panels():
-            p = jax.device_put(panel)
+            p, _ = self._ooc_put(panel, fill=fill)
             acc = update(acc, p)
         return acc
 
@@ -781,6 +809,8 @@ class ArrayApplication:
         acc = self._ooc_accumulate(
             X, jnp.full(shape, init_val, dtype),
             lambda a, p: upd(a, p.astype(dtype)),
+            # Pad rows must be the op's identity element.
+            fill=init_val,
         )
         return BlockArray.from_jax(acc, backend=self.backend)
 
@@ -819,7 +849,6 @@ class ArrayApplication:
     def linear_regression_ooc(self, X, y, lamb: float = 0.0) -> BlockArray:
         """(Ridge) regression on a DiskArray via streamed normal
         equations: one pass accumulates (XᵀX, Xᵀy); one (d, d) solve."""
-        import jax
         import jax.numpy as jnp
 
         from nums_tpu.core.ops import streaming
@@ -832,9 +861,9 @@ class ArrayApplication:
         G = jnp.zeros((d, d), dtype)
         b = jnp.zeros((d,), dtype)
         for start, panel in X.iter_row_panels():
-            p = jax.device_put(panel).astype(dtype)
-            yp = jax.device_put(y_at(start, panel.shape[0])).astype(dtype)
-            G, b = upd(G, b, p, yp)
+            p, _ = self._ooc_put(panel)
+            yp, _ = self._ooc_put(y_at(start, panel.shape[0]))
+            G, b = upd(G, b, p.astype(dtype), yp.astype(dtype))
         if lamb:
             G = G + lamb * jnp.eye(d, dtype=dtype)
         theta = linalg.posdef_solve(G, b)

@@ -56,8 +56,13 @@ def normal_eq_aug_update():
     ADMM (lasso/elastic-net) solve needs."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def k(G, q, panel, y_panel):
-        ones = jnp.ones((panel.shape[0], 1), panel.dtype)
+    def k(G, q, panel, y_panel, nv):
+        # Pad rows (sharded puts round rows up) must contribute ZERO —
+        # their panel entries are zero-filled, and the intercept column
+        # is the row-validity mask instead of plain ones.
+        ones = (
+            jnp.arange(panel.shape[0]) < nv
+        ).astype(panel.dtype)[:, None]
         pa = jnp.concatenate([panel, ones], axis=1)
         return G + pa.T @ pa, q + pa.T @ y_panel
 
@@ -100,8 +105,12 @@ def glm_stats_update(kind: str):
     """
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def k(g, H, panel, y_panel, beta):
-        ones = jnp.ones((panel.shape[0], 1), panel.dtype)
+    def k(g, H, panel, y_panel, beta, nv):
+        # Pad rows are zero-filled and their intercept entry is masked
+        # to zero, so every pad contribution to g and H vanishes.
+        ones = (
+            jnp.arange(panel.shape[0]) < nv
+        ).astype(panel.dtype)[:, None]
         pa = jnp.concatenate([panel, ones], axis=1)
         eta = pa @ beta
         if kind == "logistic":

@@ -60,15 +60,17 @@ def _seed_kernel(k: int):
 
 @functools.lru_cache(maxsize=None)
 def _ooc_stats_kernel():
-    """Per-panel Lloyd statistics with DONATED accumulators."""
+    """Per-panel Lloyd statistics with DONATED accumulators; pad rows
+    (mesh-sharded puts round rows up) are masked out via nv."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-    def k(sums, counts, inertia, panel, centers):
+    def k(sums, counts, inertia, panel, centers, nv):
+        mask = (jnp.arange(panel.shape[0]) < nv).astype(panel.dtype)
         d2 = _dists2(panel, centers)
         assign = jnp.argmin(d2, axis=1)
-        sums = sums.at[assign].add(panel)
-        counts = counts.at[assign].add(1.0)
-        inertia = inertia + d2.min(axis=1).sum()
+        sums = sums.at[assign].add(panel * mask[:, None])
+        counts = counts.at[assign].add(mask)
+        inertia = inertia + (d2.min(axis=1) * mask).sum()
         return sums, counts, inertia
 
     return k
@@ -176,14 +178,20 @@ class KMeans:
         update = _ooc_update_kernel()
         d = X.shape[1]
 
+        from nums_tpu.core.array.application import ooc_put
+
+        backend = _instance().backend
+
         def one_pass(centers):
             sums = jnp.zeros((k, d), jnp.float32)
             counts = jnp.zeros((k,), jnp.float32)
             inertia = jnp.zeros((), jnp.float32)
             for _, panel in X.iter_row_panels():
-                p = _jax.device_put(panel).astype(jnp.float32)
-                sums, counts, inertia = stats(sums, counts, inertia, p,
-                                              centers)
+                p, nv = ooc_put(backend, panel)
+                sums, counts, inertia = stats(
+                    sums, counts, inertia, p.astype(jnp.float32),
+                    centers, jnp.int32(nv),
+                )
             return sums, counts, inertia
 
         it = 0

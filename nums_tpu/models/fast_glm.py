@@ -356,13 +356,14 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
     y: host array, BlockArray, or a 1-D DiskArray sharing X's row
     partitioning. Returns (beta_with_intercept, max|g|, iterations).
     """
-    from nums_tpu.core.array.application import _ooc_y_getter
+    from nums_tpu.core.array.application import _ooc_y_getter, ooc_put
     from nums_tpu.core.ops import streaming
 
     assert X_disk.ndim == 2
     d = X_disk.shape[1]
     import numpy as np
 
+    backend = X_disk._fs.backend
     # jnp round-trip resolves device coercion (e.g. f64→f32 on TPU).
     dtype = jnp.asarray(np.zeros(0, dtype or X_disk.dtype)).dtype
     y_at = _ooc_y_getter(X_disk, y)
@@ -379,9 +380,12 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
         g = jnp.zeros((d + 1,), dtype)
         H = jnp.zeros((d + 1, d + 1), dtype)
         for start, panel in X_disk.iter_row_panels():
-            p = jax.device_put(panel).astype(dtype)
-            yp = jax.device_put(y_at(start, panel.shape[0])).astype(dtype)
-            g, H = stats(g, H, p, yp, beta)
+            # Mesh backends shard the panel rows over every device; pad
+            # rows are masked out via nv inside the kernel.
+            p, nv = ooc_put(backend, panel)
+            yp, _ = ooc_put(backend, y_at(start, panel.shape[0]))
+            g, H = stats(g, H, p.astype(dtype), yp.astype(dtype), beta,
+                         jnp.int32(nv))
         beta, gmax = newt(beta, g, H, lv)
         if float(gmax) <= tol:  # one scalar sync per PASS, not per op
             break

@@ -238,10 +238,9 @@ class GLM:
         """ONE streamed pass for (G, q) = ([X,1]ᵀ[X,1], [X,1]ᵀy), then
         the cached-factorization ADMM loop on (d+1)² state — lasso on a
         disk-sized dataset costs a single read of it."""
-        import jax
         import jax.numpy as jnp
 
-        from nums_tpu.core.array.application import _ooc_y_getter
+        from nums_tpu.core.array.application import _ooc_y_getter, ooc_put
         from nums_tpu.core.ops import streaming
         from nums_tpu.models import fast_glm
 
@@ -251,10 +250,12 @@ class GLM:
         upd = streaming.normal_eq_aug_update()
         G = jnp.zeros((d + 1, d + 1), dtype)
         q = jnp.zeros((d + 1,), dtype)
+        backend = self._app.backend
         for start, panel in X.iter_row_panels():
-            p = jax.device_put(panel).astype(dtype)
-            yp = jax.device_put(y_at(start, panel.shape[0])).astype(dtype)
-            G, q = upd(G, q, p, yp)
+            p, nv = ooc_put(backend, panel)
+            yp, _ = ooc_put(backend, y_at(start, panel.shape[0]))
+            G, q = upd(G, q, p.astype(dtype), yp.astype(dtype),
+                       jnp.int32(nv))
         beta0 = jnp.zeros((d + 1,), dtype)
         lam = (
             jnp.asarray(lv, dtype) if lv is not None

@@ -335,3 +335,23 @@ def test_lasso_out_of_core_one_pass(app_inst, tmp_path):
     assert np.allclose(
         en_ooc.coef_.get(), en_core.coef_.get(), atol=1e-4
     )
+
+
+def test_ooc_panels_shard_over_mesh(app_inst):
+    """Under the mesh backend a streamed panel is row-sharded across
+    ALL devices (pad rows masked/neutral); serial places it whole."""
+    import numpy as np
+
+    from nums_tpu.core.array.application import ooc_put
+    from nums_tpu.core.backend import MeshBackend
+
+    panel = np.arange(26.0).reshape(13, 2)  # 13 rows: pads to 16 on 8 dev
+    p, nv = ooc_put(app_inst.backend, panel)
+    assert nv == 13
+    if isinstance(app_inst.backend, MeshBackend):
+        n_dev = int(np.prod(app_inst.backend.mesh.devices.shape))
+        assert p.shape[0] % n_dev == 0 and p.shape[0] >= 13
+        assert not p.sharding.is_fully_replicated
+        assert len(p.sharding.device_set) == n_dev
+    else:
+        assert p.shape == (13, 2)
