@@ -34,11 +34,8 @@ def read_csv(filename, dtype=float, delimiter=",", has_header=False,
     )
 
 
-def _parquet_row_groups(filename, columns, dtype):
-    import pyarrow.parquet as pq
-
-    pf = pq.ParquetFile(filename)
-    assert pf.num_row_groups > 0, f"{filename}: no row groups"
+def _parquet_row_groups(pf, columns, dtype):
+    assert pf.num_row_groups > 0, "parquet file has no row groups"
     for i in range(pf.num_row_groups):
         arr = pf.read_row_group(i, columns=columns).to_pandas().to_numpy()
         if dtype is not None:
@@ -51,6 +48,7 @@ def _rechunk(panels, rows_per_panel):
     chunks (last ragged) — O(one output panel) buffered."""
     import numpy as np
 
+    assert rows_per_panel > 0, rows_per_panel
     buf = []
     have = 0
     for p in panels:
@@ -72,30 +70,41 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
 
     Row groups are read one at a time and assembled region-wise into
     the sharded array (the same partition-streamed path the pandas/
-    modin bridge uses). With ``out=<path>`` the groups stream straight
-    to a DiskArray on disk instead — OUT-OF-CORE ingestion: peak host
-    memory is one row group + one block, so the file size is bounded by
-    disk, not RAM/HBM. Requires pyarrow.
+    modin bridge uses). ``block_rows`` sets the row blocking. With
+    ``out=<path>`` the groups stream straight to a DiskArray on disk
+    instead — OUT-OF-CORE ingestion: peak host memory is one row group
+    + one block, so the file size is bounded by disk, not RAM/HBM.
+    Requires pyarrow.
     """
+    import numpy as np
     import pyarrow.parquet as pq
 
+    if block_rows is not None:
+        assert block_rows > 0, block_rows
+    pf = pq.ParquetFile(filename)
     if out is not None:
-        import numpy as np
-
         from nums_tpu.core.array.diskarray import DiskArray
 
-        pf = pq.ParquetFile(filename)
+        # Shape/dtype/row-group sizing come from the METADATA — no row
+        # group is decoded twice on this path.
         n = pf.metadata.num_rows
-        first = next(_parquet_row_groups(filename, columns, dtype))
-        d = first.shape[1]
-        out_dtype = np.dtype(dtype or first.dtype)
+        schema = pf.schema_arrow
+        sel = list(columns) if columns is not None else schema.names
+        d = len(sel)
+        if dtype is not None:
+            out_dtype = np.dtype(dtype)
+        else:
+            out_dtype = np.result_type(*[
+                np.dtype(schema.field(nm).type.to_pandas_dtype())
+                for nm in sel
+            ])
         if block_rows is None:
-            block_rows = max(1, min(n, first.shape[0]))
+            block_rows = max(1, min(n, pf.metadata.row_group(0).num_rows))
         app = _instance()
 
         def panels():
             yield from _rechunk(
-                _parquet_row_groups(filename, columns, dtype), block_rows
+                _parquet_row_groups(pf, columns, dtype), block_rows
             )
 
         return DiskArray.from_panels(
@@ -103,8 +112,11 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
         )
     from nums_tpu.experimental.nums_modin import _from_row_parts
 
-    parts = list(_parquet_row_groups(filename, columns, dtype))
-    return _from_row_parts(parts, dtype=dtype)
+    parts = list(_parquet_row_groups(pf, columns, dtype))
+    block_shape = (
+        (block_rows, parts[0].shape[1]) if block_rows is not None else None
+    )
+    return _from_row_parts(parts, dtype=dtype, block_shape=block_shape)
 
 
 def write_parquet(ba, filename: str, column_names=None,
@@ -127,14 +139,21 @@ def write_parquet(ba, filename: str, column_names=None,
 
     if isinstance(ba, DiskArray):
         stripes = (p for _, p in ba.iter_row_panels())
+        if row_group_rows is not None:
+            stripes = _rechunk(stripes, int(row_group_rows))
+        np_dtype = ba.dtype
     else:
-        rows = row_group_rows or ba.block_shape[0]
+        rows = row_group_rows or max(1, ba.block_shape[0])
 
         def gen():
+            # One logical view up front: slicing `ba` per stripe would
+            # re-slice the whole padded buffer each time (quadratic).
+            data = ba.data
             for start in range(0, ba.shape[0], rows):
-                yield np.asarray(ba[start:start + rows].get())
+                yield np.asarray(data[start:start + rows])
 
         stripes = gen()
+        np_dtype = ba.dtype
     writer = None
     try:
         for stripe in stripes:
@@ -144,6 +163,12 @@ def write_parquet(ba, filename: str, column_names=None,
             if writer is None:
                 writer = pq.ParquetWriter(filename, table.schema)
             writer.write_table(table)
+        if writer is None:  # zero rows: still emit a valid empty file
+            empty = pa.table(
+                {nm: np.empty(0, np_dtype) for nm in names}
+            )
+            writer = pq.ParquetWriter(filename, empty.schema)
+            writer.write_table(empty)
     finally:
         if writer is not None:
             writer.close()

@@ -803,7 +803,13 @@ class ArrayApplication:
 
         d = X.shape[1] if X.ndim == 2 else 1
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
-        init_val = {"sum": 0.0, "min": np.inf, "max": -np.inf}[op]
+        if np.issubdtype(X.dtype, np.integer):
+            # np.full would cast +-inf to INT_MIN (an ABSORBING element
+            # for min) — use the dtype's own identity bounds.
+            info = np.iinfo(X.dtype)
+            init_val = {"sum": 0, "min": info.max, "max": info.min}[op]
+        else:
+            init_val = {"sum": 0.0, "min": np.inf, "max": -np.inf}[op]
         upd = streaming.reduce0_update(op)
         shape = (d,) if X.ndim == 2 else ()
         acc = self._ooc_accumulate(

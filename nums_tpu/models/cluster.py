@@ -217,6 +217,9 @@ class KMeans:
         from nums_tpu.core.array.diskarray import DiskArray
 
         assert self.cluster_centers_ is not None, "fit first"
+        from nums_tpu.core.array.application import ooc_put
+
+        backend = _instance().backend
         centers = jnp.asarray(
             self.cluster_centers_.get(), jnp.float32
         )
@@ -225,9 +228,10 @@ class KMeans:
 
         def panels():
             for _, panel in X.iter_row_panels():
+                p, nv = ooc_put(backend, panel)
                 yield np.asarray(
-                    kern(jnp.asarray(panel, jnp.float32), centers)
-                )
+                    kern(p.astype(jnp.float32), centers)
+                )[:nv]
 
         return DiskArray.from_panels(
             out, X._fs, panels(), (X.shape[0],), np.int32,

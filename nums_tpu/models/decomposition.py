@@ -132,19 +132,23 @@ class _BaseSVDModel:
     def _moments_ooc(self, X):
         """ONE streamed pass → host (XᵀX, column means): both moments
         accumulate in the same per-panel kernel (disk IO is the
-        dominant cost of an out-of-core fit — never read twice)."""
+        dominant cost of an out-of-core fit — never read twice). Panels
+        row-shard over the mesh (zero pad rows are gram/sum-neutral)."""
         import jax as _jax
         import jax.numpy as jnp
 
+        from nums_tpu.core.array.application import ooc_put
         from nums_tpu.core.ops import streaming
 
+        backend = _instance().backend
         d = X.shape[1]
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
         upd = streaming.gram_and_sum_update()
         G = jnp.zeros((d, d), dtype)
         s = jnp.zeros((d,), dtype)
         for _, panel in X.iter_row_panels():
-            G, s = upd(G, s, _jax.device_put(panel).astype(dtype))
+            p, _ = ooc_put(backend, panel)
+            G, s = upd(G, s, p.astype(dtype))
         G = np.asarray(_jax.device_get(G), dtype=np.float64)
         mu = np.asarray(_jax.device_get(s), dtype=np.float64) / X.shape[0]
         return G, mu

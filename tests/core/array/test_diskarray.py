@@ -355,3 +355,16 @@ def test_ooc_panels_shard_over_mesh(app_inst):
         assert len(p.sharding.device_set) == n_dev
     else:
         assert p.shape == (13, 2)
+
+
+def test_integer_reductions_ooc_with_ragged_panels(app_inst, tmp_path):
+    """min/max on an int DiskArray whose panels need mesh padding must
+    not absorb the pad fill (review finding: np.full cast +inf to
+    INT_MIN)."""
+    vals = np.array([5, 9, 3, 7, 11, 2, 8, 6, 4, 10, 12, 1, 13],
+                    dtype=np.int32)  # 13 rows: pads on the 8-dev mesh
+    X = app_inst.array(vals, block_shape=(13,))
+    dX = app_inst.spill(X, str(tmp_path / "ints"))
+    assert int(app_inst.min_ooc(dX).get()) == 1
+    assert int(app_inst.max_ooc(dX).get()) == 13
+    assert int(app_inst.sum_ooc(dX).get()) == int(vals.sum())

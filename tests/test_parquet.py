@@ -55,3 +55,31 @@ def test_write_parquet_roundtrip(nps_app_inst, tmp_path):
     p2 = str(tmp_path / "w2.parquet")
     nums_tpu.api.write_parquet(da, p2)
     assert np.allclose(nums_tpu.read_parquet(p2).get(), data)
+
+
+def test_parquet_block_rows_and_zero_rows(nps_app_inst, tmp_path):
+    rs = np.random.RandomState(3)
+    data = rs.randn(120, 3)
+    table = pa.table({f"c{i}": data[:, i] for i in range(3)})
+    p = str(tmp_path / "br.parquet")
+    pq.write_table(table, p, row_group_size=50)
+    # block_rows honored on the IN-CORE path too (was silently ignored).
+    ba = nums_tpu.read_parquet(p, block_rows=40)
+    assert ba.block_shape[0] == 40
+    assert np.allclose(ba.get(), data)
+    with pytest.raises(AssertionError):
+        nums_tpu.read_parquet(p, out=str(tmp_path / "x"), block_rows=0)
+    # Zero-row arrays round-trip as a valid empty parquet file.
+    empty = nps_app_inst.array(np.empty((0, 2)), block_shape=(1, 2))
+    pe = str(tmp_path / "empty.parquet")
+    nums_tpu.api.write_parquet(empty, pe, column_names=["a", "b"])
+    back = pq.read_table(pe)
+    assert back.num_rows == 0 and back.num_columns == 2
+    # row_group_rows honored for DiskArray sources (was ignored).
+    X = nps_app_inst.array(data, block_shape=(60, 3))
+    da = nps_app_inst.spill(X, str(tmp_path / "da"))
+    pw = str(tmp_path / "rg.parquet")
+    nums_tpu.api.write_parquet(da, pw, row_group_rows=25)
+    meta = pq.ParquetFile(pw).metadata
+    assert meta.row_group(0).num_rows == 25
+    assert np.allclose(nums_tpu.read_parquet(pw).get(), data)
