@@ -143,3 +143,34 @@ def test_hvp_reblocks_mismatched_tangent(app_inst):
 
     got = autodiff.hvp(f)(x, v).get()
     assert np.allclose(got, (A_np + A_np.T) @ v_np, atol=1e-6)
+
+
+def test_autodiff_fuzz_random_chains(app_inst):
+    """Random differentiable op chains vs central finite differences —
+    the autodiff analogue of the op-sequence fuzzer."""
+    rs = np.random.RandomState(7)
+    for trial in range(6):
+        n, d = 8, 3
+        X_np = rs.randn(n, d)
+        X = app_inst.array(X_np, block_shape=(4, d))
+        w_np = rs.randn(d) * 0.5
+        w = app_inst.array(w_np, block_shape=(d,))
+        ops = rs.choice(5, size=4)
+
+        def f(v, _ops=tuple(ops)):
+            t = X @ v
+            for o in _ops:
+                if o == 0:
+                    t = t * t * 0.5
+                elif o == 1:
+                    t = abs(t) + 0.1
+                elif o == 2:
+                    t = t + (X @ v) * 0.3
+                elif o == 3:
+                    t = t * 0.7 - 1.0
+                else:
+                    t = t / 2.0 + t * t * 0.1
+            return (t * t).sum()
+
+        worst = autodiff.check_grad(f, (w,), atol=5e-3, eps=1e-5)
+        assert worst < 5e-3, (trial, ops, worst)
