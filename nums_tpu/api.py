@@ -85,30 +85,26 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
     if out is not None:
         from nums_tpu.core.array.diskarray import DiskArray
 
-        # Shape/dtype/row-group sizing come from the METADATA — no row
-        # group is decoded twice on this path.
+        # Width/dtype come from the DECODED first group (schema-based
+        # inference breaks on pandas index columns and on nullable ints
+        # that decode to float64) — the stream resumes after it, so no
+        # group is decoded twice.
         n = pf.metadata.num_rows
-        schema = pf.schema_arrow
-        sel = list(columns) if columns is not None else schema.names
-        d = len(sel)
-        if dtype is not None:
-            out_dtype = np.dtype(dtype)
-        else:
-            out_dtype = np.result_type(*[
-                np.dtype(schema.field(nm).type.to_pandas_dtype())
-                for nm in sel
-            ])
+        groups = _parquet_row_groups(pf, columns, dtype)
+        first = next(groups)
+        d = first.shape[1]
+        out_dtype = np.dtype(dtype) if dtype is not None else first.dtype
         if block_rows is None:
-            block_rows = max(1, min(n, pf.metadata.row_group(0).num_rows))
+            block_rows = max(1, min(n, first.shape[0]))
         app = _instance()
 
         def panels():
-            yield from _rechunk(
-                _parquet_row_groups(pf, columns, dtype), block_rows
-            )
+            yield first
+            yield from groups  # continues from row group 1
 
         return DiskArray.from_panels(
-            out, app.fs, panels(), (n, d), out_dtype, block_rows
+            out, app.fs, _rechunk(panels(), block_rows), (n, d),
+            out_dtype, block_rows,
         )
     from nums_tpu.experimental.nums_modin import _from_row_parts
 
@@ -136,12 +132,14 @@ def write_parquet(ba, filename: str, column_names=None,
         else [f"c{i}" for i in range(d)]
     )
     assert len(names) == d, (len(names), d)
+    if row_group_rows is not None:
+        assert row_group_rows > 0, row_group_rows
+    np_dtype = ba.dtype
 
     if isinstance(ba, DiskArray):
         stripes = (p for _, p in ba.iter_row_panels())
         if row_group_rows is not None:
             stripes = _rechunk(stripes, int(row_group_rows))
-        np_dtype = ba.dtype
     else:
         rows = row_group_rows or max(1, ba.block_shape[0])
 
@@ -153,7 +151,6 @@ def write_parquet(ba, filename: str, column_names=None,
                 yield np.asarray(data[start:start + rows])
 
         stripes = gen()
-        np_dtype = ba.dtype
     writer = None
     try:
         for stripe in stripes:

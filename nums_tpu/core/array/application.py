@@ -803,10 +803,12 @@ class ArrayApplication:
 
         d = X.shape[1] if X.ndim == 2 else 1
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
-        if np.issubdtype(X.dtype, np.integer):
+        if np.issubdtype(np.dtype(dtype), np.integer):
             # np.full would cast +-inf to INT_MIN (an ABSORBING element
-            # for min) — use the dtype's own identity bounds.
-            info = np.iinfo(X.dtype)
+            # for min) — use the identity bounds of the CANONICALIZED
+            # dtype (int64 → int32 when x64 is off: int64's max would
+            # overflow/wrap in the accumulator).
+            info = np.iinfo(np.dtype(dtype))
             init_val = {"sum": 0, "min": info.max, "max": info.min}[op]
         else:
             init_val = {"sum": 0.0, "min": np.inf, "max": -np.inf}[op]

@@ -69,6 +69,12 @@ class DiskArray:
         return self._path
 
     @property
+    def backend(self):
+        """The owning backend (sharded streaming puts resolve through
+        this — one source of truth for every OOC consumer)."""
+        return self._fs.backend
+
+    @property
     def shape(self):
         return self.grid.shape
 

@@ -180,7 +180,7 @@ class KMeans:
 
         from nums_tpu.core.array.application import ooc_put
 
-        backend = _instance().backend
+        backend = X.backend
 
         def one_pass(centers):
             sums = jnp.zeros((k, d), jnp.float32)
@@ -219,7 +219,7 @@ class KMeans:
         assert self.cluster_centers_ is not None, "fit first"
         from nums_tpu.core.array.application import ooc_put
 
-        backend = _instance().backend
+        backend = X.backend
         centers = jnp.asarray(
             self.cluster_centers_.get(), jnp.float32
         )

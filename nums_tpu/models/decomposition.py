@@ -140,7 +140,7 @@ class _BaseSVDModel:
         from nums_tpu.core.array.application import ooc_put
         from nums_tpu.core.ops import streaming
 
-        backend = _instance().backend
+        backend = X.backend
         d = X.shape[1]
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
         upd = streaming.gram_and_sum_update()

@@ -363,7 +363,7 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
     d = X_disk.shape[1]
     import numpy as np
 
-    backend = X_disk._fs.backend
+    backend = X_disk.backend
     # jnp round-trip resolves device coercion (e.g. f64→f32 on TPU).
     dtype = jnp.asarray(np.zeros(0, dtype or X_disk.dtype)).dtype
     y_at = _ooc_y_getter(X_disk, y)

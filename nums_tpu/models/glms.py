@@ -250,7 +250,7 @@ class GLM:
         upd = streaming.normal_eq_aug_update()
         G = jnp.zeros((d + 1, d + 1), dtype)
         q = jnp.zeros((d + 1,), dtype)
-        backend = self._app.backend
+        backend = X.backend
         for start, panel in X.iter_row_panels():
             p, nv = ooc_put(backend, panel)
             yp, _ = ooc_put(backend, y_at(start, panel.shape[0]))
