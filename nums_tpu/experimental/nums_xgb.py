@@ -174,7 +174,18 @@ def train(params: dict, data, *args, evals=(), **kwargs):
         rank, booster, err = results.get()
         if err is not None:
             # Don't wait_for the tracker: with a dead rank it would
-            # block as long as the stuck ranks do.
+            # block as long as the stuck ranks do. DO tear the tracker
+            # down (best-effort) so the surviving ranks blocked in the
+            # allreduce fail fast instead of lingering for the life of
+            # the process and racing a later train() on the same ports.
+            for stop in ("free", "stop", "close"):
+                try:
+                    getattr(tracker, stop)()
+                    break
+                except AttributeError:
+                    continue
+                except Exception:
+                    break
             raise RuntimeError(
                 f"collective worker rank {rank} failed"
             ) from err

@@ -67,8 +67,11 @@ def train_test_split(*arrays, test_size=None, train_size=None,
         for a in arrays:
             out.extend((a[idx_train], a[idx_test]))
     else:
+        # sklearn's non-shuffled split: test rows follow the train rows
+        # immediately (a gap is left at the END when the sizes don't
+        # span n), not taken from the tail.
         for a in arrays:
-            out.extend((a[:n_train], a[n - n_test:]))
+            out.extend((a[:n_train], a[n_train:n_train + n_test]))
     return tuple(out)
 
 

@@ -45,6 +45,12 @@ def test_train_test_split_unshuffled_and_sizes(nps_app_inst):
         bx, shuffle=False, train_size=0.6
     )
     assert tr.shape[0] == 12 and te.shape[0] == 8
+    # Gap case (train+test < n): sklearn takes the test rows immediately
+    # after the train rows, leaving the gap at the END.
+    tr, te = model_selection.train_test_split(
+        bx, shuffle=False, train_size=8, test_size=5
+    )
+    assert np.allclose(tr.get(), x[:8]) and np.allclose(te.get(), x[8:13])
 
 
 def test_kfold_covers_everything(nps_app_inst):
