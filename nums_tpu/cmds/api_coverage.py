@@ -30,14 +30,17 @@ IGNORE = {
 # output shapes or CPU-only algorithms) — the analogue of the reference's
 # curated "fallback" list (api_coverage.py:115-196 there).
 HOST_FALLBACK = {
-    "unique", "argwhere", "flatnonzero", "nonzero", "where", "compress",
-    "extract", "insert", "intersect1d", "setdiff1d", "setxor1d", "union1d",
-    "unique_all", "unique_counts", "unique_inverse", "unique_values",
-    "trim_zeros", "sort_complex", "poly", "roots", "real_if_close",
-    "eig", "eigvals", "bytes", "multinomial", "hypergeometric",
+    # NOT in this list (device-resolved via the capacity+slice idiom,
+    # ops/masking.py — one scalar host sync, O(result) transfer, data
+    # never round-trips the host): where, nonzero, argwhere,
+    # flatnonzero, unique, unique_all/_counts/_inverse/_values,
+    # intersect1d, setdiff1d, setxor1d, union1d, compress, extract,
+    # trim_zeros, bincount, hypergeometric.
+    "insert", "sort_complex", "poly", "roots", "real_if_close",
+    "eig", "eigvals", "bytes", "multinomial",
     "tri", "tril_indices", "triu_indices",
     "diag_indices", "indices", "hamming", "hanning", "blackman",
-    "bartlett", "kaiser", "bincount",
+    "bartlett", "kaiser",
     # CPU-only domains (no TPU representation): datetime64 calendars,
     # np.matrix, nditer machinery, binary/text file parsing.
     "asmatrix", "busday_count", "busday_offset", "is_busday",

@@ -851,12 +851,18 @@ class BlockArray:
                 self._store(jnp.where(mask, v, self.data))
             else:
                 # Packed-vector form (v has one element per True): the
-                # index set is data-dependent — one host sync.
-                mask_np = (
-                    item.get() if isinstance(item, BlockArray)
-                    else np.asarray(item)
-                )
-                idx = tuple(jnp.asarray(i) for i in np.where(mask_np))
+                # index set is data-dependent. Device-held masks resolve
+                # via the capacity idiom — ONE scalar sync (the
+                # true-count), the mask never crosses the host boundary
+                # (mirrors the read path in _normalize_subscript).
+                if isinstance(item, BlockArray):
+                    from nums_tpu.core.ops import masking
+
+                    _, idx = masking.device_where(item)
+                else:
+                    idx = tuple(
+                        jnp.asarray(i) for i in np.where(np.asarray(item))
+                    )
                 self._store(self.data.at[idx].set(v))
             return
         key = self._normalize_subscript(item)

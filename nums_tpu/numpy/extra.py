@@ -465,13 +465,45 @@ def diff(a, n=1, axis=-1):
     return _wrapc(a, _call(_jit_kw("diff", n=n, axis=axis), a))
 
 
-def unique(a):
-    """Data-dependent output shape ⇒ one host sync (same tradeoff as
-    ``where``)."""
+def unique(a, return_index=False, return_inverse=False,
+           return_counts=False, axis=None, *, equal_nan=True):
+    """Device-resolved np.unique (capacity idiom, like ``where``): ONE
+    scalar host sync for the distinct count; values/index/counts are
+    built on device and never round-trip the host.
+
+    ``axis`` keyword: row/column uniqueness is a host fallback (rare,
+    structurally different algorithm)."""
     a = _to_ba(a)
-    out = np.unique(a.get())
     app = _instance()
-    return app.array(out, block_shape=out.shape)
+    if axis is not None:
+        outs = np.unique(
+            a.get(), return_index=return_index,
+            return_inverse=return_inverse, return_counts=return_counts,
+            axis=axis,
+        )
+        if not isinstance(outs, tuple):
+            return app.array(outs, block_shape=None)
+        return tuple(app.array(o, block_shape=None) for o in outs)
+    if a.size == 0:
+        outs = np.unique(
+            a.get(), return_index=return_index,
+            return_inverse=return_inverse, return_counts=return_counts,
+        )
+        if not isinstance(outs, tuple):
+            return app.array(outs, block_shape=outs.shape)
+        return tuple(app.array(o, block_shape=o.shape) for o in outs)
+    from nums_tpu.core.ops import masking
+
+    _, outs = masking.device_unique(
+        a, want_index=return_index, want_inverse=return_inverse,
+        want_counts=return_counts, equal_nan=equal_nan,
+    )
+    wrapped = tuple(
+        BlockArray.from_jax(o, block_shape=tuple(o.shape),
+                            backend=a.backend)
+        for o in outs
+    )
+    return wrapped if len(wrapped) > 1 else wrapped[0]
 
 
 # -- statistics ----------------------------------------------------------
@@ -699,13 +731,26 @@ def divmod(x1, x2):  # noqa: A001
     return _wrap(x1, q, shape=q_l), _wrap(x1, r, shape=r_l)
 
 
+def _mask_indices_1d(condition):
+    """1-D True-position indices for a condition of either residence.
+
+    Device-held masks resolve via the capacity idiom (ONE scalar sync,
+    O(result) device-side indices — the mask never crosses the host
+    boundary); host masks use np.where locally (already host data, the
+    index upload is O(result))."""
+    if isinstance(condition, BlockArray):
+        from nums_tpu.core.ops import masking
+
+        flat = condition if condition.ndim == 1 else ravel(condition)
+        _, idx = masking.device_where(flat != 0)
+        return idx[0]
+    return jnp.asarray(np.where(np.ravel(np.asarray(condition)))[0])
+
+
 def compress(condition, a, axis=None):
-    """Data-dependent output shape ⇒ host sync for the mask indices."""
+    """np.compress with device-resolved mask indices (one scalar sync)."""
     a = _to_ba(a)
-    cond = np.asarray(
-        condition.get() if hasattr(condition, "get") else condition
-    ).astype(bool)
-    idx = np.where(cond)[0]
+    idx = _mask_indices_1d(condition)
     if axis is None:
         return ravel(a)[idx]
     sel = tuple(
@@ -715,9 +760,9 @@ def compress(condition, a, axis=None):
 
 
 def extract(condition, arr):
+    """np.extract with device-resolved mask indices (one scalar sync)."""
     arr = _to_ba(arr)
-    cond = _to_ba(condition)
-    return ravel(arr)[np.where(np.ravel(cond.get()))[0]]
+    return ravel(arr)[_mask_indices_1d(condition)]
 
 
 def broadcast_arrays(*args):

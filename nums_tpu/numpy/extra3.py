@@ -2,6 +2,7 @@
 partitioning, block assembly. Host-sync only for data-dependent shapes
 (set ops, unique_*), metadata passthroughs for dtype predicates."""
 
+import builtins
 import functools
 
 import numpy as np
@@ -137,7 +138,8 @@ def array_equiv(a1, a2):
     return _wrapc(a1, _call(_k_array_equiv, a1, a2))
 
 
-# -- set operations (data-dependent shapes ⇒ host sync, like where()) ----
+# -- set operations (device-resolved via the capacity idiom: one scalar
+# -- sync each, values never round-trip the host — see ops/masking) ------
 
 
 def in1d(ar1, ar2):
@@ -147,68 +149,158 @@ def in1d(ar1, ar2):
     return isin(ravel(_to_ba(ar1)), _to_ba(ar2))
 
 
-def _host_setop(np_fn, *arrays):
-    outs = np_fn(*[np.asarray(_to_ba(a).get()) for a in arrays])
-    app = _instance()
-    if isinstance(outs, tuple):
-        return tuple(app.array(o, block_shape=o.shape) for o in outs)
-    return app.array(outs, block_shape=outs.shape)
+def _device_unique_1d(ba, equal_nan=True):
+    """Sorted distinct values of a BlockArray as a 1-D BlockArray
+    (device-resolved; empty inputs short-circuit on host)."""
+    from nums_tpu.core.array.blockarray import BlockArray
+    from nums_tpu.core.ops import masking
+
+    ba = _to_ba(ba)
+    if ba.size == 0:
+        out = np.unique(ba.get())
+        return _instance().array(out, block_shape=out.shape)
+    _, (vals,) = masking.device_unique(ba, equal_nan=equal_nan)
+    return BlockArray.from_jax(vals, block_shape=tuple(vals.shape),
+                               backend=ba.backend)
+
+
+def _compress_by(ba, mask_ba):
+    """ba[mask] via the device-where capacity idiom (one scalar sync)."""
+    from nums_tpu.numpy.extra import _mask_indices_1d
+
+    return ba[_mask_indices_1d(mask_ba)]
 
 
 def intersect1d(ar1, ar2):
-    return _host_setop(np.intersect1d, ar1, ar2)
+    from nums_tpu.numpy.extra2 import isin
+
+    ua, ub = _device_unique_1d(ar1), _device_unique_1d(ar2)
+    if ua.size == 0 or ub.size == 0:
+        return ua if ua.size == 0 else ub
+    return _compress_by(ua, isin(ua, ub))
 
 
 def setdiff1d(ar1, ar2):
-    return _host_setop(np.setdiff1d, ar1, ar2)
+    from nums_tpu.numpy.extra2 import isin
+
+    ua = _device_unique_1d(ar1)
+    ub = _to_ba(ar2)
+    if ua.size == 0 or ub.size == 0:
+        return ua
+    return _compress_by(ua, ~isin(ua, ub))
 
 
 def setxor1d(ar1, ar2):
-    return _host_setop(np.setxor1d, ar1, ar2)
+    from nums_tpu.numpy.extra import sort
+    from nums_tpu.numpy.extra import append
+
+    da, db = setdiff1d(ar1, ar2), setdiff1d(ar2, ar1)
+    if da.size == 0:
+        return db
+    if db.size == 0:
+        return da
+    return sort(append(da, db))
 
 
 def union1d(ar1, ar2):
-    return _host_setop(np.union1d, ar1, ar2)
+    from nums_tpu.numpy.extra import append, ravel
+
+    a, b = _to_ba(ar1), _to_ba(ar2)
+    if a.size == 0:
+        return _device_unique_1d(b)
+    if b.size == 0:
+        return _device_unique_1d(a)
+    return _device_unique_1d(append(ravel(a), ravel(b)))
+
+
+def _unique_result(x, want_index=False, want_inverse=False,
+                   want_counts=False, np_probe=np.unique_counts):
+    """Shared device path for the np.unique_* namedtuple family."""
+    from nums_tpu.core.array.blockarray import BlockArray
+    from nums_tpu.core.ops import masking
+
+    x = _to_ba(x)
+    result_t = type(np_probe(np.zeros(1)))
+    if x.size == 0:
+        outs = np_probe(np.asarray(x.get()))
+        app = _instance()
+        return result_t(*[
+            app.array(np.asarray(o), block_shape=np.asarray(o).shape)
+            for o in outs
+        ])
+    # The np.unique_* array-API family does NOT collapse NaNs
+    # (equal_nan=False), unlike np.unique's default.
+    _, outs = masking.device_unique(
+        x, want_index=want_index, want_inverse=want_inverse,
+        want_counts=want_counts, equal_nan=False,
+    )
+    return result_t(*[
+        BlockArray.from_jax(o, block_shape=tuple(o.shape),
+                            backend=x.backend)
+        for o in outs
+    ])
 
 
 def unique_values(x):
-    return _host_setop(np.unique, x)
+    return _device_unique_1d(x, equal_nan=False)
 
 
 def unique_counts(x):
-    out = np.unique_counts(np.asarray(_to_ba(x).get()))
-    app = _instance()
-    return type(out)(
-        app.array(out.values, block_shape=out.values.shape),
-        app.array(out.counts, block_shape=out.counts.shape),
+    return _unique_result(
+        x, want_counts=True,
+        np_probe=np.unique_counts,
     )
 
 
 def unique_inverse(x):
-    out = np.unique_inverse(np.asarray(_to_ba(x).get()))
-    app = _instance()
-    return type(out)(
-        app.array(out.values, block_shape=out.values.shape),
-        app.array(out.inverse_indices,
-                  block_shape=out.inverse_indices.shape),
+    return _unique_result(
+        x, want_inverse=True,
+        np_probe=np.unique_inverse,
     )
 
 
 def unique_all(x):
-    out = np.unique_all(np.asarray(_to_ba(x).get()))
-    app = _instance()
-    return type(out)(
-        app.array(out.values, block_shape=out.values.shape),
-        app.array(out.indices, block_shape=out.indices.shape),
-        app.array(out.inverse_indices,
-                  block_shape=out.inverse_indices.shape),
-        app.array(out.counts, block_shape=out.counts.shape),
+    return _unique_result(
+        x, want_index=True, want_inverse=True, want_counts=True,
+        np_probe=np.unique_all,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _k_trim_bounds(logical_shape, transposed):
+    """(first nonzero index, last nonzero index + 1) in one program —
+    a single 2-scalar sync sizes the trim slice."""
+
+    def impl(x):
+        if transposed:
+            x = jnp.transpose(x)
+        v = x[tuple(slice(0, d) for d in logical_shape)]
+        nz = v != 0
+        n = v.shape[0]
+        idx = jnp.arange(n)
+        first = jnp.min(jnp.where(nz, idx, n))
+        last = jnp.max(jnp.where(nz, idx + 1, 0))
+        return jnp.stack([first, last])
+
+    return jax.jit(impl)
+
+
 def trim_zeros(filt, trim="fb"):
-    out = np.trim_zeros(np.asarray(_to_ba(filt).get()), trim)
-    return _instance().array(out, block_shape=out.shape)
+    """Device-resolved (one 2-scalar sync for the trim bounds)."""
+    filt = _to_ba(filt)
+    if filt.size == 0:
+        out = np.trim_zeros(np.asarray(filt.get()), trim)
+        return _instance().array(out, block_shape=out.shape)
+    bounds = np.asarray(
+        _k_trim_bounds(filt._raw_logical_shape(), filt.is_transposed)(
+            filt.raw
+        )
+    )
+    first, last = int(bounds[0]), int(bounds[1])
+    trim = trim.lower()
+    start = first if "f" in trim else 0
+    stop = last if "b" in trim else filt.shape[0]
+    return filt[start:builtins.max(start, stop)]
 
 
 def sort_complex(a):
