@@ -51,9 +51,9 @@ def _trace_pure(f, args, kwargs):
     sync between dependent ops would rebind intermediates to concrete
     buffers, and a gradient through the remaining graph would silently
     treat them as constants."""
-    before = lazy.materialize_count
+    before = lazy.materialize_count()
     out = f(*args, **kwargs)
-    if lazy.materialize_count != before:
+    if lazy.materialize_count() != before:
         raise RuntimeError(
             "a host sync (get/float/bool/print/...) fired INSIDE the "
             "traced function: the synced subexpressions were materialized "

