@@ -715,13 +715,33 @@ class BlockArray:
             bs = array_utils.default_block_shape_for(lshape)
         return self._new(data, bs, shape=lshape)
 
+    @staticmethod
+    def _nn_collective_kernel(backend, mode, a_phys, b_phys):
+        """Ring/SUMMA kernel for an untransposed raw GEMM, or None if the
+        physical (at-rest padded) shapes don't fit the schedule."""
+        from nums_tpu.core.ops import summa
+
+        if mode == "ring" and summa.ring_supported(backend, a_phys, b_phys):
+            return summa.ring_matmul(backend)
+        if mode == "summa" and summa.supported(backend, a_phys, b_phys):
+            return summa.summa_matmul(backend)
+        return None
+
     def _collective_matmul(self, other, static_axes):
         """Hand-scheduled mesh GEMM (NUMS_TPU_COLLECTIVE_MATMUL=ring|summa).
 
         The TPU analogue of the reference's NCCL p2p path: explicit ICI
-        collectives instead of auto-SPMD. Returns None (→ default XLA
-        partitioning) unless enabled AND the operands fit the pattern
-        (2-D, axes=1, untransposed, unpadded, mesh-divisible)."""
+        collectives instead of auto-SPMD. Covers all four transpose
+        patterns: NN rides the ring/SUMMA schedule; TN (the x.T @ x
+        headline) is a local GEMM + one reduce-scatter with the
+        transpose fused into the MXU contraction; NT all-gathers the B
+        panel; TT runs the NN schedule on the swapped raw buffers and
+        marks the result lazily transposed (zero extra data movement).
+        Ragged (pad-and-mask) operands need no masking: at-rest pads are
+        ZERO-filled (ops/padded._pad_out), so pad rows contribute zero
+        to every contraction. Returns None (→ default XLA partitioning)
+        when disabled or the physical shapes don't divide the mesh.
+        """
         from nums_tpu.core import settings as _settings
 
         mode = _settings.collective_matmul
@@ -731,31 +751,46 @@ class BlockArray:
             static_axes != 1
             or self.ndim != 2
             or other.ndim != 2
-            or self._transposed
-            or other._transposed
-            or self.is_padded
-            or other.is_padded
             or self.backend.mesh is None
         ):
             return None
         from nums_tpu.core.ops import summa
 
-        a_shape, b_shape = tuple(self.shape), tuple(other.shape)
-        if mode == "ring" and summa.ring_supported(
-            self.backend, a_shape, b_shape
-        ):
-            kernel = summa.ring_matmul(self.backend)
-        elif mode == "summa" and summa.supported(
-            self.backend, a_shape, b_shape
-        ):
-            kernel = summa.summa_matmul(self.backend)
-        else:
-            return None
-        data = lazy.apply(kernel, self._data, other._data)
+        ta, tb = self._transposed, other._transposed
+        # Physical (possibly padded) buffer shapes; LazyOut knows its
+        # shape without forcing, so this never splits the lazy DAG.
+        a_phys = tuple(self._data.shape)
+        b_phys = tuple(other._data.shape)
+        lshape = (self.shape[0], other.shape[1])
         bs = array_utils.tensordot_block_shape(
             self.block_shape, other.block_shape, 1
         )
-        return self._new(data, bs, shape=(a_shape[0], b_shape[1]))
+        if ta and tb:
+            # C = Aᵀ·Bᵀ = (Braw @ Araw)ᵀ
+            kernel = self._nn_collective_kernel(
+                self.backend, mode, b_phys, a_phys
+            )
+            if kernel is None:
+                return None
+            data = lazy.apply(kernel, other._data, self._data)
+            grid = ArrayGrid(lshape, bs, np.dtype(data.dtype).name)
+            return BlockArray(data, grid, self.backend, transposed=True)
+        if ta:
+            if not summa.tn_supported(self.backend, a_phys, b_phys):
+                return None
+            kernel = summa.tn_matmul(self.backend)
+        elif tb:
+            if not summa.nt_supported(self.backend, a_phys, b_phys):
+                return None
+            kernel = summa.nt_matmul(self.backend)
+        else:
+            kernel = self._nn_collective_kernel(
+                self.backend, mode, a_phys, b_phys
+            )
+            if kernel is None:
+                return None
+        data = lazy.apply(kernel, self._data, other._data)
+        return self._new(data, bs, shape=lshape)
 
     def __matmul__(self, other):
         other = self.check_or_convert_other(other)

@@ -129,6 +129,93 @@ def ring_matmul(mesh_backend, precision=None):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def tn_matmul(mesh_backend, precision=None):
+    """C = Araw.T @ B — the transposed-left (x.T @ x headline) pattern,
+    hand-scheduled: no materialized transpose and ONE collective.
+
+    Araw (K, m) and B (K, n) arrive row-sharded over mesh axis 0 (their
+    at-rest layout); each device computes its full (m, n) partial
+    product on the MXU, then a single ``psum_scatter`` (reduce-scatter)
+    over the row axis both sums the K-partials and leaves C row-sharded
+    — a log-depth tree where the reference chains adds sequentially
+    (blockarray.py:464-472 there). Zero-filled at-rest pads on the K
+    axis contribute zero to the sum, so ragged (pad-and-mask) operands
+    are handled with no masking.
+    """
+    mesh = mesh_backend.mesh
+    ax0 = mesh_backend.device_grid.axis_names[0]
+
+    def local(a_blk, b_blk):
+        partial = jnp.matmul(
+            jnp.transpose(a_blk), b_blk, precision=precision
+        )  # (m, n) — K-partial for this shard's rows
+        return jax.lax.psum_scatter(
+            partial, ax0, scatter_dimension=0, tiled=True
+        )
+
+    fn = _shard_map(
+        local, mesh,
+        in_specs=(P(ax0, None), P(ax0, None)),
+        out_specs=P(ax0, None),
+    )
+    return jax.jit(fn)
+
+
+def tn_supported(mesh_backend, a_raw_shape, b_raw_shape) -> bool:
+    """Araw (K, m), B (K, n), both row-sharded; C (m, n) row-sharded.
+    Shapes are PHYSICAL (at-rest padded) extents."""
+    if mesh_backend.mesh is None:
+        return False
+    if len(a_raw_shape) != 2 or len(b_raw_shape) != 2:
+        return False
+    p = mesh_backend.device_grid.mesh_shape[0]
+    k, m = a_raw_shape
+    k2, _ = b_raw_shape
+    return k == k2 and p > 1 and k % p == 0 and m % p == 0
+
+
+@functools.lru_cache(maxsize=None)
+def nt_matmul(mesh_backend, precision=None):
+    """C = A @ Braw.T — transposed-right pattern, hand-scheduled.
+
+    A (m, K) row-sharded; Braw (n, K) row-sharded. The B panel is
+    all-gathered over ICI (its n axis is the sharded one, so the gather
+    is the only collective) and contracted against the local A rows
+    with the transpose fused into the GEMM — no materialized transpose,
+    C comes out row-sharded with no further communication.
+    """
+    mesh = mesh_backend.mesh
+    ax0 = mesh_backend.device_grid.axis_names[0]
+
+    def local(a_blk, b_blk):
+        b_full = jax.lax.all_gather(
+            b_blk, ax0, axis=0, tiled=True
+        )  # (n, K)
+        return jnp.matmul(
+            a_blk, jnp.transpose(b_full), precision=precision
+        )
+
+    fn = _shard_map(
+        local, mesh,
+        in_specs=(P(ax0, None), P(ax0, None)),
+        out_specs=P(ax0, None),
+    )
+    return jax.jit(fn)
+
+
+def nt_supported(mesh_backend, a_shape, b_raw_shape) -> bool:
+    """A (m, K), Braw (n, K), physical extents, row-sharded."""
+    if mesh_backend.mesh is None:
+        return False
+    if len(a_shape) != 2 or len(b_raw_shape) != 2:
+        return False
+    p = mesh_backend.device_grid.mesh_shape[0]
+    m, k = a_shape
+    n, k2 = b_raw_shape
+    return k == k2 and p > 1 and m % p == 0 and n % p == 0
+
+
 def ring_supported(mesh_backend, a_shape, b_shape) -> bool:
     if mesh_backend.mesh is None:
         return False

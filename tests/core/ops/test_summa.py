@@ -111,13 +111,95 @@ def test_collective_matmul_wired_into_tensordot(mode, monkeypatch):
         ba = app.array(a, block_shape=(m // ms[0], k))
         bb = app.array(b, block_shape=(k // ms[0], n))
         assert np.allclose((ba @ bb).get(), a @ b)
-        # fallback: transposed operand takes the default path
+        # Transposed-left (TN, the x.T@x pattern): hand-scheduled
+        # local-GEMM + reduce-scatter path, no fallback.
+        from nums_tpu.core.ops import summa
+
+        calls = []
+        orig_tn, orig_nt = summa.tn_matmul, summa.nt_matmul
+        monkeypatch.setattr(
+            summa, "tn_matmul",
+            lambda *a, **kw: calls.append("tn") or orig_tn(*a, **kw),
+        )
+        monkeypatch.setattr(
+            summa, "nt_matmul",
+            lambda *a, **kw: calls.append("nt") or orig_nt(*a, **kw),
+        )
         at = rs.randn(k, m)
-        bat = app.array(at, block_shape=(k, m))
+        bat = app.array(at, block_shape=(k // ms[0], m))
         assert np.allclose((bat.T @ bb).get(), at.T @ b)
-        # fallback: ragged shapes
+        assert "tn" in calls
+        # Transposed-right (NT): all-gathered B panel, transpose fused
+        # into the local GEMM.
+        bt = rs.randn(n * ms[0], k)  # n must divide mesh axis 0 for NT
+        bbt = app.array(bt, block_shape=(n, k))
+        assert np.allclose((ba @ bbt.T).get(), a @ bt.T)
+        assert "nt" in calls
+        # TT: NN schedule on the swapped raws, result lazily transposed.
+        tt = (bat.T @ bbt.T)
+        assert np.allclose(tt.get(), at.T @ bt.T)
+        # Ragged shapes ride the collective path too: at-rest pads are
+        # zero-filled, contributing zero to every contraction.
         ar = rs.randn(m + 1, k)
-        bar = app.array(ar, block_shape=(m // ms[0], k))
+        bar = app.array(ar, block_shape=((m + 1 + ms[0] - 1) // ms[0], k))
         assert np.allclose((bar @ bb).get(), ar @ b)
     finally:
         application_manager.destroy()
+
+
+def test_collective_microbench_harness(tmp_path, monkeypatch):
+    """The ring-vs-auto microbench harness (scripts/benchmark_collective)
+    runs end to end on the virtual mesh and records every schedule's
+    column — the scaffold the real-ICI tuning round starts from."""
+    import csv
+    import sys
+
+    from nums_tpu.core import settings
+    from nums_tpu.core import application_manager
+
+    monkeypatch.setattr(settings, "backend_name", "mesh")
+    application_manager.destroy()
+    try:
+        sys.path.insert(0, ".")
+        from scripts.benchmark_collective import main
+
+        out = tmp_path / "collective.csv"
+        assert main(["--sizes", "64,96", "--reps", "1",
+                     "--out", str(out)]) == 0
+        with open(out) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 2
+        for row in rows:
+            assert float(row["auto_s"]) > 0
+            assert float(row["ring_s"]) > 0
+            assert float(row["tn_s"]) > 0
+    finally:
+        application_manager.destroy()
+
+
+def test_tn_nt_kernels_match_numpy(mesh_backend):
+    """Direct kernel-level oracle for the transposed-operand schedules."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nums_tpu.core.ops import summa
+
+    rs = np.random.RandomState(5)
+    p = mesh_backend.device_grid.mesh_shape[0]
+    mesh = mesh_backend.mesh
+    # TN: Araw (K, m), B (K, n) -> Araw.T @ B
+    a_raw = rs.randn(8 * p, 4 * p)
+    b = rs.randn(8 * p, 6)
+    assert summa.tn_supported(mesh_backend, a_raw.shape, b.shape)
+    aj = jax.device_put(a_raw, NamedSharding(mesh, P("m0", None)))
+    bj = jax.device_put(b, NamedSharding(mesh, P("m0", None)))
+    c = summa.tn_matmul(mesh_backend)(aj, bj)
+    assert np.allclose(np.asarray(c), a_raw.T @ b)
+    # NT: A (m, K), Braw (n, K) -> A @ Braw.T
+    a2 = rs.randn(4 * p, 7)
+    b_raw = rs.randn(3 * p, 7)
+    assert summa.nt_supported(mesh_backend, a2.shape, b_raw.shape)
+    aj2 = jax.device_put(a2, NamedSharding(mesh, P("m0", None)))
+    bj2 = jax.device_put(b_raw, NamedSharding(mesh, P("m0", None)))
+    c2 = summa.nt_matmul(mesh_backend)(aj2, bj2)
+    assert np.allclose(np.asarray(c2), a2 @ b_raw.T)
