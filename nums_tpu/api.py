@@ -106,6 +106,12 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
             out, app.fs, _rechunk(panels(), block_rows), (n, d),
             out_dtype, block_rows,
         )
+    from nums_tpu.core import multiprocess as _mp
+
+    if _mp.is_multiprocess():
+        return _read_parquet_multiprocess(
+            pf, columns, dtype, block_rows
+        )
     from nums_tpu.experimental.nums_modin import _from_row_parts
 
     parts = list(_parquet_row_groups(pf, columns, dtype))
@@ -113,6 +119,62 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
         (block_rows, parts[0].shape[1]) if block_rows is not None else None
     )
     return _from_row_parts(parts, dtype=dtype, block_shape=block_shape)
+
+
+def _read_parquet_multiprocess(pf, columns, dtype, block_rows):
+    """Multi-controller Parquet ingestion (COLLECTIVE; shared FS): each
+    process decodes ONLY the row groups overlapping its addressable
+    shards (group boundaries come from the file metadata, so no group
+    is decoded twice and none is decoded by a process that doesn't
+    need it). Group 0 is decoded everywhere to fix width/dtype —
+    schema-based inference breaks on pandas index columns."""
+    import jax
+    import numpy as np
+
+    from nums_tpu.core.array.blockarray import BlockArray
+    from nums_tpu.core.grid import ArrayGrid
+
+    app = _instance()
+    backend = app.backend
+    n = pf.metadata.num_rows
+    group_rows = [
+        pf.metadata.row_group(i).num_rows for i in range(pf.num_row_groups)
+    ]
+    starts = np.concatenate([[0], np.cumsum(group_rows)])
+
+    def decode(i):
+        arr = pf.read_row_group(i, columns=columns).to_pandas().to_numpy()
+        return arr.astype(dtype) if dtype is not None else arr
+
+    first = decode(0)
+    d = first.shape[1]
+    out_dtype = np.dtype(dtype) if dtype is not None else first.dtype
+    rows_per_block = block_rows or max(1, n // max(1, backend.num_devices))
+    grid = ArrayGrid((n, d), (min(rows_per_block, n), d), out_dtype.name)
+    sharding = backend.sharding_for_grid(grid)
+    pshape = backend.physical_shape(grid.shape, grid.grid_shape)
+
+    def load_region(index):
+        r, c = index[0], index[1]
+        r0, r1 = r.start or 0, r.stop if r.stop is not None else pshape[0]
+        c0, c1 = c.start or 0, c.stop if c.stop is not None else pshape[1]
+        out = np.zeros((r1 - r0, c1 - c0), dtype=out_dtype)
+        rr1, cc1 = min(r1, n), min(c1, d)
+        g0 = int(np.searchsorted(starts, r0, side="right")) - 1
+        for g in range(max(0, g0), len(group_rows)):
+            if starts[g] >= rr1:
+                break
+            arr = first if g == 0 else decode(g)
+            lo, hi = max(r0, int(starts[g])), min(rr1, int(starts[g + 1]))
+            if lo >= hi:
+                continue
+            out[lo - r0:hi - r0, : cc1 - c0] = arr[
+                lo - starts[g]:hi - starts[g], c0:cc1
+            ].astype(out_dtype, copy=False)
+        return out
+
+    data = jax.make_array_from_callback(pshape, sharding, load_region)
+    return BlockArray(data, grid, backend)
 
 
 def write_parquet(ba, filename: str, column_names=None,

@@ -34,8 +34,26 @@ def set_instance(app: ArrayApplication):
 
 def create() -> ArrayApplication:
     configure_logging()
+    from nums_tpu.core import multiprocess
+
+    # Multi-host: connect to the jax.distributed coordinator when the
+    # NUMS_TPU_COORDINATOR env triple is set (idempotent; a user call to
+    # jax.distributed.initialize() before init() is detected the same
+    # way). MUST run before configure_x64 — that probes
+    # jax.default_backend(), which initializes XLA and would lock the
+    # process out of joining the distributed runtime. The reference's
+    # analogue is RaySystem.init's cluster join (systems.py:156-162).
+    multiprocess.initialize()
     settings.configure_x64()
-    backend = make_backend(settings.backend_name)
+    backend_name = settings.backend_name
+    if multiprocess.is_multiprocess() and backend_name != "mesh":
+        logging.getLogger(__name__).warning(
+            "multi-process jax runtime detected: forcing the mesh "
+            "backend (backend %r cannot address remote shards)",
+            backend_name,
+        )
+        backend_name = "mesh"
+    backend = make_backend(backend_name)
     from nums_tpu.core.io.filesystem import FileSystem
 
     return ArrayApplication(backend, FileSystem(backend))

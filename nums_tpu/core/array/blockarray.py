@@ -74,12 +74,13 @@ class Block:
         if parent.is_transposed:
             # Slice the RAW buffer (reversed coords) and transpose the
             # small block on host — never materializes the full transpose.
-            raw_block = jax.device_get(parent.raw[tuple(reversed(sl))])
+            raw_block = parent.backend.get(parent.raw[tuple(reversed(sl))])
             return np.asarray(raw_block).transpose()
         # Block rects lie within the logical extent, so slicing the raw
         # (possibly padded) buffer directly is always valid and avoids
-        # materializing the unpadded array.
-        return np.asarray(jax.device_get(parent.raw[sl]))
+        # materializing the unpadded array. backend.get handles the
+        # multi-controller case (collective gather of remote shards).
+        return np.asarray(parent.backend.get(parent.raw[sl]))
 
 
 class BlockArray:
@@ -334,7 +335,9 @@ class BlockArray:
     # ------------------------------------------------------------------
 
     def get(self) -> np.ndarray:
-        arr = np.asarray(jax.device_get(self.raw))
+        # backend.get is multi-controller-aware: on >1 process it is a
+        # COLLECTIVE (all processes call, all receive the global value).
+        arr = np.asarray(self.backend.get(self.raw))
         raw_logical = self._raw_logical_shape()
         if arr.shape != raw_logical:
             # Strip at-rest padding (host-side view, no copy).

@@ -69,9 +69,27 @@ class Backend:
                 )
         if sharding is None:
             return jax.device_put(array)
+        from nums_tpu.core import multiprocess
+
+        if multiprocess.is_multiprocess():
+            # Multi-controller: jax.device_put can't target other hosts'
+            # devices; each process materializes only its addressable
+            # shards from the (process-local) host value.
+            return jax.make_array_from_callback(
+                tuple(array.shape), sharding, lambda idx: array[idx]
+            )
         return jax.device_put(array, sharding)
 
     def get(self, jax_array):
+        from nums_tpu.core import multiprocess
+
+        if multiprocess.is_multiprocess() and not getattr(
+            jax_array, "is_fully_addressable", True
+        ):
+            # COLLECTIVE under multi-controller SPMD (every process
+            # calls get in program order and receives the full value) —
+            # the role of the reference's driver-side ray.get.
+            return multiprocess.allgather_to_host(jax_array)
         return np.asarray(jax.device_get(jax_array))
 
     @property

@@ -230,6 +230,10 @@ class FileSystem:
         """
         if replicas is None:
             replicas = settings.checkpoint_replicas
+        from nums_tpu.core import multiprocess as _mp
+
+        if _mp.is_multiprocess():
+            return self._write_fs_multiprocess(ba, filename, replicas)
         final_path = _fs_path(filename)
         targets = [final_path] + _replica_paths(final_path, max(1, replicas))
         tmps = [f"{p}.tmp-{os.getpid()}" for p in targets]
@@ -326,6 +330,130 @@ class FileSystem:
             if stale not in targets:
                 shutil.rmtree(stale, ignore_errors=True)
         return np.array(results, dtype=bool)
+
+    def _write_fs_multiprocess(self, ba: BlockArray, filename: str,
+                               replicas: int):
+        """Multi-controller checkpoint write (COLLECTIVE — every process
+        calls; assumes a SHARED filesystem, the standard checkpoint
+        target for multi-host training).
+
+        Each process writes ONLY the blocks its devices hold: the stored
+        block grid is the SHARD grid (one ``.npy`` per distinct shard
+        region, clipped to the logical extent, replicas deduplicated to
+        the lowest-id owner device's process) — zero cross-host data
+        movement on the write path. ``read_fs`` is grid-agnostic
+        (region-callback assembly), so a checkpoint written by P
+        processes restores under ANY process count or mesh, including 1.
+        Per-process CRC sidecars are merged into ``meta.pkl`` by process
+        0 after a barrier; publication is process 0's atomic rename.
+        The reference's multi-node writes went through Ray tasks pinned
+        to block owners (filesystem.py:307-347 there) — same locality
+        goal, no task system.
+        """
+        from nums_tpu.core import multiprocess as _mp
+        from nums_tpu.core.ops import padded as _padded
+
+        backend = self.backend
+        final_path = _fs_path(filename)
+        targets = [final_path] + _replica_paths(final_path, max(1, replicas))
+        tmps = [f"{p}.tmp-mp" for p in targets]
+        tag = filename.replace(os.sep, "_")
+
+        # Canonical at-rest layout: materialize a lazy transpose and
+        # re-pad (jit programs — executed by every process, SPMD).
+        ba.touch()
+        raw = ba.raw
+        logical = tuple(ba.grid.shape)
+        if ba.is_transposed or tuple(raw.shape) != backend.physical_shape(
+            logical, ba.grid.grid_shape
+        ):
+            d = ba.data  # logical layout & shape
+            pshape = backend.physical_shape(logical, ba.grid.grid_shape)
+            raw = (
+                _padded.repad(d, pshape, backend)
+                if tuple(d.shape) != pshape else d
+            )
+        regions = _mp.owned_regions(raw)
+
+        # Stored block grid = the SHARD grid, clipped to the logical
+        # shape (trailing all-pad shards drop). Shard extents are
+        # uniform for NamedSharding and derived from the sharding
+        # itself, so block filenames agree across processes even for a
+        # process that owns no region.
+        pshape = tuple(raw.shape)
+        shard_shape = raw.sharding.shard_shape(pshape)
+        block_shape = tuple(
+            min(s, d) if d else s for s, d in zip(shard_shape, logical)
+        )
+        grid = ArrayGrid(
+            logical, block_shape if logical else (), str(ba.dtype)
+        )
+
+        if _mp.process_index() == 0:
+            for t in tmps:
+                if os.path.isdir(t):
+                    shutil.rmtree(t)
+                os.makedirs(t, exist_ok=True)
+        _mp.barrier(f"write_fs:prepare:{tag}")
+
+        checksums = {}
+        results = []
+        for index, data in regions:
+            starts = [(s.start or 0) for s in index]
+            if any(st >= dim for st, dim in zip(starts, logical)):
+                continue  # shard entirely in the pad region
+            entry = tuple(
+                st // bs for st, bs in zip(starts, grid.block_shape)
+            ) if logical else ()
+            rect = grid.get_slice_tuples(entry)
+            clip = tuple(
+                slice(0, r1 - r0) for r0, r1 in rect
+            )
+            block = np.ascontiguousarray(data[clip])
+            fname = _block_fname(entry)
+            checksums[fname] = _block_crc(block)
+            for t in tmps:
+                np.save(os.path.join(t, fname), block)
+            results.append(True)
+        # CRC sidecar per process; merged into meta.pkl by process 0.
+        side = f"checksums.{_mp.process_index()}.pkl"
+        for t in tmps:
+            with open(os.path.join(t, side), "wb") as f:
+                f.write(pickle.dumps(checksums))
+        _mp.barrier(f"write_fs:blocks:{tag}")
+
+        if _mp.process_index() == 0:
+            merged = {}
+            for entry in sorted(os.listdir(tmps[0])):
+                if entry.startswith("checksums.") and entry.endswith(".pkl"):
+                    with open(os.path.join(tmps[0], entry), "rb") as f:
+                        merged.update(pickle.load(f))
+            meta = {"grid": grid.to_meta(), "checksums": merged}
+            for t in tmps:
+                for entry in list(os.listdir(t)):
+                    if entry.startswith("checksums."):
+                        os.remove(os.path.join(t, entry))
+                with open(os.path.join(t, "meta.pkl"), "wb") as f:
+                    f.write(pickle.dumps(meta))
+                    f.flush()
+                    if settings.checkpoint_fsync:
+                        os.fsync(f.fileno())
+                _fsync_tree(t)
+            for t, p in list(zip(tmps, targets))[::-1]:
+                if os.path.isdir(p):
+                    trash = f"{p}.old-{os.getpid()}"
+                    shutil.rmtree(trash, ignore_errors=True)
+                    os.rename(p, trash)
+                    os.rename(t, p)
+                    shutil.rmtree(trash, ignore_errors=True)
+                else:
+                    os.rename(t, p)
+            _cleanup_orphans(final_path)
+            for stale in _existing_replicas(final_path):
+                if stale not in targets:
+                    shutil.rmtree(stale, ignore_errors=True)
+        _mp.barrier(f"write_fs:publish:{tag}")
+        return np.array(results or [True], dtype=bool)
 
     def read_meta_fs(self, filename: str) -> dict:
         path = _fs_path(filename)
@@ -447,6 +575,18 @@ class FileSystem:
 
     def delete_fs(self, filename: str):
         path = _fs_path(filename)
+        from nums_tpu.core import multiprocess as _mp
+
+        if _mp.is_multiprocess():
+            # Collective: one process unlinks (racing rmtrees across
+            # hosts on a shared FS would EIO each other); all wait.
+            exists = os.path.isdir(path)
+            if _mp.process_index() == 0:
+                _cleanup_orphans(path, include_replicas=True)
+                if exists:
+                    shutil.rmtree(path)
+            _mp.barrier(f"delete_fs:{filename.replace(os.sep, '_')}")
+            return np.array([exists], dtype=bool)
         # Replicas AND publish orphans (any scheme) go too — else a later
         # exists_fs/read would resurrect the deleted checkpoint.
         _cleanup_orphans(path, include_replicas=True)
@@ -653,10 +793,122 @@ class FileSystem:
             (offsets[i], offsets[i + 1]) for i in range(len(offsets) - 1)
         ]
 
+    def _read_csv_multiprocess(
+        self, filename, dtype, delimiter, has_header
+    ) -> BlockArray:
+        """Multi-controller CSV ingestion (COLLECTIVE; shared FS).
+
+        Phase 1 splits the file into newline-aligned coarse ranges and
+        counts lines round-robin across processes (one small host
+        all-gather merges the counts). Phase 2 builds the global grid
+        and materializes each device shard by parsing ONLY the byte
+        span of that shard's rows — each process reads O(its shards)
+        bytes, the multi-host analogue of the reference's one-Ray-task-
+        per-byte-range ingestion (filesystem.py:402-439 there).
+        Assumes well-formed CSV (every line one data row).
+        """
+        import jax
+        from nums_tpu.core import multiprocess as _mp
+        from nums_tpu.core.io import _native
+        from jax.experimental import multihost_utils
+
+        nproc, pidx = _mp.process_count(), _mp.process_index()
+        size = os.path.getsize(filename)
+        ranges = self._byte_ranges(filename, max(16, 4 * nproc))
+        counts = np.zeros(len(ranges), np.int64)
+        with open(filename, "rb") as f:
+            for i in range(pidx, len(ranges), nproc):
+                start, stop = ranges[i]
+                f.seek(start)
+                counts[i] = f.read(stop - start).count(b"\n")
+            last_byte = b"\n"
+            if size:
+                f.seek(size - 1)
+                last_byte = f.read(1)
+        if last_byte != b"\n" and (len(ranges) - 1) % nproc == pidx:
+            counts[-1] += 1  # unterminated final line
+        counts = np.asarray(
+            multihost_utils.process_allgather(counts)
+        ).reshape(nproc, -1).sum(axis=0)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        header = 1 if has_header else 0
+        total_rows = int(cum[-1]) - header
+        assert total_rows > 0, f"{filename}: no data rows"
+        with open(filename, "rb") as f:
+            line = f.readline()
+            if has_header:
+                line = f.readline()
+        ncols = len(line.decode().strip().split(delimiter))
+        out_dtype = np.dtype(dtype)
+
+        block_shape = (
+            max(1, total_rows // max(1, self.backend.num_devices)), ncols
+        )
+        grid = ArrayGrid((total_rows, ncols), block_shape, out_dtype.name)
+        sharding = self.backend.sharding_for_grid(grid)
+        pshape = self.backend.physical_shape(grid.shape, grid.grid_shape)
+
+        def line_offset(f, line_idx):
+            """Byte offset of physical line ``line_idx`` (coarse range
+            from the counts table, then an in-range newline scan)."""
+            if line_idx >= cum[-1]:
+                return size
+            i = int(np.searchsorted(cum, line_idx, side="right")) - 1
+            start, stop = ranges[i]
+            need = int(line_idx - cum[i])
+            if need == 0:
+                return start
+            f.seek(start)
+            raw = f.read(stop - start)
+            ofs = -1
+            for _ in range(need):
+                ofs = raw.find(b"\n", ofs + 1)
+                if ofs < 0:
+                    return stop
+            return start + ofs + 1
+
+        def load_region(index):
+            r = index[0]
+            c = index[1] if len(index) > 1 else slice(0, ncols)
+            r0 = r.start or 0
+            r1 = r.stop if r.stop is not None else pshape[0]
+            c0 = c.start or 0
+            c1 = c.stop if c.stop is not None else pshape[1]
+            out = np.zeros((r1 - r0, c1 - c0), dtype=out_dtype)
+            rr1 = min(r1, total_rows)
+            cc1 = min(c1, ncols)
+            if r0 < rr1 and c0 < cc1:
+                with open(filename, "rb") as f:
+                    b0 = line_offset(f, header + r0)
+                    b1 = line_offset(f, header + rr1)
+                    f.seek(b0)
+                    raw = f.read(b1 - b0)
+                arr, ok = _native.parse_bytes(raw, delimiter)
+                if not ok:
+                    arr = np.loadtxt(
+                        StringIO(raw.decode()), dtype=out_dtype,
+                        delimiter=delimiter, ndmin=2,
+                    )
+                arr = arr.astype(out_dtype, copy=False)
+                assert arr.shape == (rr1 - r0, ncols), (
+                    arr.shape, (rr1 - r0, ncols), "malformed CSV region"
+                )
+                out[: rr1 - r0, : cc1 - c0] = arr[:, c0:cc1]
+            return out
+
+        data = jax.make_array_from_callback(pshape, sharding, load_region)
+        return BlockArray(data, grid, self.backend)
+
     def read_csv(
         self, filename, dtype=float, delimiter=",", has_header=False,
         num_workers=None,
     ) -> BlockArray:
+        from nums_tpu.core import multiprocess as _mp
+
+        if _mp.is_multiprocess():
+            return self._read_csv_multiprocess(
+                filename, dtype, delimiter, has_header
+            )
         if num_workers is None:
             num_workers = max(self.backend.num_devices, os.cpu_count() or 1)
         ranges = self._byte_ranges(filename, num_workers)
