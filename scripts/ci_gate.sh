@@ -21,9 +21,14 @@ python -m nums_tpu.cmds.api_coverage \
 echo "== driver entry points =="
 python __graft_entry__.py
 
+echo "== perf floors (committed artifacts) =="
+python scripts/check_perf.py
+
 if [[ "${NUMS_TPU_HW_TESTS:-0}" != "0" ]]; then
   echo "== hardware tier (real TPU) =="
   python -m pytest tests/test_tpu_hardware.py -q
+  echo "== perf floors (live bench on device) =="
+  python scripts/check_perf.py --live
 fi
 
 echo "CI GATE: ALL GREEN"

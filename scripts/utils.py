@@ -24,13 +24,14 @@ def benchmark_func(func, warmup=1, repeat=5):
     return float(arr.min()), float(arr.mean()), float(arr.std())
 
 
-def benchmark_chained(enqueue, sync, warmup=1, repeat=5, chain=5):
+def benchmark_chained(enqueue, sync, warmup=1, repeat=5, chain=5,
+                      with_median=False):
     """Amortized-sync timing: enqueue `chain` async executions, sync once.
 
     The host↔device scalar fetch costs ~20-25ms on tunneled transports;
     per-iteration syncing would swamp small workloads. Comparable to the
     reference baselines, which synchronized on-device.
-    Returns (min_s, mean_s, std_s) per execution.
+    Returns (min_s, mean_s, std_s[, median_s]) per execution.
 
     NOTE: with lazy batching on (the default), `enqueue` must force
     dispatch (e.g. return BlockArray.raw) — a bare BlockArray op only
@@ -47,7 +48,10 @@ def benchmark_chained(enqueue, sync, warmup=1, repeat=5, chain=5):
         sync(out)
         times.append((time.perf_counter() - t0) / chain)
     arr = np.array(times)
-    return float(arr.min()), float(arr.mean()), float(arr.std())
+    out = (float(arr.min()), float(arr.mean()), float(arr.std()))
+    if with_median:
+        out += (float(np.median(arr)),)
+    return out
 
 
 def append_csv(path, row: dict):
