@@ -36,11 +36,10 @@ HOST_FALLBACK = {
     # flatnonzero, unique, unique_all/_counts/_inverse/_values,
     # intersect1d, setdiff1d, setxor1d, union1d, compress, extract,
     # trim_zeros, bincount, hypergeometric.
-    "insert", "sort_complex", "poly", "roots", "real_if_close",
+    # (round 3 moved tri/index-builders/windows/sort_complex/poly/
+    # real_if_close/insert(scalar-slice) onto the device as well.)
+    "roots",  # polynomial roots need a general eig
     "eig", "eigvals", "bytes", "multinomial",
-    "tri", "tril_indices", "triu_indices",
-    "diag_indices", "indices", "hamming", "hanning", "blackman",
-    "bartlett", "kaiser",
     # CPU-only domains (no TPU representation): datetime64 calendars,
     # np.matrix, nditer machinery, binary/text file parsing.
     "asmatrix", "busday_count", "busday_offset", "is_busday",

@@ -910,9 +910,16 @@ def vander(x, N=None, increasing=False):
     return _wrapc(x, _call(_k_vander(N, increasing), x))
 
 
+@functools.lru_cache(maxsize=None)
+def _k_tri(N, M, k, dtype_name):
+    return jax.jit(lambda: jnp.tri(N, M, k, dtype=np.dtype(dtype_name)))
+
+
 def tri(N, M=None, k=0, dtype=float):
-    arr = np.tri(N, M, k, dtype=dtype)
-    return _instance().array(arr, block_shape=None)
+    """Built ON DEVICE (jnp.tri iota comparison) — no host constant."""
+    data = _k_tri(int(N), None if M is None else int(M), int(k),
+                  np.dtype(dtype).name)()
+    return BlockArray.from_jax(data, backend=_instance().backend)
 
 
 def argwhere(a):

@@ -167,33 +167,54 @@ def ravel_multi_index(multi_index, dims):
     return _wrapc(bas[0], _call(_k_ravel_multi_index(tuple(dims)), *bas))
 
 
-def _index_pair(np_fn, *args, **kwargs):
-    app = _instance()
-    rows, cols = np_fn(*args, **kwargs)
-    return (
-        app.array(rows, block_shape=rows.shape),
-        app.array(cols, block_shape=cols.shape),
+def _wrap_index_arrays(arrays):
+    """Device-built index tuples -> BlockArrays (no host constant)."""
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    backend = _instance().backend
+    return tuple(
+        BlockArray.from_jax(a, backend=backend) for a in arrays
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _k_index_builder(fname, *args):
+    fn = getattr(jnp, fname)
+    return jax.jit(lambda: fn(*args))
+
+
 def tril_indices(n, k=0, m=None):
-    return _index_pair(np.tril_indices, n, k, m)
+    """Built ON DEVICE (jnp iota/nonzero with static shapes)."""
+    return _wrap_index_arrays(
+        _k_index_builder("tril_indices", int(n), int(k),
+                         None if m is None else int(m))()
+    )
 
 
 def triu_indices(n, k=0, m=None):
-    return _index_pair(np.triu_indices, n, k, m)
+    return _wrap_index_arrays(
+        _k_index_builder("triu_indices", int(n), int(k),
+                         None if m is None else int(m))()
+    )
 
 
 def diag_indices(n, ndim=2):
-    app = _instance()
-    out = np.diag_indices(n, ndim)
-    return tuple(app.array(o, block_shape=o.shape) for o in out)
+    return _wrap_index_arrays(
+        _k_index_builder("diag_indices", int(n), int(ndim))()
+    )
 
 
 def indices(dimensions, dtype=None):
-    app = _instance()
-    out = np.indices(dimensions, dtype=dtype or np.int64)
-    return app.array(out, block_shape=out.shape)
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    dt = np.dtype(dtype or np.int64)
+    data = _k_indices(tuple(int(d) for d in dimensions), dt.name)()
+    return BlockArray.from_jax(data, backend=_instance().backend)
+
+
+@functools.lru_cache(maxsize=None)
+def _k_indices(dims, dname):
+    return jax.jit(lambda: jnp.indices(dims).astype(np.dtype(dname)))
 
 
 _k_polyval = jax.jit(lambda pp, xx: jnp.polyval(pp, xx))
@@ -219,14 +240,21 @@ def unwrap(p, axis=-1):
     return _wrapc(p, _call(_jit_kw("unwrap", axis=axis), p), p.block_shape)
 
 
+@functools.lru_cache(maxsize=None)
+def _k_window(fname, M):
+    fn = getattr(jnp, fname)
+    return jax.jit(lambda: fn(M))
+
+
 def _window(fname):
     def fn(M):
-        app = _instance()
-        out = np.asarray(getattr(np, fname)(M))
-        return app.array(out, block_shape=out.shape)
+        from nums_tpu.core.array.blockarray import BlockArray
+
+        data = _k_window(fname, int(M))()
+        return BlockArray.from_jax(data, backend=_instance().backend)
 
     fn.__name__ = fname
-    fn.__doc__ = f"{fname} window (host-computed constants, device-resident)."
+    fn.__doc__ = f"{fname} window, computed ON DEVICE (jnp.{fname})."
     return fn
 
 
@@ -236,10 +264,16 @@ blackman = _window("blackman")
 bartlett = _window("bartlett")
 
 
+@functools.lru_cache(maxsize=None)
+def _k_kaiser(M, beta):
+    return jax.jit(lambda: jnp.kaiser(M, beta))
+
+
 def kaiser(M, beta):
-    app = _instance()
-    out = np.kaiser(M, beta)
-    return app.array(out, block_shape=out.shape)
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    data = _k_kaiser(int(M), float(beta))()
+    return BlockArray.from_jax(data, backend=_instance().backend)
 
 
 @functools.lru_cache(maxsize=None)

@@ -116,13 +116,27 @@ def delete(arr, obj, axis=None):
     return _instance().array(out, block_shape=None)
 
 
+@functools.lru_cache(maxsize=None)
+def _k_insert(obj_key, axis):
+    obj = slice(*obj_key[1]) if obj_key[0] == "s" else obj_key[1]
+    return jax.jit(lambda x, v: jnp.insert(x, obj, v, axis=axis))
+
+
 def insert(arr, obj, values, axis=None):
+    """Device-side for scalar/slice positions (static output shape);
+    array-valued positions are data-dependent -> host."""
     arr = _to_ba(arr)
-    out = np.insert(
-        arr.get(), obj,
-        values.get() if hasattr(values, "get") else values, axis=axis,
-    )
-    return _instance().array(out, block_shape=None)
+    if isinstance(obj, (int, np.integer)):
+        key = ("i", int(obj))
+    elif isinstance(obj, slice):
+        key = ("s", (obj.start, obj.stop, obj.step))
+    else:
+        out = np.insert(
+            arr.get(), obj,
+            values.get() if hasattr(values, "get") else values, axis=axis,
+        )
+        return _instance().array(out, block_shape=None)
+    return _wrapc(arr, _call(_k_insert(key, axis), arr, _to_ba(values)))
 
 
 _k_array_equiv = jax.jit(lambda x, y: jnp.all(x == y))
@@ -304,8 +318,9 @@ def trim_zeros(filt, trim="fb"):
 
 
 def sort_complex(a):
-    out = np.sort_complex(np.asarray(_to_ba(a).get()))
-    return _instance().array(out, block_shape=out.shape)
+    """Device-side (jnp.sort_complex; static output shape)."""
+    a = _to_ba(a)
+    return _wrapc(a, _call(_jit_kw("sort_complex"), a))
 
 
 # -- polynomials ---------------------------------------------------------
@@ -351,8 +366,14 @@ def polyint(p, m=1):
 
 
 def poly(seq_of_zeros):
-    out = np.poly(np.asarray(_to_ba(seq_of_zeros).get()))
-    return _instance().array(out, block_shape=out.shape)
+    """Device-side (jnp.poly: convolution of root factors, static
+    shapes). 2-D square inputs take eigenvalues first — that general
+    eig is host-only, so the 2-D form stays a fallback."""
+    sz = _to_ba(seq_of_zeros)
+    if sz.ndim == 2:
+        out = np.poly(np.asarray(sz.get()))
+        return _instance().array(out, block_shape=out.shape)
+    return _wrapc(sz, _call(_jit_kw("poly"), sz))
 
 
 def roots(p):
@@ -361,6 +382,22 @@ def roots(p):
     return _instance().array(out, block_shape=out.shape)
 
 
+_k_imag_close = jax.jit(
+    lambda x, tol: jnp.all(jnp.abs(jnp.imag(x)) < tol)
+)
+
+
 def real_if_close(a, tol=100):
-    out = np.real_if_close(np.asarray(_to_ba(a).get()), tol=tol)
-    return _instance().array(out, block_shape=out.shape)
+    """Device-resolved: ONE boolean sync decides the output dtype (the
+    dtype is inherently data-dependent); the real-part extraction runs
+    on device."""
+    from nums_tpu.numpy.extra import real
+
+    a = _to_ba(a)
+    if not np.issubdtype(a.dtype, np.complexfloating):
+        return a
+    if tol > 1:
+        tol = float(tol) * np.finfo(np.dtype(a.dtype).char.lower()).eps
+    if bool(_k_imag_close(a.data, tol)):
+        return real(a)
+    return a
