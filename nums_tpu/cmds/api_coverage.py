@@ -39,7 +39,7 @@ HOST_FALLBACK = {
     # (round 3 moved tri/index-builders/windows/sort_complex/poly/
     # real_if_close/insert(scalar-slice) onto the device as well.)
     "roots",  # polynomial roots need a general eig
-    "eig", "eigvals", "bytes", "multinomial",
+    "eig", "eigvals", "bytes",
     # CPU-only domains (no TPU representation): datetime64 calendars,
     # np.matrix, nditer machinery, binary/text file parsing.
     "asmatrix", "busday_count", "busday_offset", "is_busday",

@@ -308,18 +308,27 @@ class NumsRandomState:
         return BlockArray(data, grid, self._backend)
 
     def multinomial(self, n, pvals, shape=None, block_shape=None, dtype=None):
-        # Host-side sampling (counter-derived generator) — small draws.
-        self._counter += 1
-        rng = np.random.default_rng((self._seed, self._counter))
-        out = rng.multinomial(n, np.asarray(pvals),
-                              size=tuple(shape) if shape else None)
-        out = np.atleast_1d(out).astype(
-            np.dtype(array_utils.to_dtype_name(dtype or np.int64))
+        """Device-side (jax.random.multinomial over the counter-derived
+        key): same-seed determinism under any sharding, like every other
+        distribution here."""
+        import jax.numpy as jnp
+
+        pvals = jnp.asarray(np.asarray(pvals, dtype=np.float64))
+        shape = tuple(shape) if shape is not None else ()
+        out_shape = shape + (pvals.shape[-1],)
+        out_dtype = np.dtype(array_utils.to_dtype_name(dtype or np.int64))
+        # jr.multinomial's ``shape`` is the FULL output shape (batch
+        # dims + the category dim, to which p broadcasts).
+        data = jr.multinomial(
+            self._next_key(), float(n), pvals,
+            shape=(shape + tuple(pvals.shape)) if shape else None,
+        ).astype(out_dtype)
+        data = jnp.atleast_1d(data)
+        grid = self._grid(
+            tuple(data.shape), block_shape, out_dtype.name
         )
-        grid = self._grid(out.shape, block_shape, out.dtype.name)
-        return BlockArray(
-            self._backend.device_put(out, grid), grid, self._backend
-        )
+        data = self._backend.device_put(np.asarray(data), grid)
+        return BlockArray(data, grid, self._backend)
 
     def choice(self, a, shape=None, block_shape=None, replace=True, p=None):
         import jax.numpy as jnp

@@ -59,6 +59,21 @@ def test_real_if_close_oracle(nps_app_inst):
     assert nps.real_if_close(nps.array(r)).get().dtype.kind == "f"
 
 
+def test_multinomial_device(nps_app_inst):
+    out = nps.random.multinomial(100, [0.2, 0.3, 0.5])
+    got = out.get()
+    assert got.shape == (3,) and got.sum() == 100
+    out2 = nps.random.multinomial(50, [0.5, 0.5], size=4)
+    got2 = out2.get()
+    assert got2.shape == (4, 2) and (got2.sum(axis=1) == 50).all()
+    # counter-based determinism: same seed, same draws
+    import nums_tpu.numpy.random as nr
+
+    a = nr.RandomState(9).multinomial(30, [0.1, 0.9]).get()
+    b = nr.RandomState(9).multinomial(30, [0.1, 0.9]).get()
+    assert np.array_equal(a, b)
+
+
 def test_insert_oracle(nps_app_inst):
     a = np.arange(12.0).reshape(3, 4)
     ba = nps.array(a)
