@@ -142,6 +142,21 @@ def save_async(ba, name: str, step: int, keep: int = 2,
     re-raises any write error. Saves are ordered (single worker).
     """
     ba.touch()
+    from nums_tpu.core import multiprocess as _mp
+
+    if _mp.is_multiprocess():
+        # Multi-controller write_fs is COLLECTIVE (barriers + an
+        # all-process block fan-out); running it on a per-process
+        # background thread would let collective order diverge across
+        # hosts and deadlock. Degrade to a synchronous save.
+        from concurrent.futures import Future
+
+        f = Future()
+        try:
+            f.set_result(save(ba, name, step, keep, replicas))
+        except BaseException as e:  # noqa: BLE001 - mirror executor
+            f.set_exception(e)
+        return f
     return _executor().submit(save, ba, name, step, keep, replicas)
 
 
