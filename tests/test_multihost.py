@@ -66,6 +66,22 @@ assert np.allclose(
     app.read_fs(os.path.join(outdir, "ckpt_ragged")).get(), host_r
 ), "ragged checkpoint roundtrip"
 
+# 2b. Replicated write + corruption failover across processes: the
+# corrupted primary block belongs to some process's shard; that
+# process must fail over to the replica copy during its region load.
+ckpt2 = os.path.join(outdir, "ckpt_repl")
+app.write_fs(A, ckpt2, replicas=2)
+mp.barrier("pre-corrupt")
+if pid == 0:
+    import glob as _glob
+    victim = sorted(_glob.glob(os.path.join(ckpt2, "block_*.npy")))[3]
+    with open(victim, "r+b") as f:
+        f.seek(16)
+        f.write(b"\xde\xad\xbe\xef" * 8)
+mp.barrier("post-corrupt")
+assert np.allclose(app.read_fs(ckpt2, verify=True).get(), a_np), \
+    "replica failover under multi-process"
+
 # 3. read_csv: byte ranges split across processes.
 csv_path = os.path.join(outdir, "data.csv")
 X_csv = nums_tpu.read_csv(csv_path, has_header=True)
