@@ -83,29 +83,21 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
         assert block_rows > 0, block_rows
     pf = pq.ParquetFile(filename)
     if out is not None:
-        from nums_tpu.core.array.diskarray import DiskArray
+        from nums_tpu.core import multiprocess as _mp
 
-        # Width/dtype come from the DECODED first group (schema-based
-        # inference breaks on pandas index columns and on nullable ints
-        # that decode to float64) — the stream resumes after it, so no
-        # group is decoded twice.
-        n = pf.metadata.num_rows
-        groups = _parquet_row_groups(pf, columns, dtype)
-        first = next(groups)
-        d = first.shape[1]
-        out_dtype = np.dtype(dtype) if dtype is not None else first.dtype
-        if block_rows is None:
-            block_rows = max(1, min(n, first.shape[0]))
-        app = _instance()
-
-        def panels():
-            yield first
-            yield from groups  # continues from row group 1
-
-        return DiskArray.from_panels(
-            out, app.fs, _rechunk(panels(), block_rows), (n, d),
-            out_dtype, block_rows,
-        )
+        if _mp.is_multiprocess():
+            # COLLECTIVE: the DiskArray lands on the shared FS once
+            # (process 0 streams it); every other process opens it
+            # after the barrier — concurrent writers to the same block
+            # files would tear the checkpoint.
+            if _mp.process_index() == 0:
+                da = _read_parquet_ooc(pf, columns, dtype, out,
+                                       block_rows)
+                _mp.barrier(f"read_parquet:out:{out}")
+                return da
+            _mp.barrier(f"read_parquet:out:{out}")
+            return _instance().open_fs(out)
+        return _read_parquet_ooc(pf, columns, dtype, out, block_rows)
     from nums_tpu.core import multiprocess as _mp
 
     if _mp.is_multiprocess():
@@ -119,6 +111,37 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
         (block_rows, parts[0].shape[1]) if block_rows is not None else None
     )
     return _from_row_parts(parts, dtype=dtype, block_shape=block_shape)
+
+
+def _read_parquet_ooc(pf, columns, dtype, out, block_rows):
+    """Stream row groups straight to a DiskArray at ``out``.
+
+    Width/dtype come from the DECODED first group (schema-based
+    inference breaks on pandas index columns and on nullable ints that
+    decode to float64) — the stream resumes after it, so no group is
+    decoded twice.
+    """
+    import numpy as np
+
+    from nums_tpu.core.array.diskarray import DiskArray
+
+    n = pf.metadata.num_rows
+    groups = _parquet_row_groups(pf, columns, dtype)
+    first = next(groups)
+    d = first.shape[1]
+    out_dtype = np.dtype(dtype) if dtype is not None else first.dtype
+    if block_rows is None:
+        block_rows = max(1, min(n, first.shape[0]))
+    app = _instance()
+
+    def panels():
+        yield first
+        yield from groups  # continues from row group 1
+
+    return DiskArray.from_panels(
+        out, app.fs, _rechunk(panels(), block_rows), (n, d),
+        out_dtype, block_rows,
+    )
 
 
 def _read_parquet_multiprocess(pf, columns, dtype, block_rows):
@@ -154,12 +177,7 @@ def _read_parquet_multiprocess(pf, columns, dtype, block_rows):
     sharding = backend.sharding_for_grid(grid)
     pshape = backend.physical_shape(grid.shape, grid.grid_shape)
 
-    def load_region(index):
-        r, c = index[0], index[1]
-        r0, r1 = r.start or 0, r.stop if r.stop is not None else pshape[0]
-        c0, c1 = c.start or 0, c.stop if c.stop is not None else pshape[1]
-        out = np.zeros((r1 - r0, c1 - c0), dtype=out_dtype)
-        rr1, cc1 = min(r1, n), min(c1, d)
+    def fill_rows(r0, rr1, c0, cc1, out):
         g0 = int(np.searchsorted(starts, r0, side="right")) - 1
         for g in range(max(0, g0), len(group_rows)):
             if starts[g] >= rr1:
@@ -171,8 +189,10 @@ def _read_parquet_multiprocess(pf, columns, dtype, block_rows):
             out[lo - r0:hi - r0, : cc1 - c0] = arr[
                 lo - starts[g]:hi - starts[g], c0:cc1
             ].astype(out_dtype, copy=False)
-        return out
 
+    from nums_tpu.core.io.filesystem import row_region_loader
+
+    load_region = row_region_loader(pshape, (n, d), out_dtype, fill_rows)
     data = jax.make_array_from_callback(pshape, sharding, load_region)
     return BlockArray(data, grid, backend)
 

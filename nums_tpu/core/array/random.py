@@ -315,7 +315,6 @@ class NumsRandomState:
 
         pvals = jnp.asarray(np.asarray(pvals, dtype=np.float64))
         shape = tuple(shape) if shape is not None else ()
-        out_shape = shape + (pvals.shape[-1],)
         out_dtype = np.dtype(array_utils.to_dtype_name(dtype or np.int64))
         # jr.multinomial's ``shape`` is the FULL output shape (batch
         # dims + the category dim, to which p broadcasts).

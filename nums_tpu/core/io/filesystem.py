@@ -202,6 +202,30 @@ def _s3_parse(filename: str):
     return bucket, key
 
 
+def row_region_loader(pshape, logical_shape, dtype, fill_rows):
+    """Region callback for ``jax.make_array_from_callback`` over a 2-D
+    row-major source: normalizes the shard index slices, zero-fills the
+    at-rest pad area, clips to the logical extent, and delegates the
+    actual row-span fill to ``fill_rows(r0, rr1, c0, cc1, out)``.
+    Shared by the multiprocess CSV and Parquet readers."""
+    n, d = logical_shape
+
+    def load_region(index):
+        r = index[0]
+        c = index[1] if len(index) > 1 else slice(0, d)
+        r0 = r.start or 0
+        r1 = r.stop if r.stop is not None else pshape[0]
+        c0 = c.start or 0
+        c1 = c.stop if c.stop is not None else pshape[1]
+        out = np.zeros((r1 - r0, c1 - c0), dtype=dtype)
+        rr1, cc1 = min(r1, n), min(c1, d)
+        if r0 < rr1 and c0 < cc1:
+            fill_rows(r0, rr1, c0, cc1, out)
+        return out
+
+    return load_region
+
+
 class FileSystem:
     """Block I/O orchestration (parity: filesystem.py:215-439)."""
 
@@ -579,13 +603,17 @@ class FileSystem:
 
         if _mp.is_multiprocess():
             # Collective: one process unlinks (racing rmtrees across
-            # hosts on a shared FS would EIO each other); all wait.
+            # hosts on a shared FS would EIO each other). Every process
+            # probes BEFORE any deletion (first barrier) so the
+            # returned existed-flag is consistent across processes.
+            tag = filename.replace(os.sep, "_")
             exists = os.path.isdir(path)
+            _mp.barrier(f"delete_fs:probe:{tag}")
             if _mp.process_index() == 0:
                 _cleanup_orphans(path, include_replicas=True)
                 if exists:
                     shutil.rmtree(path)
-            _mp.barrier(f"delete_fs:{filename.replace(os.sep, '_')}")
+            _mp.barrier(f"delete_fs:done:{tag}")
             return np.array([exists], dtype=bool)
         # Replicas AND publish orphans (any scheme) go too — else a later
         # exists_fs/read would resurrect the deleted checkpoint.
@@ -867,35 +895,27 @@ class FileSystem:
                     return stop
             return start + ofs + 1
 
-        def load_region(index):
-            r = index[0]
-            c = index[1] if len(index) > 1 else slice(0, ncols)
-            r0 = r.start or 0
-            r1 = r.stop if r.stop is not None else pshape[0]
-            c0 = c.start or 0
-            c1 = c.stop if c.stop is not None else pshape[1]
-            out = np.zeros((r1 - r0, c1 - c0), dtype=out_dtype)
-            rr1 = min(r1, total_rows)
-            cc1 = min(c1, ncols)
-            if r0 < rr1 and c0 < cc1:
-                with open(filename, "rb") as f:
-                    b0 = line_offset(f, header + r0)
-                    b1 = line_offset(f, header + rr1)
-                    f.seek(b0)
-                    raw = f.read(b1 - b0)
-                arr, ok = _native.parse_bytes(raw, delimiter)
-                if not ok:
-                    arr = np.loadtxt(
-                        StringIO(raw.decode()), dtype=out_dtype,
-                        delimiter=delimiter, ndmin=2,
-                    )
-                arr = arr.astype(out_dtype, copy=False)
-                assert arr.shape == (rr1 - r0, ncols), (
-                    arr.shape, (rr1 - r0, ncols), "malformed CSV region"
+        def fill_rows(r0, rr1, c0, cc1, out):
+            with open(filename, "rb") as f:
+                b0 = line_offset(f, header + r0)
+                b1 = line_offset(f, header + rr1)
+                f.seek(b0)
+                raw = f.read(b1 - b0)
+            arr, ok = _native.parse_bytes(raw, delimiter)
+            if not ok:
+                arr = np.loadtxt(
+                    StringIO(raw.decode()), dtype=out_dtype,
+                    delimiter=delimiter, ndmin=2,
                 )
-                out[: rr1 - r0, : cc1 - c0] = arr[:, c0:cc1]
-            return out
+            arr = arr.astype(out_dtype, copy=False)
+            assert arr.shape == (rr1 - r0, ncols), (
+                arr.shape, (rr1 - r0, ncols), "malformed CSV region"
+            )
+            out[: rr1 - r0, : cc1 - c0] = arr[:, c0:cc1]
 
+        load_region = row_region_loader(
+            pshape, (total_rows, ncols), out_dtype, fill_rows
+        )
         data = jax.make_array_from_callback(pshape, sharding, load_region)
         return BlockArray(data, grid, self.backend)
 

@@ -479,7 +479,7 @@ def unique(a, return_index=False, return_inverse=False,
         outs = np.unique(
             a.get(), return_index=return_index,
             return_inverse=return_inverse, return_counts=return_counts,
-            axis=axis,
+            axis=axis, equal_nan=equal_nan,
         )
         if not isinstance(outs, tuple):
             return app.array(outs, block_shape=None)

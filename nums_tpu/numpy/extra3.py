@@ -365,15 +365,34 @@ def polyint(p, m=1):
     return _wrapc(p, _call(_jit_kw("polyint", m=m), p))
 
 
+_k_conj_paired = jax.jit(
+    lambda r: jnp.all(
+        jnp.sort_complex(r) == jnp.sort_complex(jnp.conj(r))
+    )
+)
+
+
 def poly(seq_of_zeros):
     """Device-side (jnp.poly: convolution of root factors, static
-    shapes). 2-D square inputs take eigenvalues first — that general
-    eig is host-only, so the 2-D form stays a fallback."""
+    shapes). Matches np.poly's realization rule: complex roots that
+    come in conjugate pairs yield REAL coefficients (one boolean sync
+    decides the data-dependent output dtype). 2-D square inputs take
+    eigenvalues first — that general eig is host-only, so the 2-D form
+    stays a fallback."""
+    from nums_tpu.numpy.extra import real
+
     sz = _to_ba(seq_of_zeros)
     if sz.ndim == 2:
         out = np.poly(np.asarray(sz.get()))
         return _instance().array(out, block_shape=out.shape)
-    return _wrapc(sz, _call(_jit_kw("poly"), sz))
+    coeffs = _wrapc(sz, _call(_jit_kw("poly"), sz))
+    if (
+        np.issubdtype(sz.dtype, np.complexfloating)
+        and sz.size
+        and bool(_k_conj_paired(sz.data))
+    ):
+        return real(coeffs)
+    return coeffs
 
 
 def roots(p):

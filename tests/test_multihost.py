@@ -142,7 +142,11 @@ def test_two_process_mesh_e2e(tmp_path):
 
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
-    port = str(19000 + (os.getpid() % 500))
+    import socket
+
+    with socket.socket() as s:  # ephemeral port: no pid-collision flake
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
     env = {
         k: v for k, v in os.environ.items()
         if not k.startswith(("JAX_", "XLA_"))
