@@ -1,0 +1,176 @@
+"""Out-of-core benchmark rows: xTx and 1-step Newton LR at N >= 5M.
+
+The reference posts these rows on 8 GPUs holding the whole matrix in
+device memory (`scripts/result_bop.csv` rows 5M-20M there). A 5M x 1000
+fp32 matrix is 20 GB — larger than one v5e's HBM — so here they run
+through the OOC subsystem: the design matrix lives on disk as a
+DiskArray and panels stream through the chip with O(panel + accumulator)
+HBM.
+
+Two modes per op (both recorded in ``result_ooc_tpu.csv``):
+
+- ``device``: panels are GENERATED on-device inside one scanned program
+  — the device-resident per-pass figure (what the accumulate path
+  sustains when the feed runs at HBM/PCIe speed, i.e. on
+  locally-attached hardware).
+- ``disk``: the real end-to-end DiskArray path. On THIS container the
+  host->device hop is an ~15 MB/s ssh tunnel, so the number is
+  transport-bound and documented as such; on locally-attached TPU
+  (PCIe ~10+ GB/s) the device figure is the expectation.
+
+Usage:
+  python scripts/benchmark_ooc.py --n 5000000 --op gram --mode device
+  python scripts/benchmark_ooc.py --n 5000000 --op lr --mode disk
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+
+def _gen_host_panel(start, rows, d, dtype):
+    """Deterministic data, ~GB/s on host (np.random is 10x slower)."""
+    i = (np.arange(start, start + rows, dtype=np.float64)[:, None]
+         % 977.0)
+    j = np.arange(d, dtype=np.float64)[None, :] % 31.0
+    return ((i * 0.013 + j * 0.07) % 1.9 - 0.95).astype(dtype)
+
+
+def main(argv=None):
+    sys.path.insert(0, ".")
+    from scripts.utils import append_csv
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=5_000_000)
+    parser.add_argument("--d", type=int, default=1000)
+    parser.add_argument("--op", choices=["gram", "lr"], default="gram")
+    parser.add_argument("--mode", choices=["device", "disk"],
+                        default="device")
+    parser.add_argument("--panel-rows", type=int, default=250_000)
+    parser.add_argument("--out", default="result_ooc_tpu.csv")
+    parser.add_argument("--keep-disk", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import nums_tpu
+
+    app = nums_tpu.init()
+    n, d, rows = args.n, args.d, args.panel_rows
+    assert n % rows == 0, (n, rows)
+    k_panels = n // rows
+    dtype = jnp.float32
+
+    if args.mode == "device":
+        # One program: scan over panels generated in-kernel; measures
+        # the pure accumulate path (gen cost is a few % of the GEMM).
+        def gen_panel(pi):
+            i = (pi * rows + jax.lax.broadcasted_iota(
+                jnp.float32, (rows, d), 0)) % 977.0
+            j = jax.lax.broadcasted_iota(jnp.float32, (rows, d), 1) % 31.0
+            return (i * 0.013 + j * 0.07) % 1.9 - 0.95
+
+        if args.op == "gram":
+            @jax.jit
+            def run():
+                def body(G, pi):
+                    p = gen_panel(pi)
+                    return G + p.T @ p, None
+                G, _ = jax.lax.scan(
+                    body, jnp.zeros((d, d), dtype),
+                    jnp.arange(k_panels, dtype=jnp.float32),
+                )
+                return G
+
+            sync = lambda out: float(np.asarray(out[0, 0]))
+        else:  # one Newton step of logistic regression
+            @jax.jit
+            def run():
+                beta = jnp.zeros((d + 1,), dtype)
+
+                def body(carry, pi):
+                    g, H = carry
+                    p = gen_panel(pi)
+                    pa = jnp.concatenate(
+                        [p, jnp.ones((rows, 1), dtype)], axis=1)
+                    eta = pa @ beta
+                    mu = jax.nn.sigmoid(eta)
+                    y = (eta > 0).astype(dtype)
+                    s = mu * (1.0 - mu)
+                    g = g + pa.T @ (mu - y)
+                    H = H + (pa * s[:, None]).T @ pa
+                    return (g, H), None
+
+                (g, H), _ = jax.lax.scan(
+                    body,
+                    (jnp.zeros((d + 1,), dtype),
+                     jnp.zeros((d + 1, d + 1), dtype)),
+                    jnp.arange(k_panels, dtype=jnp.float32),
+                )
+                L = jnp.linalg.cholesky(
+                    H + 1e-6 * jnp.eye(d + 1, dtype=dtype))
+                step = jax.scipy.linalg.cho_solve((L, True), g)
+                return beta - step
+
+            sync = lambda out: float(np.asarray(out[0]))
+
+        sync(run())  # compile + warmup
+        t0 = time.perf_counter()
+        sync(run())
+        t = time.perf_counter() - t0
+        note = "device-resident per-pass (panels generated on device)"
+    else:
+        from nums_tpu.core.array.diskarray import DiskArray
+
+        path = os.path.join(
+            os.environ.get("NUMS_TPU_OOC_DIR", "/tmp/nums_tpu_ooc"),
+            f"bench_{n}_{d}",
+        )
+        if not os.path.isdir(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            print(f"writing {n}x{d} fp32 DiskArray to {path} ...",
+                  flush=True)
+            panels = (
+                _gen_host_panel(s, rows, d, np.float32)
+                for s in range(0, n, rows)
+            )
+            DiskArray.from_panels(
+                path, app.fs, panels, (n, d), np.float32, rows)
+        da = app.open_fs(path)
+        t0 = time.perf_counter()
+        if args.op == "gram":
+            G = app.gram_ooc(da)
+            float(G[0, 0])
+        else:
+            from nums_tpu.models import fast_glm
+
+            y = (np.arange(n) % 2).astype(np.float32)
+            beta, gmax, _ = fast_glm.newton_fit_ooc(
+                da, y, tol=0.0, kind="logistic", max_iter=1)
+            float(np.asarray(beta[0]))
+        t = time.perf_counter() - t0
+        note = "end-to-end DiskArray (transport-bound through the tunnel)"
+        if not args.keep_disk:
+            shutil.rmtree(path, ignore_errors=True)
+
+    # Both ops are dominated by one (d, n) @ (n, d) contraction per pass
+    # (gram: XᵀX; LR: XᵀSX — the forward/gradient GEMVs are O(nd)).
+    flops = 2.0 * n * d * d
+    row = {
+        "op": args.op, "N": n, "d": d, "mode": args.mode,
+        "seconds": round(t, 4),
+        "tflops": round(flops / t / 1e12, 1),
+        "note": note,
+    }
+    print(row)
+    append_csv(args.out, row)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
