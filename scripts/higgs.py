@@ -61,7 +61,12 @@ def main(argv=None):
 
     t0 = time.time()
     acc = float((model.predict(X_test) == y_test.astype(np.int64)).mean())
-    print(f"predict: {time.time()-t0:.2f}s  test accuracy: {acc:.4f}")
+    print(f"predict (cold, incl. compile): {time.time()-t0:.2f}s  "
+          f"test accuracy: {acc:.4f}", flush=True)
+    t0 = time.time()
+    acc = float((model.predict(X_test) == y_test.astype(np.int64)).mean())
+    print(f"predict (warm): {time.time()-t0:.2f}s  "
+          f"test accuracy: {acc:.4f}")
     return 0
 
 

@@ -81,6 +81,17 @@ def main(argv=None):
         for row in gemm:
             print(f"- {row['n']}^2 {row['dtype']}: {row['min_s']}s "
                   f"({row['tflops']} TFLOP/s)")
+        print()
+    ooc = read_csv(os.path.join(d, "result_ooc_tpu.csv"))
+    if ooc:
+        base = {"gram": BOP_BASELINE, "lr": LR_BASELINE}
+        print("## Out-of-core rows (N beyond one chip's HBM)\n")
+        for row in ooc:
+            n, t = int(row["N"]), float(row["seconds"])
+            ref = base.get(row["op"], {}).get(n)
+            vs = f" ({ref[1] / t:.2f}x vs {ref[0]} {ref[1]}s)" if ref else ""
+            print(f"- {row['op']} N={n:,} [{row['mode']}]: {t}s{vs} "
+                  f"— {row['note']}")
     return 0
 
 
