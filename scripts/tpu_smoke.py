@@ -129,6 +129,34 @@ def main():
               f"ooc logistic fit acc: {acc_o}")
         ok &= acc_o > 0.95
 
+    # Device-side dynamic-shape family (round 3): the capacity idiom
+    # (count sync + jnp.nonzero/jnp.unique with static size) must work
+    # on the REAL TPU, not just the CPU test tier.
+    xi = rs.randint(0, 9, size=2048).astype(np.float32)
+    bi = app.array(xi, block_shape=(512,))
+    ok &= check("device unique", nps.unique(bi).get(), np.unique(xi),
+                tol=0.0)
+    vals, counts = nps.unique(bi, return_counts=True)
+    ok &= check("device unique counts", counts.get(),
+                np.unique(xi, return_counts=True)[1], tol=0.0)
+    other = np.array([2.0, 5.0, 11.0], np.float32)
+    ok &= check("device intersect1d",
+                nps.intersect1d(bi, nps.array(other)).get(),
+                np.intersect1d(xi, other), tol=0.0)
+    mask = xi > 4
+    ok &= check("device extract",
+                nps.extract(app.array(mask, block_shape=(512,)), bi).get(),
+                np.extract(mask, xi), tol=0.0)
+    packed = bi.copy()
+    fillv = np.arange(mask.sum(), dtype=np.float32)
+    packed[app.array(mask, block_shape=(512,))] = app.array(
+        fillv, block_shape=(int(mask.sum()),)
+    )
+    want_packed = xi.copy()
+    want_packed[mask] = fillv
+    ok &= check("device packed-mask setitem", packed.get(), want_packed,
+                tol=0.0)
+
     # Autodiff on hardware: gradient of a least-squares chain.
     from nums_tpu import autodiff
 
