@@ -89,13 +89,32 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
             # COLLECTIVE: the DiskArray lands on the shared FS once
             # (process 0 streams it); every other process opens it
             # after the barrier — concurrent writers to the same block
-            # files would tear the checkpoint.
+            # files would tear the checkpoint. The streaming window is
+            # minutes-long, so a process-0 failure must release the
+            # barrier (via finally) and leave a marker the peers turn
+            # into an error instead of a whole-job hang.
+            import os as _os
+
+            marker = f"{out}.ingest-failed"
             if _mp.process_index() == 0:
-                da = _read_parquet_ooc(pf, columns, dtype, out,
-                                       block_rows)
-                _mp.barrier(f"read_parquet:out:{out}")
+                try:
+                    da = _read_parquet_ooc(pf, columns, dtype, out,
+                                           block_rows)
+                except BaseException:
+                    try:
+                        open(marker, "w").close()
+                    except OSError:
+                        pass
+                    raise
+                finally:
+                    _mp.barrier(f"read_parquet:out:{out}")
                 return da
             _mp.barrier(f"read_parquet:out:{out}")
+            if _os.path.exists(marker):
+                raise RuntimeError(
+                    f"read_parquet(out={out!r}) failed on process 0 "
+                    "(see its traceback)"
+                )
             return _instance().open_fs(out)
         return _read_parquet_ooc(pf, columns, dtype, out, block_rows)
     from nums_tpu.core import multiprocess as _mp

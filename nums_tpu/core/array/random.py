@@ -310,17 +310,35 @@ class NumsRandomState:
     def multinomial(self, n, pvals, shape=None, block_shape=None, dtype=None):
         """Device-side (jax.random.multinomial over the counter-derived
         key): same-seed determinism under any sharding, like every other
-        distribution here."""
+        distribution here.
+
+        NumPy's Generator semantics, validated on host: each pval must
+        lie in [0, 1] (no NaNs) and the LAST category's probability is
+        the implicit remainder 1 - sum(pvals[:-1]) — jax would instead
+        renormalize by the total, a different distribution for
+        non-normalized input."""
         import jax.numpy as jnp
 
-        pvals = jnp.asarray(np.asarray(pvals, dtype=np.float64))
-        shape = tuple(shape) if shape is not None else ()
+        pv = np.asarray(pvals, dtype=np.float64)
+        if (
+            np.isnan(pv).any() or (pv < 0).any() or (pv > 1).any()
+            or (pv[..., :-1].sum(axis=-1) > 1.0 + 1e-12)
+        ):
+            raise ValueError(
+                "pvals < 0, pvals > 1 or pvals contains NaNs"
+            )
+        pv = pv.copy()
+        pv[..., -1] = 1.0 - pv[..., :-1].sum(axis=-1)
+        pvals = jnp.asarray(pv)
+        n_arr = np.asarray(n)
+        shape = tuple(shape) if shape is not None else tuple(n_arr.shape)
         out_dtype = np.dtype(array_utils.to_dtype_name(dtype or np.int64))
         # jr.multinomial's ``shape`` is the FULL output shape (batch
-        # dims + the category dim, to which p broadcasts).
+        # dims + the category dim, to which n and p broadcast).
+        full = (shape + pv.shape[-1:]) if (shape or n_arr.shape) else None
         data = jr.multinomial(
-            self._next_key(), float(n), pvals,
-            shape=(shape + tuple(pvals.shape)) if shape else None,
+            self._next_key(), jnp.asarray(n_arr, jnp.float64), pvals,
+            shape=full,
         ).astype(out_dtype)
         data = jnp.atleast_1d(data)
         grid = self._grid(

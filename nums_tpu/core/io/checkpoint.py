@@ -154,7 +154,7 @@ def save_async(ba, name: str, step: int, keep: int = 2,
         f = Future()
         try:
             f.set_result(save(ba, name, step, keep, replicas))
-        except BaseException as e:  # noqa: BLE001 - mirror executor
+        except Exception as e:  # KeyboardInterrupt etc. must propagate
             f.set_exception(e)
         return f
     return _executor().submit(save, ba, name, step, keep, replicas)

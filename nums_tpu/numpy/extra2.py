@@ -240,17 +240,11 @@ def unwrap(p, axis=-1):
     return _wrapc(p, _call(_jit_kw("unwrap", axis=axis), p), p.block_shape)
 
 
-@functools.lru_cache(maxsize=None)
-def _k_window(fname, M):
-    fn = getattr(jnp, fname)
-    return jax.jit(lambda: fn(M))
-
-
 def _window(fname):
     def fn(M):
         from nums_tpu.core.array.blockarray import BlockArray
 
-        data = _k_window(fname, int(M))()
+        data = _k_index_builder(fname, int(M))()
         return BlockArray.from_jax(data, backend=_instance().backend)
 
     fn.__name__ = fname
@@ -264,15 +258,10 @@ blackman = _window("blackman")
 bartlett = _window("bartlett")
 
 
-@functools.lru_cache(maxsize=None)
-def _k_kaiser(M, beta):
-    return jax.jit(lambda: jnp.kaiser(M, beta))
-
-
 def kaiser(M, beta):
     from nums_tpu.core.array.blockarray import BlockArray
 
-    data = _k_kaiser(int(M), float(beta))()
+    data = _k_index_builder("kaiser", int(M), float(beta))()
     return BlockArray.from_jax(data, backend=_instance().backend)
 
 
