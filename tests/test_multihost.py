@@ -25,9 +25,13 @@ import os, sys
 pid = int(sys.argv[1])
 port = sys.argv[2]
 outdir = sys.argv[3]
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+nprocs = int(sys.argv[4])
+local_dev = int(sys.argv[5])
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={local_dev}"
+)
 os.environ["NUMS_TPU_COORDINATOR"] = f"127.0.0.1:{port}"
-os.environ["NUMS_TPU_NUM_PROCESSES"] = "2"
+os.environ["NUMS_TPU_NUM_PROCESSES"] = str(nprocs)
 os.environ["NUMS_TPU_PROCESS_ID"] = str(pid)
 os.environ["NUMS_TPU_BACKEND"] = "mesh"
 import jax
@@ -40,7 +44,7 @@ from nums_tpu.core import settings
 settings.backend_name = "mesh"
 
 app = nums_tpu.init()
-assert jax.process_count() == 2, jax.process_count()
+assert jax.process_count() == nprocs, jax.process_count()
 assert app.backend.num_devices == 8, app.backend.num_devices
 
 # 1. Host-data creation + compute + collective get.
@@ -72,7 +76,7 @@ assert np.allclose(
 ckpt2 = os.path.join(outdir, "ckpt_repl")
 app.write_fs(A, ckpt2, replicas=2)
 mp.barrier("pre-corrupt")
-if pid == 0:
+if pid == nprocs - 1:  # cross-process: last process corrupts
     import glob as _glob
     victim = sorted(_glob.glob(os.path.join(ckpt2, "block_*.npy")))[3]
     with open(victim, "r+b") as f:
@@ -120,7 +124,8 @@ print(f"WORKER_{pid}_OK", flush=True)
 """
 
 
-def test_two_process_mesh_e2e(tmp_path):
+@pytest.mark.parametrize("nprocs,local_dev", [(2, 4), (4, 2)])
+def test_multi_process_mesh_e2e(tmp_path, nprocs, local_dev):
     # Input files written by the parent (the "shared filesystem").
     rs = np.random.RandomState(7)
     table = rs.randn(37, 5)
@@ -153,11 +158,12 @@ def test_two_process_mesh_e2e(tmp_path):
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(pid), port, str(tmp_path)],
+            [sys.executable, str(worker), str(pid), port, str(tmp_path),
+             str(nprocs), str(local_dev)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd="/root/repo",
         )
-        for pid in (0, 1)
+        for pid in range(nprocs)
     ]
     outs = []
     try:
