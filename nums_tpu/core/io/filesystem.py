@@ -638,6 +638,22 @@ class FileSystem:
              "repaired": [(dir, fname)],
              "unrecoverable": [fname]}  # no intact copy anywhere
         """
+        from nums_tpu.core import multiprocess as _mp
+
+        if repair and _mp.is_multiprocess():
+            # Collective form: concurrent repairers would race the
+            # per-file atomic replaces; one process scrubs, all wait.
+            tag = filename.replace(os.sep, "_")
+            report = None
+            if _mp.process_index() == 0:
+                report = self._verify_fs_impl(filename, repair=True)
+            _mp.barrier(f"verify_fs:{tag}")
+            if report is None:  # non-zero processes: report post-repair
+                report = self._verify_fs_impl(filename, repair=False)
+            return report
+        return self._verify_fs_impl(filename, repair)
+
+    def _verify_fs_impl(self, filename: str, repair: bool) -> dict:
         path = _fs_path(filename)
         meta = self.read_meta_fs(filename)
         checks = meta.get("checksums") or {}
