@@ -99,3 +99,93 @@ class FakeS3Client:
     def reset(cls):
         with cls._lock:
             cls._store.clear()
+
+
+class FileBackedFakeS3Client(FakeS3Client):
+    """Fake S3 persisted under a directory (``NUMS_TPU_FAKE_S3_DIR``).
+
+    Objects are files at ``<root>/<bucket>/<quoted-key>``, so SEPARATE
+    PROCESSES sharing the directory see one "cloud" — the harness the
+    multi-host S3 path is validated against (the in-memory fake is
+    process-local). Keys are URL-quoted for filesystem safety; puts are
+    atomic per object (tmp + rename), matching S3's per-key atomicity.
+    """
+
+    def __init__(self, root: str):
+        import os
+
+        self._root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _bpath(self, bucket):
+        import os
+
+        p = os.path.join(self._root, bucket)
+        if not os.path.isdir(p):
+            raise NoSuchBucket(bucket)
+        return p
+
+    def _kpath(self, bucket, key):
+        import os
+        from urllib.parse import quote
+
+        return os.path.join(self._bpath(bucket), quote(key, safe=""))
+
+    def create_bucket(self, Bucket):
+        import os
+
+        os.makedirs(os.path.join(self._root, Bucket), exist_ok=True)
+        return {"Location": f"/{Bucket}"}
+
+    def put_object(self, Bucket, Key, Body):
+        import os
+
+        if isinstance(Body, str):
+            Body = Body.encode()
+        path = self._kpath(Bucket, Key)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(bytes(Body))
+        os.replace(tmp, path)
+        return {"ETag": str(hash(bytes(Body)))}
+
+    def get_object(self, Bucket, Key):
+        try:
+            with open(self._kpath(Bucket, Key), "rb") as f:
+                return {"Body": _Body(f.read())}
+        except FileNotFoundError:
+            raise NoSuchKey(Key)
+
+    def delete_object(self, Bucket, Key):
+        import os
+
+        try:
+            os.remove(self._kpath(Bucket, Key))
+        except FileNotFoundError:
+            pass
+        return {}
+
+    def delete_objects(self, Bucket, Delete):
+        import os
+
+        deleted = []
+        for obj in Delete.get("Objects", []):
+            try:
+                os.remove(self._kpath(Bucket, obj["Key"]))
+                deleted.append({"Key": obj["Key"]})
+            except FileNotFoundError:
+                pass
+        return {"Deleted": deleted}
+
+    def list_objects_v2(self, Bucket, Prefix=""):
+        import os
+        from urllib.parse import unquote
+
+        keys = sorted(
+            unquote(f) for f in os.listdir(self._bpath(Bucket))
+            if unquote(f).startswith(Prefix) and not f.endswith(".tmp")
+        )
+        return {
+            "KeyCount": len(keys),
+            "Contents": [{"Key": k} for k in keys],
+        }

@@ -709,6 +709,11 @@ class FileSystem:
             return FileSystem.s3_client_factory()
         if _HAS_BOTO3:
             return boto3.client("s3")
+        fake_dir = os.environ.get("NUMS_TPU_FAKE_S3_DIR")
+        if fake_dir:
+            from nums_tpu.core.io.fake_s3 import FileBackedFakeS3Client
+
+            return FileBackedFakeS3Client(fake_dir)
         if os.environ.get("NUMS_TPU_FAKE_S3") == "1":
             from nums_tpu.core.io.fake_s3 import FakeS3Client
 
@@ -719,6 +724,10 @@ class FileSystem:
         )
 
     def write_s3(self, ba: BlockArray, filename: str):
+        from nums_tpu.core import multiprocess as _mp
+
+        if _mp.is_multiprocess():
+            return self._write_s3_multiprocess(ba, filename)
         client = self._s3_client()
         bucket, key = _s3_parse(filename)
         meta = {"grid": ba.grid.to_meta()}
@@ -738,6 +747,67 @@ class FileSystem:
             )
             results.append(True)
         return np.array(results, dtype=bool)
+
+    def _write_s3_multiprocess(self, ba: BlockArray, filename: str):
+        """Multi-controller S3 write (COLLECTIVE): like
+        ``_write_fs_multiprocess``, each process puts ONLY the objects
+        for its addressable shards (the stored block grid is the shard
+        grid, replicas deduplicated to one owner); process 0 writes the
+        grid meta LAST — S3 reads key the meta object, so a reader
+        never sees a grid whose blocks aren't all uploaded. Object
+        stores need no rename dance: puts are independent and atomic
+        per key.
+        """
+        from nums_tpu.core import multiprocess as _mp
+        from nums_tpu.core.ops import padded as _padded
+
+        client = self._s3_client()
+        bucket, key = _s3_parse(filename)
+        backend = self.backend
+        ba.touch()
+        raw = ba.raw
+        logical = tuple(ba.grid.shape)
+        if ba.is_transposed or tuple(raw.shape) != backend.physical_shape(
+            logical, ba.grid.grid_shape
+        ):
+            d = ba.data
+            pshape = backend.physical_shape(logical, ba.grid.grid_shape)
+            raw = (
+                _padded.repad(d, pshape, backend)
+                if tuple(d.shape) != pshape else d
+            )
+        pshape = tuple(raw.shape)
+        shard_shape = raw.sharding.shard_shape(pshape)
+        block_shape = tuple(
+            min(s, d) for s, d in zip(shard_shape, logical)
+        ) if logical else ()
+        grid = ArrayGrid(logical, block_shape, str(ba.dtype))
+
+        results = []
+        for index, data in _mp.owned_regions(raw):
+            starts = [(s.start or 0) for s in index]
+            if any(st >= dim for st, dim in zip(starts, logical)):
+                continue
+            entry = tuple(
+                st // bs for st, bs in zip(starts, grid.block_shape)
+            ) if logical else ()
+            rect = grid.get_slice_tuples(entry)
+            clip = tuple(slice(0, r1 - r0) for r0, r1 in rect)
+            block = np.ascontiguousarray(data[clip])
+            suffix = "_".join(map(str, entry))
+            client.put_object(
+                Bucket=bucket, Key=f"{key}_{suffix}",
+                Body=pickle.dumps(block),
+            )
+            results.append(True)
+        _mp.barrier(f"write_s3:blocks:{key}")
+        if _mp.process_index() == 0:
+            meta = {"grid": grid.to_meta()}
+            client.put_object(
+                Bucket=bucket, Key=f"{key}_meta", Body=pickle.dumps(meta)
+            )
+        _mp.barrier(f"write_s3:meta:{key}")
+        return np.array(results or [True], dtype=bool)
 
     def read_meta_s3(self, filename: str) -> dict:
         client = self._s3_client()

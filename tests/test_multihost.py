@@ -86,6 +86,14 @@ mp.barrier("post-corrupt")
 assert np.allclose(app.read_fs(ckpt2, verify=True).get(), a_np), \
     "replica failover under multi-process"
 
+# 2c. S3 (file-backed fake = one "cloud" shared by the processes):
+# each process puts only its shard objects; restore is O(shard).
+os.environ["NUMS_TPU_FAKE_S3_DIR"] = os.path.join(outdir, "fake_s3")
+app.fs._s3_client().create_bucket("bkt")
+import nums_tpu as _nt
+_nt.write(A, "s3://bkt/arr")
+assert np.allclose(_nt.read("s3://bkt/arr").get(), a_np), "s3 roundtrip"
+
 # 3. read_csv: byte ranges split across processes.
 csv_path = os.path.join(outdir, "data.csv")
 X_csv = nums_tpu.read_csv(csv_path, has_header=True)
