@@ -143,7 +143,13 @@ class FileBackedFakeS3Client(FakeS3Client):
         if isinstance(Body, str):
             Body = Body.encode()
         path = self._kpath(Bucket, Key)
-        tmp = f"{path}.tmp-{os.getpid()}"
+        # Temp names start with '#', which quote(key) can never produce
+        # (real keys quote '#' to %23) — in-flight/orphaned temps are
+        # thus invisible to listings, preserving per-key atomicity.
+        tmp = os.path.join(
+            os.path.dirname(path),
+            f"#tmp-{os.getpid()}-{os.path.basename(path)}",
+        )
         with open(tmp, "wb") as f:
             f.write(bytes(Body))
         os.replace(tmp, path)
@@ -183,9 +189,17 @@ class FileBackedFakeS3Client(FakeS3Client):
 
         keys = sorted(
             unquote(f) for f in os.listdir(self._bpath(Bucket))
-            if unquote(f).startswith(Prefix) and not f.endswith(".tmp")
+            if not f.startswith("#") and unquote(f).startswith(Prefix)
         )
         return {
             "KeyCount": len(keys),
             "Contents": [{"Key": k} for k in keys],
         }
+
+    def reset(self):  # instance-level: clears THIS root's objects
+        import os
+        import shutil
+
+        for entry in os.listdir(self._root):
+            shutil.rmtree(os.path.join(self._root, entry),
+                          ignore_errors=True)

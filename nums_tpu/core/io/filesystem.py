@@ -355,6 +355,53 @@ class FileSystem:
                 shutil.rmtree(stale, ignore_errors=True)
         return np.array(results, dtype=bool)
 
+    def _shard_grid_blocks(self, ba: BlockArray):
+        """(grid, [(entry, np block)]) for the multi-controller writers.
+
+        Canonicalizes the buffer to the at-rest layout (materializing a
+        lazy transpose / re-padding — jit programs every process
+        executes, SPMD), derives the stored block grid from the SHARD
+        grid clipped to the logical shape (trailing all-pad shards
+        drop; shard extents are uniform for NamedSharding, so block
+        names agree across processes even for a process that owns no
+        region), and returns this process's owned regions as clipped
+        contiguous blocks. Shared by the FS and S3 writers so the two
+        paths cannot drift."""
+        from nums_tpu.core import multiprocess as _mp
+        from nums_tpu.core.ops import padded as _padded
+
+        backend = self.backend
+        ba.touch()
+        raw = ba.raw
+        logical = tuple(ba.grid.shape)
+        if ba.is_transposed or tuple(raw.shape) != backend.physical_shape(
+            logical, ba.grid.grid_shape
+        ):
+            d = ba.data  # logical layout & shape
+            pshape = backend.physical_shape(logical, ba.grid.grid_shape)
+            raw = (
+                _padded.repad(d, pshape, backend)
+                if tuple(d.shape) != pshape else d
+            )
+        pshape = tuple(raw.shape)
+        shard_shape = raw.sharding.shard_shape(pshape)
+        block_shape = tuple(
+            min(s, d) if d else s for s, d in zip(shard_shape, logical)
+        ) if logical else ()
+        grid = ArrayGrid(logical, block_shape, str(ba.dtype))
+        blocks = []
+        for index, data in _mp.owned_regions(raw):
+            starts = [(s.start or 0) for s in index]
+            if any(st >= dim for st, dim in zip(starts, logical)):
+                continue  # shard entirely in the pad region
+            entry = tuple(
+                st // bs for st, bs in zip(starts, grid.block_shape)
+            ) if logical else ()
+            rect = grid.get_slice_tuples(entry)
+            clip = tuple(slice(0, r1 - r0) for r0, r1 in rect)
+            blocks.append((entry, np.ascontiguousarray(data[clip])))
+        return grid, blocks
+
     def _write_fs_multiprocess(self, ba: BlockArray, filename: str,
                                replicas: int):
         """Multi-controller checkpoint write (COLLECTIVE — every process
@@ -375,43 +422,12 @@ class FileSystem:
         goal, no task system.
         """
         from nums_tpu.core import multiprocess as _mp
-        from nums_tpu.core.ops import padded as _padded
 
-        backend = self.backend
         final_path = _fs_path(filename)
         targets = [final_path] + _replica_paths(final_path, max(1, replicas))
         tmps = [f"{p}.tmp-mp" for p in targets]
         tag = filename.replace(os.sep, "_")
-
-        # Canonical at-rest layout: materialize a lazy transpose and
-        # re-pad (jit programs — executed by every process, SPMD).
-        ba.touch()
-        raw = ba.raw
-        logical = tuple(ba.grid.shape)
-        if ba.is_transposed or tuple(raw.shape) != backend.physical_shape(
-            logical, ba.grid.grid_shape
-        ):
-            d = ba.data  # logical layout & shape
-            pshape = backend.physical_shape(logical, ba.grid.grid_shape)
-            raw = (
-                _padded.repad(d, pshape, backend)
-                if tuple(d.shape) != pshape else d
-            )
-        regions = _mp.owned_regions(raw)
-
-        # Stored block grid = the SHARD grid, clipped to the logical
-        # shape (trailing all-pad shards drop). Shard extents are
-        # uniform for NamedSharding and derived from the sharding
-        # itself, so block filenames agree across processes even for a
-        # process that owns no region.
-        pshape = tuple(raw.shape)
-        shard_shape = raw.sharding.shard_shape(pshape)
-        block_shape = tuple(
-            min(s, d) if d else s for s, d in zip(shard_shape, logical)
-        )
-        grid = ArrayGrid(
-            logical, block_shape if logical else (), str(ba.dtype)
-        )
+        grid, owned_blocks = self._shard_grid_blocks(ba)
 
         if _mp.process_index() == 0:
             for t in tmps:
@@ -422,18 +438,7 @@ class FileSystem:
 
         checksums = {}
         results = []
-        for index, data in regions:
-            starts = [(s.start or 0) for s in index]
-            if any(st >= dim for st, dim in zip(starts, logical)):
-                continue  # shard entirely in the pad region
-            entry = tuple(
-                st // bs for st, bs in zip(starts, grid.block_shape)
-            ) if logical else ()
-            rect = grid.get_slice_tuples(entry)
-            clip = tuple(
-                slice(0, r1 - r0) for r0, r1 in rect
-            )
-            block = np.ascontiguousarray(data[clip])
+        for entry, block in owned_blocks:
             fname = _block_fname(entry)
             checksums[fname] = _block_crc(block)
             for t in tmps:
@@ -642,14 +647,26 @@ class FileSystem:
 
         if repair and _mp.is_multiprocess():
             # Collective form: concurrent repairers would race the
-            # per-file atomic replaces; one process scrubs, all wait.
+            # per-file atomic replaces; one process scrubs and shares
+            # the report via a sidecar on the shared FS (re-scrubbing
+            # on every process would multiply the CRC I/O by P).
             tag = filename.replace(os.sep, "_")
-            report = None
+            sidecar = _fs_path(filename) + ".scrub-report.pkl"
             if _mp.process_index() == 0:
                 report = self._verify_fs_impl(filename, repair=True)
-            _mp.barrier(f"verify_fs:{tag}")
-            if report is None:  # non-zero processes: report post-repair
-                report = self._verify_fs_impl(filename, repair=False)
+                tmp = f"{sidecar}.tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(pickle.dumps(report))
+                os.replace(tmp, sidecar)
+            _mp.barrier(f"verify_fs:scrub:{tag}")
+            with open(sidecar, "rb") as f:
+                report = pickle.load(f)
+            _mp.barrier(f"verify_fs:read:{tag}")
+            if _mp.process_index() == 0:
+                try:
+                    os.remove(sidecar)
+                except OSError:
+                    pass
             return report
         return self._verify_fs_impl(filename, repair)
 
@@ -707,8 +724,8 @@ class FileSystem:
     def _s3_client(self):
         if FileSystem.s3_client_factory is not None:
             return FileSystem.s3_client_factory()
-        if _HAS_BOTO3:
-            return boto3.client("s3")
+        # Explicit fake opt-ins OUTRANK a merely-importable boto3: a
+        # test that sets NUMS_TPU_FAKE_S3_DIR must never hit real AWS.
         fake_dir = os.environ.get("NUMS_TPU_FAKE_S3_DIR")
         if fake_dir:
             from nums_tpu.core.io.fake_s3 import FileBackedFakeS3Client
@@ -718,6 +735,8 @@ class FileSystem:
             from nums_tpu.core.io.fake_s3 import FakeS3Client
 
             return FakeS3Client()
+        if _HAS_BOTO3:
+            return boto3.client("s3")
         raise RuntimeError(
             "boto3 is not available; S3 I/O is disabled in this build "
             "(set NUMS_TPU_FAKE_S3=1 for the in-process fake)."
@@ -730,10 +749,6 @@ class FileSystem:
             return self._write_s3_multiprocess(ba, filename)
         client = self._s3_client()
         bucket, key = _s3_parse(filename)
-        meta = {"grid": ba.grid.to_meta()}
-        client.put_object(
-            Bucket=bucket, Key=f"{key}_meta", Body=pickle.dumps(meta)
-        )
         from nums_tpu.core.array.blockarray import Block
 
         results = []
@@ -746,6 +761,12 @@ class FileSystem:
                 Body=pickle.dumps(block),
             )
             results.append(True)
+        # Meta LAST: readers key on the meta object, so a writer crash
+        # mid-upload never exposes a grid with missing blocks.
+        meta = {"grid": ba.grid.to_meta()}
+        client.put_object(
+            Bucket=bucket, Key=f"{key}_meta", Body=pickle.dumps(meta)
+        )
         return np.array(results, dtype=bool)
 
     def _write_s3_multiprocess(self, ba: BlockArray, filename: str):
@@ -759,41 +780,12 @@ class FileSystem:
         per key.
         """
         from nums_tpu.core import multiprocess as _mp
-        from nums_tpu.core.ops import padded as _padded
 
         client = self._s3_client()
         bucket, key = _s3_parse(filename)
-        backend = self.backend
-        ba.touch()
-        raw = ba.raw
-        logical = tuple(ba.grid.shape)
-        if ba.is_transposed or tuple(raw.shape) != backend.physical_shape(
-            logical, ba.grid.grid_shape
-        ):
-            d = ba.data
-            pshape = backend.physical_shape(logical, ba.grid.grid_shape)
-            raw = (
-                _padded.repad(d, pshape, backend)
-                if tuple(d.shape) != pshape else d
-            )
-        pshape = tuple(raw.shape)
-        shard_shape = raw.sharding.shard_shape(pshape)
-        block_shape = tuple(
-            min(s, d) for s, d in zip(shard_shape, logical)
-        ) if logical else ()
-        grid = ArrayGrid(logical, block_shape, str(ba.dtype))
-
+        grid, owned_blocks = self._shard_grid_blocks(ba)
         results = []
-        for index, data in _mp.owned_regions(raw):
-            starts = [(s.start or 0) for s in index]
-            if any(st >= dim for st, dim in zip(starts, logical)):
-                continue
-            entry = tuple(
-                st // bs for st, bs in zip(starts, grid.block_shape)
-            ) if logical else ()
-            rect = grid.get_slice_tuples(entry)
-            clip = tuple(slice(0, r1 - r0) for r0, r1 in rect)
-            block = np.ascontiguousarray(data[clip])
+        for entry, block in owned_blocks:
             suffix = "_".join(map(str, entry))
             client.put_object(
                 Bucket=bucket, Key=f"{key}_{suffix}",

@@ -85,6 +85,12 @@ if pid == nprocs - 1:  # cross-process: last process corrupts
 mp.barrier("post-corrupt")
 assert np.allclose(app.read_fs(ckpt2, verify=True).get(), a_np), \
     "replica failover under multi-process"
+# Collective self-heal: process 0 scrubs, every process receives the
+# SAME report via the shared-FS sidecar (no P-fold re-scrub).
+report = app.fs.verify_fs(ckpt2, repair=True)
+assert report["repaired"], report
+assert not report["unrecoverable"], report
+assert app.fs.verify_fs(ckpt2)["ok"]  # post-heal: all copies intact
 
 # 2c. S3 (file-backed fake = one "cloud" shared by the processes):
 # each process puts only its shard objects; restore is O(shard).
@@ -164,32 +170,40 @@ def test_multi_process_mesh_e2e(tmp_path, nprocs, local_dev):
         k: v for k, v in os.environ.items()
         if not k.startswith(("JAX_", "XLA_"))
     }
+    # Workers log to files (PIPE + sequential communicate can deadlock:
+    # a later worker blocking on a full pipe stalls a barrier the
+    # earlier worker is waiting in).
+    logs = [open(tmp_path / f"worker_{pid}.log", "w+")
+            for pid in range(nprocs)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), port, str(tmp_path),
              str(nprocs), str(local_dev)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            stdout=logs[pid], stderr=subprocess.STDOUT, text=True,
             env=env, cwd="/root/repo",
         )
         for pid in range(nprocs)
     ]
-    outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
-            outs.append(out)
+            p.wait(timeout=600)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    outs = []
+    for f in logs:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
         assert f"WORKER_{pid}_OK" in out, out[-2000:]
 
-    # Same oracle result on both processes AND as a single-process run.
+    # Same oracle result on EVERY process AND as a single-process run.
     b0 = np.load(tmp_path / "beta_0.npy")
-    b1 = np.load(tmp_path / "beta_1.npy")
-    assert np.allclose(b0, b1)
+    for pid in range(1, nprocs):
+        assert np.allclose(b0, np.load(tmp_path / f"beta_{pid}.npy")), pid
     from nums_tpu.core import application_manager, settings
 
     settings.backend_name = "serial"
