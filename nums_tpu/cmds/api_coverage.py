@@ -68,7 +68,7 @@ def _module_coverage(np_module, our_module):
     return implemented, fallback, stubs, missing
 
 
-def coverage_report(percents=None):
+def coverage_report(percents=None, fallbacks=None):
     import nums_tpu.numpy as nps
 
     sections = [
@@ -84,6 +84,8 @@ def coverage_report(percents=None):
         pct = 100.0 * (len(impl) + len(fb)) / total if total else 0.0
         if percents is not None:
             percents[name] = pct
+        if fallbacks is not None:
+            fallbacks[name] = len(fb)
         lines.append(
             f"{name}: implemented {len(impl) + len(fb)}/{total} "
             f"({pct:.1f}%; {len(fb)} via host fallback), "
@@ -107,11 +109,17 @@ def main(argv=None):
         help="comma-separated module=min_percent floors; nonzero exit "
              "on regression",
     )
+    parser.add_argument(
+        "--max-fallbacks", default=None,
+        help="comma-separated module=max_count CEILINGS on host "
+             "fallbacks; nonzero exit if the count grows (guards the "
+             "device-side-family work from silent regression)",
+    )
     args = parser.parse_args(argv)
-    percents = {}
-    print(coverage_report(percents))
+    percents, fallbacks = {}, {}
+    print(coverage_report(percents, fallbacks))
+    ok = True
     if args.min:
-        ok = True
         for part in args.min.split(","):
             mod, floor = part.split("=")
             got = percents.get(mod.strip())
@@ -119,8 +127,17 @@ def main(argv=None):
                 print(f"FAIL: {mod} coverage {got and round(got, 1)}% "
                       f"< floor {floor}%")
                 ok = False
-        if not ok:
-            return 1
+    if args.max_fallbacks:
+        for part in args.max_fallbacks.split(","):
+            mod, ceil = part.split("=")
+            got = fallbacks.get(mod.strip())
+            if got is None or got > int(ceil):
+                print(f"FAIL: {mod} host fallbacks {got} > ceiling "
+                      f"{ceil}")
+                ok = False
+    if not ok:
+        return 1
+    if args.min or args.max_fallbacks:
         print("coverage floors OK")
     return 0
 

@@ -16,7 +16,8 @@ python -m pytest tests/ -q
 
 echo "== API coverage floors =="
 python -m nums_tpu.cmds.api_coverage \
-  --min "numpy=100,numpy.random=100,numpy.linalg=100,numpy.fft=100"
+  --min "numpy=100,numpy.random=100,numpy.linalg=100,numpy.fft=100" \
+  --max-fallbacks "numpy=13,numpy.random=1,numpy.linalg=2,numpy.fft=0"
 
 echo "== driver entry points =="
 python __graft_entry__.py

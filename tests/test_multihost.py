@@ -69,6 +69,13 @@ host_r = R.get()
 assert np.allclose(
     app.read_fs(os.path.join(outdir, "ckpt_ragged")).get(), host_r
 ), "ragged checkpoint roundtrip"
+# 3-D: the shard-grid writer is N-d generic
+T3 = app.array(rs.randn(8, 6, 4), block_shape=(2, 6, 4))
+host3 = T3.get()
+app.write_fs(T3, os.path.join(outdir, "ckpt_3d"))
+assert np.allclose(
+    app.read_fs(os.path.join(outdir, "ckpt_3d")).get(), host3
+), "3-D checkpoint roundtrip"
 
 # 2b. Replicated write + corruption failover across processes: the
 # corrupted primary block belongs to some process's shard; that
