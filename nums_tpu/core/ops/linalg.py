@@ -128,6 +128,8 @@ def randomized_svd(k: int, n_iter: int, chunk: int = DEFAULT_CHUNK):
 
 _COMP_CHUNK = 4096
 _COMP_MIN_ROWS = 1 << 20
+# Chunk-gram stack ceiling for the batched+tree form (see _gram).
+_COMP_STACK_BYTES = 512 << 20
 
 
 def _gram(x, precision, compensated=None):
@@ -135,9 +137,23 @@ def _gram(x, precision, compensated=None):
 
     A single f32 dot over M=2^24 rows floors orthogonality at
     ~sqrt(M)·eps ≈ 1e-4 (round-1 measured 7.6e-5 at 2^24×128). Splitting
-    into 4096-row chunk-grams and Kahan-summing the chunks caps the
-    accumulation depth at sqrt(chunk)·eps ≈ 4e-6 while every flop stays
-    a full-width MXU GEMM. Auto-enabled for M ≥ 2^20 float32 inputs.
+    into 4096-row chunk-grams caps the in-GEMM accumulation depth at
+    sqrt(chunk)·eps ≈ 4e-6 while every flop stays a full-width MXU
+    GEMM. The chunk SUM has two shapes, chosen by the (c, n, n)
+    chunk-gram stack size — both measured on-chip in round 3:
+
+    - stack ≤ ~0.5 GB (narrow n, e.g. the 2^24×128 TSQR: 268 MB): ONE
+      batched GEMM for all chunk-grams + a pairwise tree-sum. A scanned
+      loop here serializes 4096 tiny GEMMs and ran 1.3× slower.
+    - stack > ~0.5 GB (wide n, e.g. 2.5M×1000: 2.4 GB): a scanned loop
+      with a KAHAN (accumulator, compensation) carry — O(n²) extra
+      memory, one read of X. The batched form materialized the stack
+      and re-read it log₂(c) times: measured 1.4× slower (61.3 vs
+      43.9 ms at 1.25M×1000) and OOM at 2.5M×1000 standalone. Kahan
+      also bounds cross-chunk error at O(eps), tighter than the tree's
+      log₂(c) ulps.
+
+    Auto-enabled for M ≥ 2^20 float32 inputs.
     """
     m, n = x.shape
     if compensated is None:
@@ -149,26 +165,47 @@ def _gram(x, precision, compensated=None):
     head = jax.lax.slice(x, (0, 0), (c * _COMP_CHUNK, n)).reshape(
         c, _COMP_CHUNK, n
     )
-    # One BATCHED GEMM for all chunk-grams (full MXU occupancy)...
-    grams = jax.lax.dot_general(
-        head, head, (((1,), (1,)), ((0,), (0,))), precision=precision
-    )  # (c, n, n)
-    # ...then a pairwise tree-sum: log2(c) parallel adds, so the f32
-    # accumulation depth is sqrt(chunk)·eps + log2(c) ulps instead of
-    # sqrt(m)·eps.
-    while grams.shape[0] > 1:
-        k = grams.shape[0]
-        if k % 2:
-            odd = grams[k - 1]
-            grams = grams[0 : k - 1 : 2] + grams[1:k:2]
-            grams = grams.at[0].add(odd)
-        else:
-            grams = grams[0::2] + grams[1::2]
-    s = grams[0]
+    stack_bytes = c * n * n * x.dtype.itemsize
+    if stack_bytes <= _COMP_STACK_BYTES:
+        grams = jax.lax.dot_general(
+            head, head, (((1,), (1,)), ((0,), (0,))),
+            precision=precision,
+        )  # (c, n, n)
+        while grams.shape[0] > 1:
+            k = grams.shape[0]
+            if k % 2:
+                odd = grams[k - 1]
+                grams = grams[0:k - 1:2] + grams[1:k:2]
+                grams = grams.at[0].add(odd)
+            else:
+                grams = grams[0::2] + grams[1::2]
+        s = grams[0]
+        rem = m - c * _COMP_CHUNK
+        if rem:
+            tail = jax.lax.slice(x, (c * _COMP_CHUNK, 0), (m, n))
+            s = s + jax.lax.dot_general(
+                tail, tail, dn, precision=precision
+            )
+        return s
+
+    def body(carry, blk):
+        s, comp = carry
+        g = jax.lax.dot_general(blk, blk, dn, precision=precision)
+        y = g - comp
+        t = s + y
+        comp = (t - s) - y
+        return (t, comp), None
+
+    (s, comp), _ = jax.lax.scan(
+        body,
+        (jnp.zeros((n, n), x.dtype), jnp.zeros((n, n), x.dtype)),
+        head,
+    )
     rem = m - c * _COMP_CHUNK
     if rem:
         tail = jax.lax.slice(x, (c * _COMP_CHUNK, 0), (m, n))
-        s = s + jax.lax.dot_general(tail, tail, dn, precision=precision)
+        g = jax.lax.dot_general(tail, tail, dn, precision=precision)
+        s = s + (g - comp)
     return s
 
 
