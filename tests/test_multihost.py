@@ -69,6 +69,12 @@ host_r = R.get()
 assert np.allclose(
     app.read_fs(os.path.join(outdir, "ckpt_ragged")).get(), host_r
 ), "ragged checkpoint roundtrip"
+# Lazily-transposed array: the writer canonicalizes to the at-rest
+# layout (materialize + repad) before carving shard blocks.
+app.write_fs(A.T, os.path.join(outdir, "ckpt_t"))
+assert np.allclose(
+    app.read_fs(os.path.join(outdir, "ckpt_t")).get(), a_np.T
+), "transposed checkpoint roundtrip"
 # 3-D: the shard-grid writer is N-d generic
 T3 = app.array(rs.randn(8, 6, 4), block_shape=(2, 6, 4))
 host3 = T3.get()
