@@ -24,7 +24,11 @@ import sys
 
 PEAK_TFLOPS = 197.0  # v5e bf16 per chip
 GEMM_FLOOR_PCT = 85.0
-BENCH_FLOOR_X = 1.8
+# Headline xTx vs the reference's best 8-GPU result. Measured range on
+# the shared tunneled chip across round 3: 1.84-2.00x (run-to-run
+# ±10%); the floor sits below the observed minimum so the gate trips on
+# real regressions, not scheduler noise.
+BENCH_FLOOR_X = 1.7
 
 
 def check_gemm_csv(path, failures):

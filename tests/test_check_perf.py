@@ -56,6 +56,7 @@ def test_bench_floor():
     assert not failures
     check_perf.check_bench_payload({"vs_baseline": 1.2}, "t", failures)
     assert failures
+    assert check_perf.BENCH_FLOOR_X >= 1.5  # stays a real floor
     failures = []
     check_perf.check_bench_payload({}, "t", failures)
     assert failures  # missing field must not pass silently
