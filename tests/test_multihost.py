@@ -151,7 +151,16 @@ print(f"WORKER_{pid}_OK", flush=True)
 """
 
 
-@pytest.mark.parametrize("nprocs,local_dev", [(2, 4), (4, 2)])
+@pytest.mark.parametrize(
+    "nprocs,local_dev",
+    [
+        (2, 4),
+        (4, 2),
+        # Every shard on a DIFFERENT process — the extreme owner-dedup
+        # case; slow tier (8 jax runtimes on a 1-CPU host).
+        pytest.param(8, 1, marks=pytest.mark.slow),
+    ],
+)
 def test_multi_process_mesh_e2e(tmp_path, nprocs, local_dev):
     # Input files written by the parent (the "shared filesystem").
     rs = np.random.RandomState(7)
