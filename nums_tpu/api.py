@@ -97,6 +97,14 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
 
             marker = f"{out}.ingest-failed"
             if _mp.process_index() == 0:
+                # Consume any stale marker from a PRIOR failed run before
+                # streaming: otherwise a retry succeeds on process 0 but
+                # every peer still sees the old marker and raises —
+                # divergent control flow that hangs the next collective.
+                try:
+                    _os.remove(marker)
+                except OSError:
+                    pass
                 try:
                     da = _read_parquet_ooc(pf, columns, dtype, out,
                                            block_rows)

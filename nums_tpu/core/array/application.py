@@ -195,8 +195,13 @@ class ArrayApplication:
             dtype = settings.default_float
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
+        # Generate at the LOGICAL shape, zero-pad to the at-rest shape
+        # inside the same program: keeps the global invariant that pads
+        # are zero (ones at pshape would fill pads with ones).
         pshape, sharding = self._grid_physical(grid)
-        data = creation.new_array(op_name, pshape, dtype_name, sharding)()
+        data = creation.new_array(
+            op_name, grid.shape, dtype_name, sharding, pshape
+        )()
         return BlockArray(data, grid, self.backend)
 
     def zeros(self, shape, block_shape, dtype=None):
@@ -214,7 +219,9 @@ class ArrayApplication:
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
         pshape, sharding = self._grid_physical(grid)
-        data = creation.full(pshape, dtype_name, sharding)(fill_value)
+        data = creation.full(
+            grid.shape, dtype_name, sharding, pshape
+        )(fill_value)
         return BlockArray(data, grid, self.backend)
 
     def eye(self, shape, block_shape, dtype=None):
@@ -228,10 +235,12 @@ class ArrayApplication:
             dtype = settings.default_float
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
-        # eye is slice-stable: eye(P, Q, k)[:n, :m] == eye(n, m, k), so
-        # generating at the padded shape is exact.
+        # eye is slice-stable for READS, but the diagonal can run through
+        # the pad region (eye(17, 25) padded to 20 rows puts 1s at rows
+        # 17-19) — generate at logical shape and zero-pad so at-rest pads
+        # stay zero (collective-matmul invariant).
         pshape, sharding = self._grid_physical(grid)
-        data = creation.eye(pshape, int(k), dtype_name, sharding)()
+        data = creation.eye(grid.shape, int(k), dtype_name, sharding, pshape)()
         return BlockArray(data, grid, self.backend)
 
     def diag(self, X: BlockArray) -> BlockArray:
@@ -255,9 +264,13 @@ class ArrayApplication:
         assert step == 1
         dtype_name = array_utils.to_dtype_name(dtype)
         grid = ArrayGrid(tuple(shape), tuple(block_shape), dtype_name)
-        # arange is slice-stable: iota values in the pad are never read.
+        # arange iota values in the pad are never READ, but non-zero pads
+        # would break the pad-blind collective matmul — generate at the
+        # logical length and zero-pad.
         pshape, sharding = self._grid_physical(grid)
-        data = creation.arange(0, pshape[0], step, dtype_name, sharding)()
+        data = creation.arange(
+            0, grid.shape[0], step, dtype_name, sharding, pshape
+        )()
         return BlockArray(data, grid, self.backend)
 
     def linspace(

@@ -340,6 +340,16 @@ class NumsRandomState:
             self._next_key(), jnp.asarray(n_arr, jnp.float64), pvals,
             shape=full,
         ).astype(out_dtype)
+        if full is not None and tuple(data.shape) != tuple(full):
+            # jax 0.9.0 treats shape= as the FULL output shape, but its
+            # docs say "batch shape excluding the last axis" — if a
+            # future jax aligns implementation with docs, fail loudly
+            # instead of silently growing an extra category axis.
+            raise AssertionError(
+                f"jr.multinomial shape semantics changed: expected "
+                f"{tuple(full)}, got {tuple(data.shape)}; update the "
+                f"shape= handling in RandomState.multinomial"
+            )
         data = jnp.atleast_1d(data)
         grid = self._grid(
             tuple(data.shape), block_shape, out_dtype.name

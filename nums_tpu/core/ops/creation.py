@@ -20,40 +20,59 @@ _CREATORS = {
 }
 
 
+def _pad_phys(out, pshape):
+    """Zero-pad a logical-shape value to the at-rest (padded) shape.
+
+    EVERY creation kernel routes through this so the global invariant
+    "at-rest pads are ZERO" holds regardless of which op built the
+    array — the hand-scheduled collective matmuls (ops/summa.py) and any
+    pad-blind contraction depend on it. Generating ones/full/arange/eye
+    directly at the padded shape would leave NON-zero pads (advisor
+    round-3 high finding: ragged ones() under collective matmul).
+    """
+    if pshape is None or tuple(pshape) == tuple(out.shape):
+        return out
+    return jnp.pad(out, [(0, p - s) for p, s in zip(pshape, out.shape)])
+
+
 @functools.lru_cache(maxsize=None)
-def new_array(op_name: str, shape: tuple, dtype_name: str, sharding):
+def new_array(op_name: str, shape: tuple, dtype_name: str, sharding,
+              pshape: tuple = None):
     creator = _CREATORS[op_name]
     dtype = jnp.dtype(dtype_name)
     return jax.jit(
-        lambda: creator(shape, dtype),
+        lambda: _pad_phys(creator(shape, dtype), pshape),
         out_shardings=sharding,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def full(shape: tuple, dtype_name: str, sharding):
+def full(shape: tuple, dtype_name: str, sharding, pshape: tuple = None):
     dtype = jnp.dtype(dtype_name)
     return jax.jit(
-        lambda fill: jnp.full(shape, fill, dtype),
+        lambda fill: _pad_phys(jnp.full(shape, fill, dtype), pshape),
         out_shardings=sharding,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def arange(start, stop, step, dtype_name: str, sharding):
+def arange(start, stop, step, dtype_name: str, sharding,
+           pshape: tuple = None):
     """Parity: ``arange`` kernel (numpy_compute.py:176-179)."""
     dtype = jnp.dtype(dtype_name)
     return jax.jit(
-        lambda: jnp.arange(start, stop, step, dtype),
+        lambda: _pad_phys(jnp.arange(start, stop, step, dtype), pshape),
         out_shardings=sharding,
     )
 
 
 @functools.lru_cache(maxsize=None)
-def eye(shape: tuple, k: int, dtype_name: str, sharding):
+def eye(shape: tuple, k: int, dtype_name: str, sharding,
+        pshape: tuple = None):
     dtype = jnp.dtype(dtype_name)
     return jax.jit(
-        lambda: jnp.eye(shape[0], shape[1], k=k, dtype=dtype),
+        lambda: _pad_phys(jnp.eye(shape[0], shape[1], k=k, dtype=dtype),
+                          pshape),
         out_shardings=sharding,
     )
 

@@ -669,10 +669,6 @@ class ExponentialRegression(GLM):
 PoissonRegressor = PoissonRegression
 
 
-def line_search():
-    raise NotImplementedError()
-
-
 def sgd(model, beta, X, y, tol, max_iter, lr):
     """Single-sample SGD (parity: glms.py:315-330)."""
     app = _instance()
@@ -741,8 +737,12 @@ def irls(app, model, beta, X, y, tol, max_iter):
     return beta
 
 
-def lbfgs():
-    raise NotImplementedError()
+def lbfgs(*args, **kwargs):
+    """The eager per-op L-BFGS path is intentionally absent: the solver
+    is implemented as ONE fused on-device program (fast_glm.bfgs_fit) —
+    use ``solver='lbfgs'`` on any GLM. (The reference's lbfgs lives in
+    a separate driver loop, glms.py:397-398 stubs the entry.)"""
+    raise NotImplementedError("use GLM(solver='lbfgs') — fused on-device L-BFGS")
 
 
 def admm(*args, **kwargs):

@@ -6,8 +6,9 @@ LOUD in CI rather than discovered by a reviewer:
   1. result_gemm_tpu.csv — bf16 GEMM must hold >=85% of MXU peak at
      16384 and 32768 (BASELINE.md target).
   2. The headline bench (BENCH_r*.json if present, or a JSON line piped
-     via --bench-json) — xTx vs_baseline must stay >= 1.8x the
-     reference's best 8-GPU result.
+     via --bench-json) — xTx vs_baseline must stay >= BENCH_FLOOR_X
+     (see the constant below for the enforced value and rationale)
+     times the reference's best 8-GPU result.
 
 Artifact floors run anywhere (they gate what's committed); pass
 --live to ALSO run bench.py on the attached device and gate its

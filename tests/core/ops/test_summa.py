@@ -177,6 +177,72 @@ def test_collective_microbench_harness(tmp_path, monkeypatch):
         application_manager.destroy()
 
 
+@pytest.mark.parametrize("mode", ["ring", "summa"])
+def test_collective_matmul_ragged_creation_ops(mode, monkeypatch):
+    """Advisor r3 high finding: creation ops (ones/full/eye/arange) used
+    to fill the WHOLE physical buffer, leaving non-zero at-rest pads that
+    the pad-blind collective kernels summed into the result. Creation now
+    generates at the logical shape and zero-pads, so ragged arrays from
+    any constructor are safe under NUMS_TPU_COLLECTIVE_MATMUL."""
+    from nums_tpu.core import settings
+    from nums_tpu.core import application_manager
+
+    monkeypatch.setattr(settings, "collective_matmul", mode)
+    monkeypatch.setattr(settings, "backend_name", "mesh")
+    application_manager.destroy()
+    app = application_manager.create()
+    try:
+        p = app.backend.device_grid.mesh_shape[0]
+        m = 4 * p + 1  # ragged: pad rows exist at rest
+        bs = ((m + p - 1) // p, 8)
+        A = app.ones((m, 8), block_shape=bs)
+        oracle = np.ones((m, 8))
+        assert np.allclose((A.T @ A).get(), oracle.T @ oracle)
+        F = app.full((m, 8), bs, 3.0)
+        of = np.full((m, 8), 3.0)
+        assert np.allclose((F.T @ F).get(), of.T @ of)
+        # eye with the diagonal running through the pad rows
+        E = app.eye_k((m, m + 8), ((m + p - 1) // p, m + 8))
+        oe = np.eye(m, m + 8)
+        assert np.allclose((E @ E.T).get(), oe @ oe.T)
+        ar = app.arange((m,), ((m + p - 1) // p,)).astype(np.float64)
+        oar = np.arange(m, dtype=np.float64)
+        assert np.allclose(ar.T.tensordot(ar, axes=1).get(), oar @ oar)
+    finally:
+        application_manager.destroy()
+
+
+def test_creation_pads_are_zero(monkeypatch):
+    """The at-rest invariant itself: physical buffers of ragged arrays
+    from every constructor have ZERO pads."""
+    from nums_tpu.core import settings
+    from nums_tpu.core import application_manager
+
+    monkeypatch.setattr(settings, "backend_name", "mesh")
+    application_manager.destroy()
+    app = application_manager.create()
+    try:
+        p = app.backend.device_grid.mesh_shape[0]
+        m = 4 * p + 1
+        bs = ((m + p - 1) // p, 8)
+        for arr, logical in [
+            (app.ones((m, 8), block_shape=bs), np.ones((m, 8))),
+            (app.full((m, 8), bs, 7.5), np.full((m, 8), 7.5)),
+            (app.eye_k((m, m + 8), ((m + p - 1) // p, m + 8)),
+             np.eye(m, m + 8)),
+        ]:
+            phys = np.asarray(arr.raw)
+            if phys.shape == logical.shape:
+                continue
+            expect = np.zeros(phys.shape)
+            expect[tuple(slice(0, d) for d in logical.shape)] = logical
+            assert np.array_equal(phys, expect), (
+                f"non-zero pads at physical shape {phys.shape}"
+            )
+    finally:
+        application_manager.destroy()
+
+
 def test_tn_nt_kernels_match_numpy(mesh_backend):
     """Direct kernel-level oracle for the transposed-operand schedules."""
     import jax
