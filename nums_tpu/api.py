@@ -245,7 +245,15 @@ def write_parquet(ba, filename: str, column_names=None,
         assert row_group_rows > 0, row_group_rows
     np_dtype = ba.dtype
 
+    from nums_tpu.core import multiprocess as _mp
+
+    multi = _mp.is_multiprocess()
     if isinstance(ba, DiskArray):
+        if multi and _mp.process_index() != 0:
+            # Host-pure producer (shared-FS panel reads, no collectives):
+            # peers skip straight to the completion barrier.
+            _mp.barrier(f"write_parquet:{filename}")
+            return
         stripes = (p for _, p in ba.iter_row_panels())
         if row_group_rows is not None:
             stripes = _rechunk(stripes, int(row_group_rows))
@@ -257,19 +265,28 @@ def write_parquet(ba, filename: str, column_names=None,
             # re-slice the whole padded buffer each time (quadratic).
             data = ba.data
             for start in range(0, ba.shape[0], rows):
-                yield np.asarray(data[start:start + rows])
+                sl = data[start:start + rows]
+                # Collective fetch under multi-controller (np.asarray of
+                # a global array faults); every process yields the
+                # stripe, only process 0 writes it.
+                yield (
+                    _mp.allgather_to_host(sl) if multi else np.asarray(sl)
+                )
 
         stripes = gen()
+    write = not multi or _mp.process_index() == 0
     writer = None
     try:
         for stripe in stripes:
+            if not write:
+                continue
             table = pa.table(
                 {nm: stripe[:, j] for j, nm in enumerate(names)}
             )
             if writer is None:
                 writer = pq.ParquetWriter(filename, table.schema)
             writer.write_table(table)
-        if writer is None:  # zero rows: still emit a valid empty file
+        if write and writer is None:  # zero rows: still emit a valid file
             empty = pa.table(
                 {nm: np.empty(0, np_dtype) for nm in names}
             )
@@ -278,3 +295,5 @@ def write_parquet(ba, filename: str, column_names=None,
     finally:
         if writer is not None:
             writer.close()
+    if multi:
+        _mp.barrier(f"write_parquet:{filename}")

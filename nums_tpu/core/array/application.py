@@ -24,29 +24,121 @@ from nums_tpu.core.ops import (
 )
 
 
+def _device_rows(panel, lo, hi, rows, fill):
+    """Host rows [lo, hi) of the PADDED panel: logical rows come from
+    ``panel`` (ndarray, or a lazy ``PanelRef`` loading only this range
+    from disk); rows at/past ``rows`` are the pad, filled with ``fill``."""
+    llo, lhi = min(lo, rows), min(hi, rows)
+    if hasattr(panel, "load"):  # PanelRef: O(local rows) disk IO
+        body = panel.load(llo, lhi)
+    else:
+        body = panel[llo:lhi]
+    if lhi - llo == hi - lo:
+        return body
+    filler = np.full(
+        (hi - lo - (lhi - llo),) + tuple(body.shape[1:]),
+        fill, np.dtype(panel.dtype),
+    )
+    return np.concatenate([body, filler], axis=0) if body.shape[0] else filler
+
+
+def _global_put(get_rows, gshape, sharding):
+    """Assemble a GLOBAL jax.Array under multi-controller: each process
+    device_puts only the row ranges its addressable devices cover
+    (``get_rows(lo, hi)``), then the shards join into one global array.
+    The multi-controller replacement for ``jax.device_put(host, s)``
+    (which faults on non-addressable devices)."""
+    import jax
+
+    arrays = []
+    for dev, idx in sharding.addressable_devices_indices_map(gshape).items():
+        if len(gshape):
+            s0 = idx[0] if len(idx) else slice(None)
+            lo = s0.start or 0
+            hi = s0.stop if s0.stop is not None else gshape[0]
+        else:
+            lo, hi = 0, 0  # 0-d (replicated scalar)
+        arrays.append(jax.device_put(get_rows(lo, hi), dev))
+    return jax.make_array_from_single_device_arrays(
+        gshape, sharding, arrays
+    )
+
+
 def ooc_put(backend, panel, fill=0.0):
     """Host panel → device, ROW-SHARDED over the whole mesh (rows pad
     to the device-count multiple with ``fill``); single-device backends
     place it whole. Returns (device_panel, n_valid_rows). Streaming
     kernels consuming padded panels must be fill-neutral (0 for
     additive stats, ±inf for min/max) or row-masked (GLM/KMeans stats
-    mask via the n_valid argument)."""
+    mask via the n_valid argument).
+
+    ``panel`` may be a host ndarray or a ``PanelRef`` (lazy disk panel).
+    Under multi-controller SPMD every process calls this collectively;
+    each puts only the rows of ITS addressable devices (a PanelRef then
+    reads 1/P of the panel from disk — the reference's cluster-wide
+    aggregate-bandwidth execution, systems.py:156-191 there)."""
     import jax
+
+    from nums_tpu.core import multiprocess as _mp
 
     mesh = getattr(backend, "mesh", None)
     rows = panel.shape[0]
     if mesh is None:
+        if hasattr(panel, "full"):
+            panel = panel.full()
         return jax.device_put(panel), rows
     n_dev = int(np.prod(mesh.devices.shape))
     pad = (-rows) % n_dev
+    spec = jax.sharding.PartitionSpec(
+        tuple(mesh.axis_names), *([None] * (len(panel.shape) - 1))
+    )
+    sharding = jax.sharding.NamedSharding(mesh, spec)
+    if _mp.is_multiprocess():
+        gshape = (rows + pad,) + tuple(panel.shape[1:])
+        arr = _global_put(
+            lambda lo, hi: _device_rows(panel, lo, hi, rows, fill),
+            gshape, sharding,
+        )
+        return arr, rows
+    if hasattr(panel, "full"):
+        panel = panel.full()
     if pad:
         filler = np.full((pad,) + panel.shape[1:], fill, panel.dtype)
         panel = np.concatenate([panel, filler], axis=0)
-    spec = jax.sharding.PartitionSpec(
-        tuple(mesh.axis_names), *([None] * (panel.ndim - 1))
-    )
-    sharding = jax.sharding.NamedSharding(mesh, spec)
     return jax.device_put(panel, sharding), rows
+
+
+def ooc_accumulator(backend, value):
+    """Device accumulator for a streaming fold. Single-process: the
+    value as-is (jnp array). Multi-controller: re-placed as a mesh-
+    REPLICATED global array — a per-process local array cannot appear in
+    the same jitted update as a global panel (incompatible devices)."""
+    from nums_tpu.core import multiprocess as _mp
+
+    mesh = getattr(backend, "mesh", None)
+    if mesh is None or not _mp.is_multiprocess():
+        return value
+    import jax
+
+    host = np.asarray(value)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(*([None] * host.ndim))
+    )
+    return _global_put(
+        lambda lo, hi: host[lo:hi] if host.ndim else host,
+        tuple(host.shape), sharding,
+    )
+
+
+def ooc_panels(X):
+    """Row-panel stream for an OOC fold: full host panels (prefetched)
+    single-process; lazy PanelRefs under multi-controller so each
+    process reads only its addressable rows."""
+    from nums_tpu.core import multiprocess as _mp
+
+    if _mp.is_multiprocess():
+        return X.iter_panel_refs()
+    return X.iter_row_panels()
 
 
 def _ooc_y_getter(X, y):
@@ -784,9 +876,11 @@ class ArrayApplication:
     def _ooc_accumulate(self, X, init, update, fill=0.0):
         """Fold ``update(acc, panel_on_device)`` over X's row panels;
         under a mesh each panel is row-sharded across every device (the
-        per-panel GEMM/reduction partitions with a psum)."""
-        acc = init
-        for _, panel in X.iter_row_panels():
+        per-panel GEMM/reduction partitions with a psum). COLLECTIVE
+        under multi-controller: the accumulator is mesh-replicated and
+        each process streams only its addressable panel rows."""
+        acc = ooc_accumulator(self.backend, init)
+        for _, panel in ooc_panels(X):
             p, _ = self._ooc_put(panel, fill=fill)
             acc = update(acc, p)
         return acc
@@ -879,9 +973,9 @@ class ArrayApplication:
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
         y_at = _ooc_y_getter(X, y)
         upd = streaming.normal_eq_update()
-        G = jnp.zeros((d, d), dtype)
-        b = jnp.zeros((d,), dtype)
-        for start, panel in X.iter_row_panels():
+        G = ooc_accumulator(self.backend, jnp.zeros((d, d), dtype))
+        b = ooc_accumulator(self.backend, jnp.zeros((d,), dtype))
+        for start, panel in ooc_panels(X):
             p, _ = self._ooc_put(panel)
             yp, _ = self._ooc_put(y_at(start, panel.shape[0]))
             G, b = upd(G, b, p.astype(dtype), yp.astype(dtype))

@@ -27,6 +27,57 @@ import numpy as np
 from nums_tpu.core.grid import ArrayGrid
 
 
+class PanelRef:
+    """Lazy handle to one row panel of a DiskArray.
+
+    Under multi-controller SPMD each process must feed the device ONLY
+    the rows its addressable shards cover — loading every full panel on
+    every process would multiply disk traffic by the process count. A
+    PanelRef exposes the panel's logical shape without loading anything
+    and serves arbitrary row ranges via memory-mapped block reads
+    (``np.load(mmap_mode='r')`` touches only the pages of the requested
+    rows), so P processes stream 1/P of each panel. This is the
+    streaming analogue of the reference's cluster-wide object store
+    (Ray plasma spans nodes, systems.py:156-191 there): aggregate IO
+    bandwidth scales with the process count.
+    """
+
+    def __init__(self, da, panel_index: int, nrows: int):
+        self._da = da
+        self._i = int(panel_index)
+        self.shape = (
+            (nrows,) if da.ndim == 1 else (nrows, da.shape[1])
+        )
+        self.dtype = da.dtype
+
+    def full(self) -> np.ndarray:
+        """The whole panel (replica/CRC-guarded load)."""
+        return self._da.row_panel(self._i)
+
+    def load(self, lo: int, hi: int) -> np.ndarray:
+        """Host rows [lo, hi) of this panel (panel-relative indices).
+
+        Served from mmap'd primaries when possible; any unreadable
+        block falls back to the replica/CRC-checked full-block loader.
+        """
+        assert 0 <= lo <= hi <= self.shape[0], (lo, hi, self.shape)
+        from nums_tpu.core.io.filesystem import _block_fname
+
+        da = self._da
+        if lo == 0 and hi == self.shape[0]:
+            return self.full()
+        if da.ndim == 1:
+            blk = da._mmap_block(_block_fname((self._i,)))
+            return np.ascontiguousarray(blk[lo:hi])
+        cols = [
+            np.ascontiguousarray(
+                da._mmap_block(_block_fname((self._i, j)))[lo:hi]
+            )
+            for j in range(da.grid.grid_shape[1])
+        ]
+        return cols[0] if len(cols) == 1 else np.concatenate(cols, axis=1)
+
+
 class DiskArray:
     """A 2-D (or 1-D) array resident on disk as grid blocks.
 
@@ -48,6 +99,18 @@ class DiskArray:
         # verify=True additionally CRC-checks primaries on every read.
         self._checks = meta.get("checksums")
         self._verify = bool(verify)
+
+    def _mmap_block(self, fname: str) -> np.ndarray:
+        """Memory-mapped view of one primary block (row-range reads touch
+        only the needed pages). Falls back to the replica/CRC-guarded
+        full load when the primary is unreadable."""
+        primary = os.path.join(self._path, fname)
+        if not self._verify:
+            try:
+                return np.load(primary, mmap_mode="r")
+            except Exception:
+                pass
+        return self._load_block(fname)
 
     def _load_block(self, fname: str) -> np.ndarray:
         from nums_tpu.core.io.filesystem import (
@@ -128,6 +191,16 @@ class DiskArray:
                     fut = ex.submit(self.row_panel, i + 1)
                 yield starts[i], panel
 
+    def iter_panel_refs(self):
+        """Yield (start_row, PanelRef) in row order — the lazy analogue
+        of ``iter_row_panels`` for multi-controller streaming: nothing
+        is read until a row range is requested, so each process pulls
+        only its addressable rows."""
+        starts = [s for s, _ in self.grid.grid_slices[0]]
+        stops = [e for _, e in self.grid.grid_slices[0]]
+        for i in range(self.num_row_panels):
+            yield starts[i], PanelRef(self, i, stops[i] - starts[i])
+
     @classmethod
     def from_panels(cls, path: str, fs, panels, shape, dtype,
                     block_rows: int):
@@ -140,13 +213,26 @@ class DiskArray:
         checksums, meta.pkl last + fsync, atomic rename with an .old-
         backup in the overwrite window) so the result is a first-class
         checkpoint. Peak host memory is one panel.
+
+        COLLECTIVE under multi-controller: every process must call this
+        and iterate the SAME panel stream (producers may contain
+        collectives — e.g. predict_ooc's device kernels — so lockstep
+        iteration is required); only process 0 writes to the shared FS,
+        the rest drain the stream and open the result after a barrier.
         """
         import pickle
         import shutil
 
+        from nums_tpu.core import multiprocess as _mp
         from nums_tpu.core.io.filesystem import (
             _block_crc, _block_fname, _fs_path,
         )
+
+        if _mp.is_multiprocess() and _mp.process_index() != 0:
+            for _ in panels:  # lockstep with process 0's collectives
+                pass
+            _mp.barrier(f"DiskArray.from_panels:{_fs_path(path)}")
+            return cls(_fs_path(path), fs)
 
         path = _fs_path(path)  # relative names live under data_dir
         shape = tuple(int(s) for s in shape)
@@ -201,6 +287,8 @@ class DiskArray:
             shutil.rmtree(trash, ignore_errors=True)
         else:
             os.rename(tmp, path)
+        if _mp.is_multiprocess():
+            _mp.barrier(f"DiskArray.from_panels:{path}")
         return cls(path, fs)
 
     def to_block_array(self, block_shape=None):

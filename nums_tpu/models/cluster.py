@@ -173,24 +173,30 @@ class KMeans:
         first = next(iter(X.iter_row_panels(prefetch=False)))[1]
         sample = jnp.asarray(first, jnp.float32)
         assert sample.shape[0] >= k, "first panel smaller than n_clusters"
-        centers = _seed_kernel(k)(sample, jr.key(self.seed))
+        from nums_tpu.core.array.application import (
+            ooc_accumulator, ooc_panels, ooc_put,
+        )
+
+        backend = X.backend
+        # Seeding runs per-process on the (identical) first panel; the
+        # result is re-placed mesh-replicated so it can meet global
+        # panels inside the jitted stats under multi-controller.
+        centers = ooc_accumulator(
+            backend, _seed_kernel(k)(sample, jr.key(self.seed))
+        )
         stats = _ooc_stats_kernel()
         update = _ooc_update_kernel()
         d = X.shape[1]
 
-        from nums_tpu.core.array.application import ooc_put
-
-        backend = X.backend
-
         def one_pass(centers):
-            sums = jnp.zeros((k, d), jnp.float32)
-            counts = jnp.zeros((k,), jnp.float32)
-            inertia = jnp.zeros((), jnp.float32)
-            for _, panel in X.iter_row_panels():
+            sums = ooc_accumulator(backend, jnp.zeros((k, d), jnp.float32))
+            counts = ooc_accumulator(backend, jnp.zeros((k,), jnp.float32))
+            inertia = ooc_accumulator(backend, jnp.zeros((), jnp.float32))
+            for _, panel in ooc_panels(X):
                 p, nv = ooc_put(backend, panel)
                 sums, counts, inertia = stats(
                     sums, counts, inertia, p.astype(jnp.float32),
-                    centers, jnp.int32(nv),
+                    centers, np.int32(nv),
                 )
             return sums, counts, inertia
 
@@ -217,21 +223,26 @@ class KMeans:
         from nums_tpu.core.array.diskarray import DiskArray
 
         assert self.cluster_centers_ is not None, "fit first"
-        from nums_tpu.core.array.application import ooc_put
+        from nums_tpu.core import multiprocess as _mp
+        from nums_tpu.core.array.application import ooc_panels, ooc_put
 
         backend = X.backend
-        centers = jnp.asarray(
-            self.cluster_centers_.get(), jnp.float32
-        )
+        # Host centers: numpy jit inputs are auto-replicated under
+        # multi-controller (a local jnp array could not meet the global
+        # panel inside the kernel).
+        centers = np.asarray(self.cluster_centers_.get(), np.float32)
         kern = _predict_kernel()
         out = out or X.path + ".labels"
 
         def panels():
-            for _, panel in X.iter_row_panels():
+            for _, panel in ooc_panels(X):
                 p, nv = ooc_put(backend, panel)
-                yield np.asarray(
-                    kern(p.astype(jnp.float32), centers)
-                )[:nv]
+                lab = kern(p.astype(jnp.float32), centers)
+                host = (
+                    _mp.allgather_to_host(lab) if _mp.is_multiprocess()
+                    else np.asarray(lab)
+                )
+                yield host[:nv]
 
         return DiskArray.from_panels(
             out, X._fs, panels(), (X.shape[0],), np.int32,

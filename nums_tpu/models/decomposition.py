@@ -137,16 +137,18 @@ class _BaseSVDModel:
         import jax as _jax
         import jax.numpy as jnp
 
-        from nums_tpu.core.array.application import ooc_put
+        from nums_tpu.core.array.application import (
+            ooc_accumulator, ooc_panels, ooc_put,
+        )
         from nums_tpu.core.ops import streaming
 
         backend = X.backend
         d = X.shape[1]
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
         upd = streaming.gram_and_sum_update()
-        G = jnp.zeros((d, d), dtype)
-        s = jnp.zeros((d,), dtype)
-        for _, panel in X.iter_row_panels():
+        G = ooc_accumulator(backend, jnp.zeros((d, d), dtype))
+        s = ooc_accumulator(backend, jnp.zeros((d,), dtype))
+        for _, panel in ooc_panels(X):
             p, _ = ooc_put(backend, panel)
             G, s = upd(G, s, p.astype(dtype))
         G = np.asarray(_jax.device_get(G), dtype=np.float64)

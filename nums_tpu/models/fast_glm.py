@@ -356,7 +356,9 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
     y: host array, BlockArray, or a 1-D DiskArray sharing X's row
     partitioning. Returns (beta_with_intercept, max|g|, iterations).
     """
-    from nums_tpu.core.array.application import _ooc_y_getter, ooc_put
+    from nums_tpu.core.array.application import (
+        _ooc_y_getter, ooc_accumulator, ooc_panels, ooc_put,
+    )
     from nums_tpu.core.ops import streaming
 
     assert X_disk.ndim == 2
@@ -369,23 +371,30 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
     y_at = _ooc_y_getter(X_disk, y)
     stats = streaming.glm_stats_update(kind)
     newt = streaming.newton_update(bool(penalized))
-    lv = (
+    # Under multi-controller every carried array is mesh-replicated so
+    # the jitted updates see (global panel, global stats) — a process-
+    # local jnp.zeros cannot mix with a global panel in one jit.
+    acc = lambda v: ooc_accumulator(backend, v)  # noqa: E731
+    lv = acc(
         jnp.asarray(lambda_vec, dtype) if lambda_vec is not None
         else jnp.zeros((d + 1,), dtype)
     )
-    beta = jnp.zeros((d + 1,), dtype)
+    beta = acc(jnp.zeros((d + 1,), dtype))
     gmax = jnp.array(jnp.inf, dtype)
     it = 0
     for it in range(1, int(max_iter) + 1):
-        g = jnp.zeros((d + 1,), dtype)
-        H = jnp.zeros((d + 1, d + 1), dtype)
-        for start, panel in X_disk.iter_row_panels():
+        g = acc(jnp.zeros((d + 1,), dtype))
+        H = acc(jnp.zeros((d + 1, d + 1), dtype))
+        for start, panel in ooc_panels(X_disk):
             # Mesh backends shard the panel rows over every device; pad
             # rows are masked out via nv inside the kernel.
             p, nv = ooc_put(backend, panel)
             yp, _ = ooc_put(backend, y_at(start, panel.shape[0]))
+            # nv rides in as a HOST scalar: numpy inputs are auto-
+            # replicated under multi-controller jit, a jnp.int32 would
+            # be a process-local device array (incompatible devices).
             g, H = stats(g, H, p.astype(dtype), yp.astype(dtype), beta,
-                         jnp.int32(nv))
+                         np.int32(nv))
         beta, gmax = newt(beta, g, H, lv)
         if float(gmax) <= tol:  # one scalar sync per PASS, not per op
             break

@@ -240,7 +240,9 @@ class GLM:
         disk-sized dataset costs a single read of it."""
         import jax.numpy as jnp
 
-        from nums_tpu.core.array.application import _ooc_y_getter, ooc_put
+        from nums_tpu.core.array.application import (
+            _ooc_y_getter, ooc_accumulator, ooc_panels, ooc_put,
+        )
         from nums_tpu.core.ops import streaming
         from nums_tpu.models import fast_glm
 
@@ -248,19 +250,19 @@ class GLM:
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
         y_at = _ooc_y_getter(X, y)
         upd = streaming.normal_eq_aug_update()
-        G = jnp.zeros((d + 1, d + 1), dtype)
-        q = jnp.zeros((d + 1,), dtype)
         backend = X.backend
-        for start, panel in X.iter_row_panels():
+        G = ooc_accumulator(backend, jnp.zeros((d + 1, d + 1), dtype))
+        q = ooc_accumulator(backend, jnp.zeros((d + 1,), dtype))
+        for start, panel in ooc_panels(X):
             p, nv = ooc_put(backend, panel)
             yp, _ = ooc_put(backend, y_at(start, panel.shape[0]))
             G, q = upd(G, q, p.astype(dtype), yp.astype(dtype),
-                       jnp.int32(nv))
-        beta0 = jnp.zeros((d + 1,), dtype)
-        lam = (
+                       np.int32(nv))
+        beta0 = ooc_accumulator(backend, jnp.zeros((d + 1,), dtype))
+        lam = ooc_accumulator(backend, (
             jnp.asarray(lv, dtype) if lv is not None
             else jnp.zeros((d + 1,), dtype)
-        )
+        ))
         beta, _, _ = fast_glm.admm_fit_gram(
             G, q, beta0, self._tol, max_iter=int(self._max_iter),
             rho=self._admm_rho, penalty=self._penalty or "none",

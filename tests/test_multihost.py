@@ -146,6 +146,82 @@ np.save(os.path.join(outdir, f"beta_{pid}.npy"), beta)
 acc = float((m.predict(X).get() == real_y).mean())
 assert acc > 0.9, acc
 
+# 6. Out-of-core under multi-controller (VERDICT r3 #1): panels stream
+# with each process reading only its addressable rows (PanelRef) and
+# mesh-replicated accumulators; results must match host oracles.
+ooc_np = rs.randn(37, 6)  # ragged rows: pad masking in every kernel
+Xo = app.array(ooc_np, block_shape=(5, 6))
+da = app.spill(Xo, os.path.join(outdir, "ooc_X"))
+assert np.allclose(app.gram_ooc(da).get(), ooc_np.T @ ooc_np), "gram_ooc"
+assert np.allclose(app.sum_ooc(da).get(), ooc_np.sum(axis=0)), "sum_ooc"
+assert np.allclose(app.max_ooc(da).get(), ooc_np.max(axis=0)), "max_ooc"
+R_ooc = app.tsqr_r_ooc(da).get()
+assert np.allclose(R_ooc.T @ R_ooc, ooc_np.T @ ooc_np, atol=1e-8), "tsqr_r_ooc"
+w_true = rs.randn(6)
+y_lin = ooc_np @ w_true
+theta = app.linear_regression_ooc(da, y_lin).get()
+assert np.allclose(theta, w_true, atol=1e-6), "linear_regression_ooc"
+
+# OOC Newton GLM: same oracle beta as the in-core multi-process fit.
+Xd = app.spill(X, os.path.join(outdir, "ooc_glm"))
+m_ooc = LogisticRegression(solver="newton", tol=1e-8, max_iter=10)
+m_ooc.fit(Xd, real_y)
+beta_ooc = np.concatenate(
+    [np.atleast_1d(np.asarray(m_ooc._beta0.get())),
+     np.asarray(m_ooc._beta.get()).ravel()]
+)
+np.save(os.path.join(outdir, f"beta_ooc_{pid}.npy"), beta_ooc)
+# Collective DiskArray writer: all processes drain the (collective)
+# panel stream, process 0 writes, everyone opens the result.
+pred = m_ooc.predict_ooc(Xd, out=os.path.join(outdir, "ooc_pred"))
+lab = np.concatenate(
+    [pred.row_panel(i) for i in range(pred.num_row_panels)]
+)
+assert float(((lab > 0.5) == real_y).mean()) > 0.9, "predict_ooc"
+
+# Streamed KMeans + PCA ride the same machinery.
+from nums_tpu.models.cluster import KMeans
+km = KMeans(n_clusters=2, max_iter=5, seed=3)
+km.fit(da)
+assert km.cluster_centers_.shape == (2, 6)
+centers_host = np.asarray(km.cluster_centers_.get())
+np.save(os.path.join(outdir, f"km_centers_{pid}.npy"), centers_host)
+from nums_tpu.models.decomposition import PCA
+pca = PCA(n_components=2)
+pca.fit(da)
+evr = np.asarray(pca.explained_variance_ratio_)
+assert evr.shape == (2,) and np.all(evr >= 0), evr
+
+# 7. Linalg + autodiff across real processes (VERDICT r3 #5): ragged
+# TSQR/QR/SVD and a value_and_grad step against host oracles.
+tall = rs.randn(37, 3)
+Xt = app.array(tall, block_shape=(5, 3))
+Rt = app.indirect_tsr(Xt).get()
+assert np.allclose(Rt.T @ Rt, tall.T @ tall, atol=1e-8), "indirect_tsr"
+Qb, Rb = app.qr(Xt)
+qh, rh = Qb.get(), Rb.get()
+assert np.allclose(qh @ rh, tall, atol=1e-8), "qr reconstruct"
+assert np.allclose(qh.T @ qh, np.eye(3), atol=1e-8), "qr orthogonal"
+U, S, VT = app.svd(Xt)
+assert np.allclose(
+    S.get(), np.linalg.svd(tall, compute_uv=False), atol=1e-8
+), "svd singular values"
+assert np.allclose(
+    U.get() @ np.diag(S.get()) @ VT.get(), tall, atol=1e-8
+), "svd reconstruct"
+
+from nums_tpu import autodiff
+w0 = app.array(rs.randn(4), block_shape=(4,))
+def loss(w):
+    r = X @ w - y
+    return (r * r).sum()
+val, gw = autodiff.value_and_grad(loss)(w0)
+w_host = np.asarray(w0.get())
+r_host = real_X @ w_host - real_y
+assert np.isclose(float(val.get()), float(r_host @ r_host)), "ad value"
+g_host = 2.0 * real_X.T @ r_host
+assert np.allclose(np.asarray(gw.get()), g_host, atol=1e-8), "ad grad"
+
 mp.barrier("done")
 print(f"WORKER_{pid}_OK", flush=True)
 """
@@ -226,6 +302,20 @@ def test_multi_process_mesh_e2e(tmp_path, nprocs, local_dev):
     b0 = np.load(tmp_path / "beta_0.npy")
     for pid in range(1, nprocs):
         assert np.allclose(b0, np.load(tmp_path / f"beta_{pid}.npy")), pid
+    # The OOC Newton fit converges to the same beta as the in-core fit,
+    # identically on every process.
+    b_ooc = np.load(tmp_path / "beta_ooc_0.npy")
+    assert np.allclose(b_ooc, b0, atol=1e-6), (
+        np.abs(b_ooc - b0).max(), "OOC multi-host fit drifted from in-core"
+    )
+    km0 = np.load(tmp_path / "km_centers_0.npy")
+    for pid in range(1, nprocs):
+        assert np.allclose(
+            b_ooc, np.load(tmp_path / f"beta_ooc_{pid}.npy")
+        ), pid
+        assert np.allclose(
+            km0, np.load(tmp_path / f"km_centers_{pid}.npy")
+        ), pid
     from nums_tpu.core import application_manager, settings
 
     settings.backend_name = "serial"
