@@ -719,19 +719,34 @@ class BlockArray:
         return self._new(data, bs, shape=lshape)
 
     @staticmethod
-    def _nn_collective_kernel(backend, mode, a_phys, b_phys):
-        """Ring/SUMMA kernel for an untransposed raw GEMM, or None if the
-        physical (at-rest padded) shapes don't fit the schedule."""
+    def _explicit_choice(backend, mode, ta, tb, a_phys, b_phys):
+        """Schedule for an explicit mode (ring|summa): transposed
+        patterns always take their dedicated kernel; NN (and TT, which
+        is NN on the swapped raws) takes the NAMED schedule when the
+        physical shapes divide the mesh, else None (→ XLA)."""
         from nums_tpu.core.ops import summa
 
+        if ta and not tb:
+            return (
+                "tn" if summa.tn_supported(backend, a_phys, b_phys)
+                else None
+            )
+        if tb and not ta:
+            return (
+                "nt" if summa.nt_supported(backend, a_phys, b_phys)
+                else None
+            )
+        if ta and tb:  # NN schedule runs on the swapped raws
+            a_phys, b_phys = b_phys, a_phys
         if mode == "ring" and summa.ring_supported(backend, a_phys, b_phys):
-            return summa.ring_matmul(backend)
+            return "ring"
         if mode == "summa" and summa.supported(backend, a_phys, b_phys):
-            return summa.summa_matmul(backend)
+            return "summa"
         return None
 
     def _collective_matmul(self, other, static_axes):
-        """Hand-scheduled mesh GEMM (NUMS_TPU_COLLECTIVE_MATMUL=ring|summa).
+        """Hand-scheduled mesh GEMM (NUMS_TPU_COLLECTIVE_MATMUL=
+        ring|summa|auto).
 
         The TPU analogue of the reference's NCCL p2p path: explicit ICI
         collectives instead of auto-SPMD. Covers all four transpose
@@ -740,15 +755,19 @@ class BlockArray:
         transpose fused into the MXU contraction; NT all-gathers the B
         panel; TT runs the NN schedule on the swapped raw buffers and
         marks the result lazily transposed (zero extra data movement).
-        Ragged (pad-and-mask) operands need no masking: at-rest pads are
-        ZERO-filled (ops/padded._pad_out), so pad rows contribute zero
-        to every contraction. Returns None (→ default XLA partitioning)
-        when disabled or the physical shapes don't divide the mesh.
+        ``auto`` picks per-shape via ``summa.choose_schedule`` — the
+        dispatch analogue of the reference's per-operand transfer
+        routing (gpu_systems.py:556-606 there). Ragged (pad-and-mask)
+        operands need no masking: at-rest pads are ZERO-filled
+        (ops/padded._pad_out), so pad rows contribute zero to every
+        contraction. Returns None (→ default XLA partitioning) when
+        disabled or no schedule fits; the schedule actually dispatched
+        is recorded in ``summa.LAST_DISPATCH``.
         """
         from nums_tpu.core import settings as _settings
 
         mode = _settings.collective_matmul
-        if mode not in ("ring", "summa"):
+        if mode not in ("ring", "summa", "auto"):
             return None
         if (
             static_axes != 1
@@ -764,34 +783,33 @@ class BlockArray:
         # shape without forcing, so this never splits the lazy DAG.
         a_phys = tuple(self._data.shape)
         b_phys = tuple(other._data.shape)
+        if mode == "auto":
+            choice = summa.choose_schedule(
+                self.backend, ta, tb, a_phys, b_phys,
+                np.dtype(self._data.dtype).itemsize,
+            )
+        else:
+            choice = self._explicit_choice(
+                self.backend, mode, ta, tb, a_phys, b_phys
+            )
+        summa.LAST_DISPATCH = choice or "xla"
+        if choice is None:
+            return None
+        kernel = {
+            "tn": summa.tn_matmul,
+            "nt": summa.nt_matmul,
+            "ring": summa.ring_matmul,
+            "summa": summa.summa_matmul,
+        }[choice](self.backend)
         lshape = (self.shape[0], other.shape[1])
         bs = array_utils.tensordot_block_shape(
             self.block_shape, other.block_shape, 1
         )
         if ta and tb:
             # C = Aᵀ·Bᵀ = (Braw @ Araw)ᵀ
-            kernel = self._nn_collective_kernel(
-                self.backend, mode, b_phys, a_phys
-            )
-            if kernel is None:
-                return None
             data = lazy.apply(kernel, other._data, self._data)
             grid = ArrayGrid(lshape, bs, np.dtype(data.dtype).name)
             return BlockArray(data, grid, self.backend, transposed=True)
-        if ta:
-            if not summa.tn_supported(self.backend, a_phys, b_phys):
-                return None
-            kernel = summa.tn_matmul(self.backend)
-        elif tb:
-            if not summa.nt_supported(self.backend, a_phys, b_phys):
-                return None
-            kernel = summa.nt_matmul(self.backend)
-        else:
-            kernel = self._nn_collective_kernel(
-                self.backend, mode, a_phys, b_phys
-            )
-            if kernel is None:
-                return None
         data = lazy.apply(kernel, self._data, other._data)
         return self._new(data, bs, shape=lshape)
 

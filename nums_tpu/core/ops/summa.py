@@ -22,6 +22,85 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+# ---------------------------------------------------------------------------
+# Auto-dispatch cost model (NUMS_TPU_COLLECTIVE_MATMUL=auto).
+#
+# The reference auto-routes transfers per-operand at dispatch time
+# (gpu_systems.py:556-606 there); the TPU analogue is choosing between
+# XLA's auto-SPMD schedule and the hand-scheduled kernels below. Each
+# constant is named and isolated so the real-ICI tuning round can
+# recalibrate them independently from measured sweeps
+# (scripts/benchmark_collective.py writes the per-schedule columns).
+# ---------------------------------------------------------------------------
+
+# TN replaces XLA's gather+GEMM with a local GEMM + ONE reduce-scatter
+# (transpose fused into the MXU contraction) — profitable whenever the
+# per-device (m, n) partial product stays comfortably in HBM.
+AUTO_TN_MAX_PARTIAL_BYTES = 256 * 2**20
+# NT all-gathers the full Braw (n, K) panel onto every device; past this
+# budget XLA's contracting-dim sharding avoids materializing the panel.
+AUTO_NT_MAX_GATHER_BYTES = 256 * 2**20
+# NN: XLA's single fused all-gather wins while the gathered B panel is
+# small; past this per-device budget prefer a streamed schedule (ring
+# circulates one B shard; SUMMA gathers 1/p-size row/col panels).
+AUTO_NN_GATHER_BUDGET_BYTES = 256 * 2**20
+# Ring amortizes one ppermute hop per step against a (m/p, k/p)·(k/p, n)
+# GEMM; below this per-step k-panel the hop latency dominates.
+AUTO_RING_MIN_K_PANEL = 256
+
+#: Test/debug hook — the schedule BlockArray._collective_matmul last
+#: dispatched: "tn" | "nt" | "ring" | "summa" | "xla" (fallback) | None
+#: (never dispatched). Written on every collective-eligible matmul.
+LAST_DISPATCH = None
+
+
+def choose_schedule(mesh_backend, ta, tb, a_phys, b_phys, itemsize=4):
+    """Pick a hand-scheduled kernel for ``auto`` mode, or None for XLA.
+
+    ``ta``/``tb``: whether A/B are lazily transposed (physical buffers
+    are the untransposed raws). ``a_phys``/``b_phys``: PHYSICAL (at-rest
+    padded) buffer shapes. Returns "tn" | "nt" | "ring" | "summa" |
+    None. Pure function of (mesh, shapes) so dispatch tests can assert
+    the choice per shape without running the kernels.
+    """
+    if mesh_backend.mesh is None:
+        return None
+    if ta and tb:
+        # C = Aᵀ·Bᵀ = (Braw @ Araw)ᵀ — NN schedule on the swapped raws.
+        inner = choose_schedule(
+            mesh_backend, False, False, b_phys, a_phys, itemsize
+        )
+        return inner if inner in ("ring", "summa") else None
+    if ta:
+        # x.T @ x headline pattern: one reduce-scatter, no transpose.
+        if not tn_supported(mesh_backend, a_phys, b_phys):
+            return None
+        m, n = a_phys[1], b_phys[1]
+        if m * n * itemsize <= AUTO_TN_MAX_PARTIAL_BYTES:
+            return "tn"
+        return None
+    if tb:
+        if not nt_supported(mesh_backend, a_phys, b_phys):
+            return None
+        n, k = b_phys
+        if n * k * itemsize <= AUTO_NT_MAX_GATHER_BYTES:
+            return "nt"
+        return None
+    # NN: hand-schedule only when XLA's full-panel gather would blow the
+    # per-device budget (its fused all-gather+GEMM wins below it).
+    k, n = b_phys
+    if k * n * itemsize <= AUTO_NN_GATHER_BUDGET_BYTES:
+        return None
+    ms = mesh_backend.device_grid.mesh_shape
+    if len(ms) > 1 and ms[1] > 1 and supported(mesh_backend, a_phys, b_phys):
+        return "summa"
+    if (
+        ring_supported(mesh_backend, a_phys, b_phys)
+        and a_phys[1] // ms[0] >= AUTO_RING_MIN_K_PANEL
+    ):
+        return "ring"
+    return None
+
 
 def _shard_map(fn, mesh, in_specs, out_specs):
     try:

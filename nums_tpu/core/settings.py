@@ -151,8 +151,11 @@ debug_sharding = os.environ.get("NUMS_TPU_DEBUG_SHARDING", "0") == "1"
 # Hand-scheduled collective matmul for the mesh backend's 2-D tensordot:
 # "0" (default) lets XLA's SPMD partitioner schedule the collectives
 # (usually best on small meshes); "ring" = double-buffered ppermute ring
-# (pod-scale / memory-bound pattern); "summa" = explicit all-gather SUMMA.
-# Falls back to the default path when the shapes aren't supported.
+# (pod-scale / memory-bound pattern); "summa" = explicit all-gather SUMMA;
+# "auto" = per-shape dispatch via the named cost model in ops/summa.py
+# (TN/NT for transposed patterns, streamed schedules past the gather
+# budget, XLA otherwise). Falls back to the default path when the shapes
+# aren't supported.
 collective_matmul = os.environ.get("NUMS_TPU_COLLECTIVE_MATMUL", "0")
 
 # Lazy expression batching (SURVEY hard-part #7): BlockArray ops build a

@@ -243,6 +243,84 @@ def test_creation_pads_are_zero(monkeypatch):
         application_manager.destroy()
 
 
+def test_auto_choose_schedule_per_shape(mesh_backend):
+    """The ``auto`` cost model picks the documented schedule per
+    (transpose pattern, shape) — VERDICT r3 #4's dispatch scaffold."""
+    from nums_tpu.core.backend import SerialBackend
+    from nums_tpu.core.ops import summa
+
+    p = mesh_backend.device_grid.mesh_shape[0]
+    ch = summa.choose_schedule
+    # TN (x.T @ x headline): one reduce-scatter — always chosen while
+    # the per-device (m, n) partial fits the budget.
+    assert ch(mesh_backend, True, False, (8 * p, 4 * p), (8 * p, 6)) == "tn"
+    # ... but not past AUTO_TN_MAX_PARTIAL_BYTES (m*n too large).
+    big = 16384  # 16384^2 * 4B = 1 GiB partial
+    assert big % p == 0
+    assert ch(mesh_backend, True, False, (8 * p, big), (8 * p, big)) is None
+    # NT: all-gathered B panel within budget.
+    assert ch(mesh_backend, False, True, (4 * p, 8), (3 * p, 8)) == "nt"
+    nbig, kbig = 8192 * p, 8192  # n*k*4B = 1 GiB gather
+    assert ch(
+        mesh_backend, False, True, (4 * p, kbig), (nbig, kbig)
+    ) is None
+    # NN small: XLA's fused all-gather+GEMM wins -> None.
+    assert ch(mesh_backend, False, False, (4 * p, 8 * p), (8 * p, 6)) is None
+    # NN past the gather budget on the 2-D mesh: SUMMA.
+    k2, n2 = 8192 * p, 16384  # k*n*4B = 2 GiB > budget
+    assert ch(mesh_backend, False, False, (4 * p, k2), (k2, n2)) == "summa"
+    # Same shapes on a 1-D mesh (no second axis): ring, provided the
+    # per-step k-panel amortizes the ppermute hop.
+    be1 = MeshBackend(cluster_shape=(8,)).init()
+    assert ch(be1, False, False, (8, k2), (k2, n2)) == "ring"
+    assert k2 // 8 >= summa.AUTO_RING_MIN_K_PANEL
+    # Below AUTO_RING_MIN_K_PANEL the hop latency dominates -> None.
+    ksmall = 8 * (summa.AUTO_RING_MIN_K_PANEL - 8)
+    nbig2 = (summa.AUTO_NN_GATHER_BUDGET_BYTES // (4 * ksmall)) + 8
+    nbig2 -= nbig2 % 8
+    assert ch(be1, False, False, (8, ksmall), (ksmall, nbig2)) is None
+    # TT = NN on the swapped raws.
+    assert ch(be1, True, True, (k2, n2), (8, k2)) == "ring"
+    # Serial backend: never.
+    assert ch(SerialBackend().init(), True, False,
+              (8 * p, 4 * p), (8 * p, 6)) is None
+
+
+def test_auto_mode_end_to_end(monkeypatch):
+    """NUMS_TPU_COLLECTIVE_MATMUL=auto routes the headline x.T@x through
+    the TN kernel and falls back to XLA for small NN — asserted via the
+    LAST_DISPATCH hook, with numerics checked against the oracle."""
+    from nums_tpu.core import application_manager, settings
+    from nums_tpu.core.ops import summa
+
+    monkeypatch.setattr(settings, "collective_matmul", "auto")
+    monkeypatch.setattr(settings, "backend_name", "mesh")
+    application_manager.destroy()
+    app = application_manager.create()
+    try:
+        rs = np.random.RandomState(6)
+        p = app.backend.device_grid.mesh_shape[0]
+        x = rs.randn(8 * p, 4 * p)
+        bx = app.array(x, block_shape=(8, 4 * p))
+        summa.LAST_DISPATCH = None
+        assert np.allclose((bx.T @ bx).get(), x.T @ x)
+        assert summa.LAST_DISPATCH == "tn"
+        # Ragged rows ride the same dispatch (zero-filled at-rest pads).
+        xr = rs.randn(8 * p + 1, 4 * p)
+        bxr = app.array(xr, block_shape=(9, 4 * p))
+        summa.LAST_DISPATCH = None
+        assert np.allclose((bxr.T @ bxr).get(), xr.T @ xr)
+        assert summa.LAST_DISPATCH == "tn"
+        # Small NN: auto declines, XLA partitions, result still right.
+        b = rs.randn(4 * p, 6)
+        bb = app.array(b, block_shape=(4, 6))
+        summa.LAST_DISPATCH = None
+        assert np.allclose((bx @ bb).get(), x @ b)
+        assert summa.LAST_DISPATCH == "xla"
+    finally:
+        application_manager.destroy()
+
+
 def test_tn_nt_kernels_match_numpy(mesh_backend):
     """Direct kernel-level oracle for the transposed-operand schedules."""
     import jax
