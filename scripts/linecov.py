@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Line coverage for ``nums_tpu`` via ``sys.monitoring`` (PEP 669).
+
+The reference CI measures test line coverage (`coverage run -m pytest`,
+codecov target 90% — ``/root/reference/.travis.yml`` +
+``codecov.yml``); this image ships neither coverage.py nor pytest-cov,
+so this is the stdlib equivalent: Python 3.12's low-overhead monitoring
+API with per-location DISABLE after first hit (the same mechanism
+coverage.py 7.4+ uses), so a line costs one callback ever.
+
+Usage (what ``scripts/ci_gate.sh`` runs):
+
+    python scripts/linecov.py --floor 80 tests/ -q
+
+runs pytest in-process under monitoring, prints per-file and total
+coverage, and exits non-zero if the suite fails OR total coverage is
+below the floor.
+
+Methodology notes:
+  * "Executable lines" are exactly the interpreter's view: every line
+    in the compiled code objects' ``co_lines()`` tables (recursively
+    through nested code consts). No docstring/pragma exclusion — the
+    number is slightly conservative vs coverage.py.
+  * Only THIS process is traced. The multi-host e2e spawns
+    ``jax.distributed`` worker subprocesses; lines they alone execute
+    (e.g. ``core/multiprocess.py`` internals) are measured by import
+    and by the in-process mesh tests, not by the workers.
+"""
+
+import argparse
+import os
+import sys
+
+TOOL = sys.monitoring.COVERAGE_ID
+
+_covered = {}  # filename -> set of line numbers
+_prefixes = ()
+
+
+def _on_line(code, line):
+    fn = code.co_filename
+    for p in _prefixes:
+        if fn.startswith(p):
+            _covered.setdefault(fn, set()).add(line)
+            break
+    return sys.monitoring.DISABLE
+
+
+def start(package_dirs):
+    """Begin recording LINE events for files under ``package_dirs``."""
+    global _prefixes
+    pref = []
+    for d in package_dirs:
+        pref.append(os.path.abspath(d) + os.sep)
+        pref.append(d.rstrip(os.sep) + os.sep)  # relative co_filename
+    _prefixes = tuple(dict.fromkeys(pref))
+    sys.monitoring.use_tool_id(TOOL, "linecov")
+    sys.monitoring.register_callback(
+        TOOL, sys.monitoring.events.LINE, _on_line
+    )
+    sys.monitoring.set_events(TOOL, sys.monitoring.events.LINE)
+
+
+def stop():
+    sys.monitoring.set_events(TOOL, 0)
+    sys.monitoring.register_callback(TOOL, sys.monitoring.events.LINE, None)
+    sys.monitoring.free_tool_id(TOOL)
+
+
+def executable_lines(path):
+    """The interpreter's executable-line set for one source file."""
+    with open(path, "rb") as f:
+        src = f.read()
+    lines = set()
+    try:
+        code = compile(src, path, "exec")
+    except SyntaxError:
+        return lines
+    stack = [code]
+    codetype = type(code)
+    while stack:
+        co = stack.pop()
+        for _, _, ln in co.co_lines():
+            if ln is not None and ln > 0:
+                lines.add(ln)
+        for c in co.co_consts:
+            if isinstance(c, codetype):
+                stack.append(c)
+    return lines
+
+
+def summarize(package_dirs, covered):
+    """[(relpath, n_exec, n_hit)] for every .py under the packages."""
+    # Normalize covered keys to abspath for the join.
+    cov = {}
+    for fn, lines in covered.items():
+        cov.setdefault(os.path.abspath(fn), set()).update(lines)
+    rows = []
+    for d in package_dirs:
+        for root, _, files in os.walk(d):
+            for f in sorted(files):
+                if not f.endswith(".py"):
+                    continue
+                path = os.path.join(root, f)
+                ex = executable_lines(path)
+                if not ex:
+                    continue
+                hit = cov.get(os.path.abspath(path), set()) & ex
+                rows.append((os.path.relpath(path), len(ex), len(hit)))
+    return rows
+
+
+def report(rows, show_worst=15):
+    total_ex = sum(r[1] for r in rows)
+    total_hit = sum(r[2] for r in rows)
+    pct = 100.0 * total_hit / max(1, total_ex)
+    worst = sorted(rows, key=lambda r: r[2] / r[1])[:show_worst]
+    print(f"\n== line coverage (sys.monitoring) ==")
+    for rel, ex, hit in worst:
+        print(f"  {100.0 * hit / ex:5.1f}%  {hit:>5}/{ex:<5}  {rel}")
+    print(f"TOTAL line coverage: {pct:.1f}% "
+          f"({total_hit}/{total_ex} lines, {len(rows)} files)")
+    return pct
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--floor", type=float, default=None,
+                    help="fail if total %% is below this")
+    ap.add_argument("--pkg", action="append", default=None,
+                    help="package dir(s) to measure (default: nums_tpu)")
+    ap.add_argument("--worst", type=int, default=15,
+                    help="how many worst-covered files to list")
+    args, pytest_args = ap.parse_known_args(argv)
+    pkgs = args.pkg or ["nums_tpu"]
+
+    # `python -m pytest` puts the cwd on sys.path (tests import
+    # `tests.core...` helpers); running via this script must match.
+    if os.getcwd() not in sys.path:
+        sys.path.insert(0, os.getcwd())
+    start(pkgs)
+    import pytest
+
+    rc = pytest.main(pytest_args or ["tests/", "-q"])
+    stop()
+
+    pct = report(summarize(pkgs, _covered), show_worst=args.worst)
+    if rc != 0:
+        return int(rc)
+    if args.floor is not None and pct < args.floor:
+        print(f"FAIL: line coverage {pct:.1f}% < floor {args.floor}%")
+        return 1
+    if args.floor is not None:
+        print(f"ok: line coverage {pct:.1f}% >= floor {args.floor}%")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
