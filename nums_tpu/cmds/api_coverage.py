@@ -38,8 +38,13 @@ HOST_FALLBACK = {
     # trim_zeros, bincount, hypergeometric.
     # (round 3 moved tri/index-builders/windows/sort_complex/poly/
     # real_if_close/insert(scalar-slice) onto the device as well.)
-    "roots",  # polynomial roots need a general eig
-    "eig", "eigvals", "bytes",
+    # roots/eig/eigvals: XLA has no general-eig kernel on TPU. Round 4
+    # moved them onto jax.pure_callback INSIDE the program (operands
+    # stay fused in the XLA program; 1-2 scalar/bool syncs for the
+    # data-dependent shape/dtype) — still listed because the eig math
+    # itself runs in host LAPACK.
+    "roots", "eig", "eigvals",
+    "bytes",
     # CPU-only domains (no TPU representation): datetime64 calendars,
     # np.matrix, nditer machinery, binary/text file parsing.
     "asmatrix", "busday_count", "busday_offset", "is_busday",

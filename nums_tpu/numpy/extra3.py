@@ -395,10 +395,48 @@ def poly(seq_of_zeros):
     return coeffs
 
 
+@functools.lru_cache(maxsize=None)
+def _roots_kernel(cap, cdt_name):
+    """Jitted ``np.roots`` riding ``jax.pure_callback`` (general eig has
+    no XLA kernel on TPU). Returns (capacity-padded roots, count,
+    all-real flag); jitting gives the callback outputs clean shardings."""
+    cdt = np.dtype(cdt_name)
+
+    def cb(x):
+        r = np.roots(np.asarray(x))
+        out = np.zeros((cap,), cdt)
+        out[: r.size] = r.astype(cdt)
+        return out, np.int32(r.size)
+
+    def f(x):
+        data, cnt = jax.pure_callback(
+            cb,
+            (jax.ShapeDtypeStruct((cap,), cdt),
+             jax.ShapeDtypeStruct((), np.int32)),
+            x,
+        )
+        return data, cnt, jnp.all(jnp.imag(data) == 0)
+
+    return jax.jit(f)
+
+
 def roots(p):
-    # Polynomial root-finding needs a general eig — host NumPy.
-    out = np.roots(np.asarray(_to_ba(p).get()))
-    return _instance().array(out, block_shape=out.shape)
+    """Polynomial roots with the general eig riding ``jax.pure_callback``
+    inside the program (XLA has no general-eig kernel on TPU): the
+    coefficients stay in the XLA program; ONE scalar sync (the root
+    count, which depends on leading zeros) picks the logical shape —
+    the capacity+slice idiom (ops/masking.py) — plus one boolean sync
+    for the numpy-parity dtype (real iff every root is real)."""
+    ba = _to_ba(p)
+    cap = max(int(ba.size) - 1, 0)
+    cdt = np.result_type(ba.dtype, np.complex64)
+    data, cnt, all_real = _roots_kernel(cap, cdt.name)(ba.data)
+    out = data[: int(cnt)]
+    if bool(all_real):
+        out = jnp.real(out)
+    from nums_tpu.core.array.blockarray import BlockArray
+
+    return BlockArray.from_jax(out, backend=ba.backend)
 
 
 _k_imag_close = jax.jit(

@@ -185,26 +185,70 @@ def tensorsolve(a, b):
     return _BA.from_jax(_jit()(a.data, b.data), backend=a.backend)
 
 
-def eig(a):
-    """General (non-symmetric) eig: XLA supports it on CPU only — host
-    NumPy fallback (complex results)."""
+@_functools.lru_cache(maxsize=None)
+def _eig_kernel(shape, cdt_name, values_only):
+    """Jitted general-eig: the LAPACK call rides ``jax.pure_callback``
+    inside the program (XLA has no general-eig kernel on TPU), and the
+    all-eigenvalues-real probe computes in the same program. Jitting
+    gives the callback outputs clean shardings (eager pure_callback
+    emits a maximal-device sharding later jits can't consume)."""
     import numpy as _np
-    from nums_tpu.core.application_manager import instance as _inst
 
-    w, v = _np.linalg.eig(a.get())
-    app = _inst()
+    cdt = _np.dtype(cdt_name)
+    wsds = _jax.ShapeDtypeStruct(shape[:-1], cdt)
+
+    if values_only:
+        def cb(x):
+            return _np.linalg.eigvals(_np.asarray(x)).astype(cdt)
+
+        def f(x):
+            w = _jax.pure_callback(cb, wsds, x)
+            return w, _jnp.all(_jnp.imag(w) == 0)
+    else:
+        def cb(x):
+            w, v = _np.linalg.eig(_np.asarray(x))
+            return w.astype(cdt), v.astype(cdt)
+
+        def f(x):
+            w, v = _jax.pure_callback(
+                cb, (wsds, _jax.ShapeDtypeStruct(shape, cdt)), x
+            )
+            ar = _jnp.all(_jnp.imag(w) == 0) & _jnp.all(_jnp.imag(v) == 0)
+            return w, v, ar
+    return _jax.jit(f)
+
+
+def eig(a):
+    """General (non-symmetric) eig. XLA has no general-eig kernel on
+    TPU, so the LAPACK call rides ``jax.pure_callback`` INSIDE the
+    program: a lazy chain feeding it stays fused and the operand never
+    surfaces as a Python-level host array. ONE boolean sync picks the
+    numpy-parity output dtype (real iff the input is real and every
+    eigenvalue is real, as ``np.linalg.eig`` does)."""
+    import numpy as _np
+
+    cdt = _np.result_type(a.dtype, _np.complex64)
+    kern = _eig_kernel(tuple(a.shape), cdt.name, False)
+    w, v, all_real = kern(a.data)
+    if not _np.issubdtype(a.dtype, _np.complexfloating) and bool(all_real):
+        w, v = _jnp.real(w), _jnp.real(v)
     return (
-        app.array(w, block_shape=w.shape),
-        app.array(v, block_shape=v.shape),
+        _BA.from_jax(w, backend=a.backend),
+        _BA.from_jax(v, backend=a.backend),
     )
 
 
 def eigvals(a):
+    """Eigenvalues only — same in-program pure_callback scheme as
+    :func:`eig` (one boolean sync for the numpy-parity dtype)."""
     import numpy as _np
-    from nums_tpu.core.application_manager import instance as _inst
 
-    w = _np.linalg.eigvals(a.get())
-    return _inst().array(w, block_shape=w.shape)
+    cdt = _np.result_type(a.dtype, _np.complex64)
+    kern = _eig_kernel(tuple(a.shape), cdt.name, True)
+    w, all_real = kern(a.data)
+    if not _np.issubdtype(a.dtype, _np.complexfloating) and bool(all_real):
+        w = _jnp.real(w)
+    return _BA.from_jax(w, backend=a.backend)
 
 
 def matrix_norm(a, ord="fro"):  # noqa: A002

@@ -442,6 +442,43 @@ def test_random_generator_api_and_linalg_gaps():
                        atol=1e-8)
 
 
+def test_eig_roots_in_program():
+    """Round 4: eig/eigvals/roots ride jax.pure_callback inside a jitted
+    program (no Python-level host round trip of the operands), keeping
+    numpy's data-dependent output dtypes: real iff everything is real."""
+    # Rotation matrix: genuinely complex eigenvalues.
+    th = 0.7
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    w, v = nps.linalg.eig(nps.array(rot))
+    wn, vn = np.linalg.eig(rot)
+    assert np.issubdtype(w.get().dtype, np.complexfloating)
+    assert np.allclose(np.sort_complex(w.get()), np.sort_complex(wn))
+    # Reconstruction oracle: A v = v diag(w).
+    assert np.allclose(rot @ v.get(), v.get() @ np.diag(w.get()),
+                       atol=1e-8)
+    # Real-spectrum input: numpy returns REAL arrays; parity holds.
+    spd = np.array([[2.0, 1.0], [1.0, 2.0]])
+    w2, v2 = nps.linalg.eig(nps.array(spd))
+    assert not np.issubdtype(w2.get().dtype, np.complexfloating)
+    assert not np.issubdtype(v2.get().dtype, np.complexfloating)
+    wv = nps.linalg.eigvals(nps.array(rot))
+    assert np.issubdtype(wv.get().dtype, np.complexfloating)
+    assert np.allclose(np.sort_complex(wv.get()), np.sort_complex(wn))
+    # roots: leading zeros shrink the output (the count sync), and the
+    # all-real spectrum comes back real like np.roots does.
+    p = np.array([0.0, 0.0, 1.0, -3.0, 2.0])
+    r = nps.roots(nps.array(p))
+    rn = np.roots(p)
+    assert r.shape == rn.shape
+    assert np.allclose(np.sort(r.get()), np.sort(rn))
+    assert not np.issubdtype(r.get().dtype, np.complexfloating)
+    pc = np.array([1.0, 0.0, 1.0])  # x^2 + 1: complex roots
+    rc = nps.roots(nps.array(pc))
+    assert np.issubdtype(rc.get().dtype, np.complexfloating)
+    assert np.allclose(np.sort_complex(rc.get()),
+                       np.sort_complex(np.roots(pc)))
+
+
 def test_mutation_family():
     rs = np.random.RandomState(13)
     x_np = rs.randn(4, 5)
