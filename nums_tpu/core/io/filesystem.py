@@ -1007,6 +1007,26 @@ class FileSystem:
             return self._read_csv_multiprocess(
                 filename, dtype, delimiter, has_header
             )
+        arr = self.read_csv_host(
+            filename, dtype=dtype, delimiter=delimiter,
+            has_header=has_header, num_workers=num_workers,
+        )
+        block_shape = (
+            max(1, arr.shape[0] // max(1, self.backend.num_devices)),
+            arr.shape[1],
+        )
+        return BlockArray.from_np(
+            arr, block_shape=block_shape, backend=self.backend
+        )
+
+    def read_csv_host(
+        self, filename, dtype=float, delimiter=",", has_header=False,
+        num_workers=None,
+    ) -> np.ndarray:
+        """The host-parse stage of :meth:`read_csv` (native C parser,
+        parallel byte ranges) without the device placement — exposed so
+        benchmarks can report parse throughput (the framework claim)
+        separately from the host→device feed (transport-bound here)."""
         if num_workers is None:
             num_workers = max(self.backend.num_devices, os.cpu_count() or 1)
         ranges = self._byte_ranges(filename, num_workers)
@@ -1035,14 +1055,7 @@ class FileSystem:
 
         with ThreadPoolExecutor(max_workers=min(32, len(ranges))) as ex:
             parts = [p for p in ex.map(parse, ranges) if p is not None and p.size]
-        arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-        block_shape = (
-            max(1, arr.shape[0] // max(1, self.backend.num_devices)),
-            arr.shape[1],
-        )
-        return BlockArray.from_np(
-            arr, block_shape=block_shape, backend=self.backend
-        )
+        return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     def loadtxt(
         self, fname, dtype=float, comments="# ", delimiter=" ",

