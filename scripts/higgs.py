@@ -30,7 +30,8 @@ def main(argv=None):
 
     app = nums_tpu.init()
 
-    t0 = time.time()
+    t_ingest = time.time()
+    t0 = t_ingest
     if args.csv:
         import os
 
@@ -76,7 +77,8 @@ def main(argv=None):
     else:
         parser.error("pass --csv PATH or --synthetic")
     X.touch(), y.touch()
-    print(f"ingest: {time.time()-t0:.2f}s  X={X.shape}", flush=True)
+    print(f"ingest total: {time.time()-t_ingest:.2f}s  X={X.shape}",
+          flush=True)
 
     n = X.shape[0]
     split = int(n * 0.8)

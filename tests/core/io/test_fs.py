@@ -184,3 +184,38 @@ def test_native_parser_rejects_ragged_rows(tmp_path):
     arr, ok = _native.parse_bytes(b"1,2,3\n4,5,6\n", ",")
     assert ok and arr.shape == (2, 3)
     assert np.allclose(arr, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_native_parser_fast_path_bit_exact():
+    """The Clinger fast path (<=15 sig digits, |exp|<=22: one exact IEEE
+    multiply) must be BIT-identical to strtod/np.loadtxt for every
+    format the fast path accepts, and the >15-digit / huge-exponent
+    fallback must stay correctly rounded."""
+    import io
+
+    from nums_tpu.core.io import _native
+
+    if _native.get_lib() is None:
+        pytest.skip("no C compiler available")
+    rs = np.random.RandomState(11)
+    vals = np.concatenate([
+        rs.randn(500),                 # ~unit scale
+        rs.randn(500) * 1e-30,         # falls outside the exact window
+        rs.randn(500) * 1e30,
+        np.array([0.0, -0.0, 1.0, -1.0, 1e-322,     # subnormal
+                  1.7976931348623157e308,           # DBL_MAX
+                  123456.789e-10, 5e-324]),
+    ])
+    for fmt in ("%.6g", "%.17g", "%.9e", "%.3f", "%.1f"):
+        txt = "\n".join(
+            ",".join(fmt % v for v in vals[i:i + 4])
+            for i in range(0, len(vals) // 4 * 4, 4)
+        )
+        arr, ok = _native.parse_bytes(txt.encode(), ",")
+        assert ok, fmt
+        oracle = np.loadtxt(io.StringIO(txt), delimiter=",", ndmin=2)
+        assert np.array_equal(arr, oracle), fmt  # bit-exact, not close
+    # inf/nan route through the strtod fallback.
+    arr, ok = _native.parse_bytes(b"inf,-inf,nan\n1,2,3\n", ",")
+    assert ok and np.isposinf(arr[0, 0]) and np.isneginf(arr[0, 1])
+    assert np.isnan(arr[0, 2])
