@@ -59,29 +59,53 @@ def get_lib():
         return _lib
 
 
+def count_values(data: bytes, delimiter: str) -> int:
+    """EXACT value count of delimiter-separated numeric text: one value
+    per delimiter plus one per row (newline-terminated or final
+    unterminated line). Lets callers size the output buffer exactly
+    instead of the conservative len/2 estimate (4x over-allocation on
+    ~9-byte values — pure page-fault churn)."""
+    if not data:
+        return 0
+    d = delimiter.encode()[0:1]
+    rows = data.count(b"\n")
+    if not data.endswith(b"\n"):
+        rows += 1
+    return data.count(d) + rows
+
+
+def parse_bytes_into(data: bytes, delimiter: str, out):
+    """Parse into a caller-provided contiguous float64 buffer (e.g. a
+    slice of one file-wide array, so P ranges assemble with no concat
+    copy). Returns (n_values, n_rows, n_cols, ok)."""
+    lib = get_lib()
+    if lib is None or not data:
+        return 0, 0, 0, False
+    assert out.dtype == np.float64 and out.flags.c_contiguous, out.dtype
+    n_rows = ctypes.c_long(0)
+    n_cols = ctypes.c_long(0)
+    n = lib.nums_parse_csv(
+        data, len(data), delimiter.encode()[0:1],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out.size, ctypes.byref(n_rows), ctypes.byref(n_cols),
+    )
+    if n < 0 or n_cols.value == 0:
+        return 0, 0, 0, False
+    if n_rows.value * n_cols.value != n:
+        return 0, 0, 0, False  # ragged rows: fall back
+    return n, n_rows.value, n_cols.value, True
+
+
 def parse_bytes(data: bytes, delimiter: str):
     """Parse delimiter-separated numeric text → (np.ndarray 2-D, ok).
 
     Returns (None, False) when the native lib is unavailable or the text
     isn't purely numeric (caller falls back to np.loadtxt).
     """
-    lib = get_lib()
-    if lib is None or not data:
+    if get_lib() is None or not data:
         return None, False
-    # Capacity estimate: one value per >=2 bytes is conservative for
-    # numeric text; add headroom for tiny inputs.
-    max_vals = max(64, len(data) // 2 + 16)
-    out = np.empty(max_vals, dtype=np.float64)
-    n_rows = ctypes.c_long(0)
-    n_cols = ctypes.c_long(0)
-    n = lib.nums_parse_csv(
-        data, len(data), delimiter.encode()[0:1],
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        max_vals, ctypes.byref(n_rows), ctypes.byref(n_cols),
-    )
-    if n < 0 or n_cols.value == 0:
+    out = np.empty(max(64, count_values(data, delimiter)), np.float64)
+    n, rows, cols, ok = parse_bytes_into(data, delimiter, out)
+    if not ok:
         return None, False
-    rows, cols = n_rows.value, n_cols.value
-    if rows * cols != n:
-        return None, False  # ragged rows: fall back
     return out[:n].reshape(rows, cols), True

@@ -65,6 +65,41 @@ def test_read_csv_header(app_inst, tmp_path):
     assert np.allclose(ba.get(), arr)
 
 
+def test_read_csv_fast_assembly_edge_cases(app_inst, tmp_path):
+    """The round-4 zero-concat assembly (every range parses into its
+    slice of one exact-size buffer): blank lines, trailing newline runs,
+    a non-numeric file falling back to the loadtxt path, and bit-exact
+    agreement with np.loadtxt."""
+    rs = np.random.RandomState(3)
+    arr = rs.randn(997, 5)  # odd row count: ragged last byte-range
+    path = str(tmp_path / "gaps.csv")
+    with open(path, "w") as f:
+        for i, row in enumerate(arr):
+            f.write(",".join("%.17g" % v for v in row) + "\n")
+            if i % 250 == 0:
+                f.write("\n")  # blank lines shrink the value count
+        f.write("\n\n")
+    host = app_inst.fs.read_csv_host(path, num_workers=6)
+    assert host.shape == arr.shape
+    assert np.array_equal(host, arr)  # %.17g round-trips bit-exact
+    # Non-numeric content: the native path declines, loadtxt fallback
+    # still yields the right values.
+    path2 = str(tmp_path / "inf.csv")
+    with open(path2, "w") as f:
+        f.write("1,2,unparseable\n4,5,6\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        app_inst.fs.read_csv_host(path2, num_workers=2)
+    # inf/nan ride the in-range strtod fallback inside the native path.
+    path3 = str(tmp_path / "naninf.csv")
+    with open(path3, "w") as f:
+        f.write("1,inf,3\n-inf,nan,6\n")
+    host3 = app_inst.fs.read_csv_host(path3, num_workers=1)
+    assert np.isposinf(host3[0, 1]) and np.isneginf(host3[1, 0])
+    assert np.isnan(host3[1, 1])
+
+
 def test_loadtxt(app_inst, tmp_path):
     rs = np.random.RandomState(2)
     arr = rs.randn(100, 3)
