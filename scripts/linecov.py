@@ -110,6 +110,20 @@ def summarize(package_dirs, covered):
     return rows
 
 
+def uncovered_ranges(path, covered):
+    """Sorted [(lo, hi)] of executable-but-unhit line ranges in path."""
+    ex = executable_lines(path)
+    hit = covered.get(os.path.abspath(path), set())
+    missing = sorted(ex - hit)
+    ranges = []
+    for ln in missing:
+        if ranges and ln == ranges[-1][1] + 1:
+            ranges[-1][1] = ln
+        else:
+            ranges.append([ln, ln])
+    return [(a, b) for a, b in ranges]
+
+
 def report(rows, show_worst=15):
     total_ex = sum(r[1] for r in rows)
     total_hit = sum(r[2] for r in rows)
@@ -131,6 +145,9 @@ def main(argv=None):
                     help="package dir(s) to measure (default: nums_tpu)")
     ap.add_argument("--worst", type=int, default=15,
                     help="how many worst-covered files to list")
+    ap.add_argument("--uncovered", default=None,
+                    help="print unhit line ranges for files whose path "
+                         "contains this substring")
     args, pytest_args = ap.parse_known_args(argv)
     pkgs = args.pkg or ["nums_tpu"]
 
@@ -144,7 +161,19 @@ def main(argv=None):
     rc = pytest.main(pytest_args or ["tests/", "-q"])
     stop()
 
-    pct = report(summarize(pkgs, _covered), show_worst=args.worst)
+    rows = summarize(pkgs, _covered)
+    pct = report(rows, show_worst=args.worst)
+    if args.uncovered:
+        cov = {}
+        for fn, lines in _covered.items():
+            cov.setdefault(os.path.abspath(fn), set()).update(lines)
+        for rel, _, _ in rows:
+            if args.uncovered in rel:
+                rngs = uncovered_ranges(rel, cov)
+                spans = ", ".join(
+                    f"{a}" if a == b else f"{a}-{b}" for a, b in rngs
+                )
+                print(f"uncovered {rel}: {spans or '(none)'}")
     if rc != 0:
         return int(rc)
     if args.floor is not None and pct < args.floor:

@@ -88,3 +88,68 @@ def test_public_api_s3_dispatch(nps_app_inst):
     back = nums_tpu.read("s3://darrays/api/arr")
     assert np.allclose(back.get(), x)
     nums_tpu.delete("s3://darrays/api/arr")
+
+
+def test_file_backed_fake_client_semantics(tmp_path):
+    """The file-backed fake (the multi-host harness: separate processes
+    share one 'cloud' directory) — exercised in-process: bucket/key
+    errors, per-key atomic puts with listing-invisible temps, prefix
+    listing with quoted keys, delete batches, reset."""
+    from nums_tpu.core.io.fake_s3 import (
+        FileBackedFakeS3Client, NoSuchBucket, NoSuchKey,
+    )
+
+    c = FileBackedFakeS3Client(str(tmp_path / "cloud"))
+    with pytest.raises(NoSuchBucket):
+        c.put_object(Bucket="nope", Key="k", Body=b"x")
+    c.create_bucket(Bucket="b")
+    c.create_bucket(Bucket="b")  # idempotent
+    c.put_object(Bucket="b", Key="dir/a#1", Body="text")  # str + quoting
+    c.put_object(Bucket="b", Key="dir/a#2", Body=b"\x00\x01")
+    c.put_object(Bucket="b", Key="other", Body=b"z")
+    assert c.get_object(Bucket="b", Key="dir/a#1")["Body"].read() == b"text"
+    with pytest.raises(NoSuchKey):
+        c.get_object(Bucket="b", Key="missing")
+    ls = c.list_objects_v2(Bucket="b", Prefix="dir/")
+    assert [o["Key"] for o in ls["Contents"]] == ["dir/a#1", "dir/a#2"]
+    # A second client on the same root sees the same cloud (the
+    # cross-process property, emulated in-process).
+    c2 = FileBackedFakeS3Client(str(tmp_path / "cloud"))
+    assert c2.get_object(Bucket="b", Key="other")["Body"].read() == b"z"
+    # Orphaned temp files are invisible to listings.
+    (tmp_path / "cloud" / "b" / "#tmp-999-orphan").write_bytes(b"junk")
+    assert c.list_objects_v2(Bucket="b")["KeyCount"] == 3
+    c.delete_object(Bucket="b", Key="other")
+    c.delete_object(Bucket="b", Key="other")  # absent: no error
+    out = c.delete_objects(
+        Bucket="b",
+        Delete={"Objects": [{"Key": "dir/a#1"}, {"Key": "gone"}]},
+    )
+    assert [d["Key"] for d in out["Deleted"]] == ["dir/a#1"]
+    assert c.list_objects_v2(Bucket="b")["KeyCount"] == 1
+    c.reset()
+    with pytest.raises(NoSuchBucket):
+        c.list_objects_v2(Bucket="b")
+
+
+def test_file_backed_fake_e2e_roundtrip(app_inst, tmp_path, monkeypatch):
+    """write_s3/read_s3/delete_s3 against the file-backed fake via
+    NUMS_TPU_FAKE_S3_DIR — the exact client the multihost e2e uses."""
+    monkeypatch.setenv("NUMS_TPU_FAKE_S3_DIR", str(tmp_path / "cloud"))
+    FileSystem.s3_client_factory = None  # env-based selection
+    try:
+        from nums_tpu.core.io.fake_s3 import FileBackedFakeS3Client
+
+        FileBackedFakeS3Client(str(tmp_path / "cloud")).create_bucket(
+            Bucket="darrays"
+        )
+        x = np.arange(60, dtype=float).reshape(15, 4)
+        bx = app_inst.array(x, block_shape=(4, 4))
+        app_inst.write_s3(bx, "darrays/filefake/arr")
+        back = app_inst.read_s3("darrays/filefake/arr")
+        assert np.allclose(back.get(), x)
+        app_inst.delete_s3("darrays/filefake/arr")
+        with pytest.raises(Exception):
+            app_inst.read_s3("darrays/filefake/arr")
+    finally:
+        FileSystem.s3_client_factory = None
