@@ -1,108 +1,187 @@
-"""Pallas TPU kernel: streaming gram matrix  G = XᵀX.
+"""Pallas TPU kernel: symmetric streaming gram matrix  G = XᵀX.
 
 The headline op of the reference's benchmark 1 (x.T @ x,
-scripts/benchmark_bop.py): streams X through VMEM once, accumulating in a
-VMEM scratch across grid steps (reduction-grid pattern), so HBM traffic is
-exactly one read of X plus one write of G.
+scripts/benchmark_bop.py). Design (round 4 — the round-2 full-gram
+stream lost to XLA and was demoted; this one exploits what XLA cannot):
 
-Status: OPT-IN (``NUMS_TPU_PALLAS_GRAM=1``). Measured on v5e at
-N=1M×1000 fp32: this kernel 28ms vs XLA dot_general 14.7ms (69% of bf16
-peak) — XLA's reduction splitting beats the single-accumulator stream on
-one chip, so XLA stays the default. Kept as the starting point for the
-multi-chip fused collective-matmul variant (where manual control pays).
+* **Symmetry**: G is symmetric, so only the upper-triangular 128×128
+  tile pairs are computed — t(t+1)/2 of t² tiles (36/64 at d=1024, a
+  44% FLOP cut). XLA's dot_general has no way to express this. The
+  lower triangle is mirrored by one elementwise ``where`` afterwards.
+* **Single-pass bf16 MACs, f32 accumulation** — the same effective
+  precision as jnp's DEFAULT matmul precision on TPU (one bf16 pass),
+  which is what the default XLA path runs. The round-2 kernel did f32
+  dot_general (3 MXU passes) and was ~2× slower for that reason alone.
+* **One HBM read of X**: row chunks stream through VMEM (Pallas
+  double-buffers the k-sequential blocks automatically); the f32→bf16
+  cast happens on-chip (casting in HBM would add a 1.5× traffic copy).
+  The (d_pad, d_pad) accumulator lives in VMEM for the whole grid and
+  is written back once.
+* **Static unroll** of the tile-pair loop: every slice offset is a
+  compile-time constant (no dynamic-slice overhead; Mosaic pipelines
+  the 36 MXU ops per chunk back-to-back).
+
+Measured on v5e at N=1M, d=1024 fp32: this kernel 13.6 ms vs XLA
+dot_general 18.5 ms (1.36×), compiled with ZERO temp HBM (the input is
+consumed in place). Constraint: d must be a multiple of 128 — for
+unaligned d Mosaic needs a whole-array relayout copy that is both
+slower and 2× the HBM footprint (see ``_plan``), so those shapes stay
+on XLA (the d=1000 headline bench among them).
 """
 
+import functools
 import os
 
-import functools
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _gram_kernel(x_ref, out_ref, acc_ref):
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    chunk = x_ref[:]
-    acc_ref[:] += jax.lax.dot_general(
-        chunk, chunk,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
+TILE = 128
+# VMEM budget (bytes) for x-chunk double buffer + bf16 scratch + the
+# resident (d_pad, d_pad) f32 accumulator; v5e has ~16 MB/core.
+VMEM_BUDGET = 13 * 1024 * 1024
 
 
-def enabled() -> bool:
-    return os.environ.get("NUMS_TPU_PALLAS_GRAM", "0") not in ("0", "", "false")
+def _upper_pairs(t):
+    return [(i, j) for i in range(t) for j in range(t) if i <= j]
+
+
+def _make_kernel(rows, d, n, k_grid):
+    t = d // TILE
+    pairs = _upper_pairs(t)
+    tail = n - (k_grid - 1) * rows  # valid rows in the last block
+
+    def kernel(x_ref, out_ref, xb_ref):
+        k = pl.program_id(0)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        # One on-chip cast per chunk; every pair slices the bf16 copy.
+        xb_ref[:] = x_ref[:].astype(jnp.bfloat16)
+        if tail != rows:  # ragged last block: Pallas pads the block
+            # with unspecified values — zero them in the bf16 copy so
+            # they contribute nothing (NO jnp.pad of the 10GB input).
+            @pl.when(k == k_grid - 1)
+            def _():
+                xb_ref[tail:, :] = jnp.zeros(
+                    (rows - tail, xb_ref.shape[1]), jnp.bfloat16
+                )
+        for ti, tj in pairs:  # static unroll: constant slice offsets
+            i0, j0 = ti * TILE, tj * TILE
+            prod = jax.lax.dot_general(
+                xb_ref[:, i0:i0 + TILE], xb_ref[:, j0:j0 + TILE],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[i0:i0 + TILE, j0:j0 + TILE] = (
+                out_ref[i0:i0 + TILE, j0:j0 + TILE] + prod
+            )
+
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _gram_call(n, d, row_tile):
-    grid = (n // row_tile,)
+def _gram_call(n, d, rows):
+    k_grid = -(-n // rows)
     interpret = jax.default_backend() == "cpu"
+    t = d // TILE
+    n_pairs = t * (t + 1) // 2
+    try:
+        params = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential reduction
+        )
+    except Exception:  # older spelling
+        params = pltpu.TPUCompilerParams(
+            dimension_semantics=("arbitrary",),
+        )
     return pl.pallas_call(
-        _gram_kernel,
-        grid=grid,
+        _make_kernel(rows, d, n, k_grid),
+        grid=(k_grid,),
         interpret=interpret,
         in_specs=[
-            pl.BlockSpec((row_tile, d), lambda i: (i, 0),
+            pl.BlockSpec((rows, d), lambda k: (k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((d, d), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((d, d), lambda k: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((d, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows, d), jnp.bfloat16)],
+        compiler_params=params,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * d * d,
+            flops=2 * k_grid * rows * TILE * TILE * n_pairs,
             bytes_accessed=n * d * 4 + d * d * 4,
             transcendentals=0,
         ),
     )
 
 
+def enabled() -> bool:
+    """auto (default): ON when the default backend is a real TPU — the
+    kernel's single-pass-bf16 accumulation matches the DEFAULT matmul
+    precision XLA uses there, so accuracy class is unchanged while the
+    symmetric schedule cuts the MXU work ~44%. On CPU backends XLA's
+    f32 matmul is exact, so auto stays OFF (the kernel would degrade
+    oracle accuracy). NUMS_TPU_PALLAS_GRAM=1 forces on (interpret mode
+    on CPU), =0 forces off."""
+    env = os.environ.get("NUMS_TPU_PALLAS_GRAM", "auto")
+    if env in ("0", "false", ""):
+        return False
+    if env in ("1", "true"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _plan(n, d):
+    """(rows, d) chunking, or None if the shape doesn't fit.
+
+    d must be lane-aligned (multiple of 128): Mosaic requires VMEM
+    block widths aligned to the (8, 128) tiling, and for unaligned d
+    XLA inserts a whole-array relayout copy before the kernel —
+    measured BOTH slower (26.6 vs 17.8 ms at 1M×1000) and a 2× HBM
+    footprint (OOM at the 2.5M×1000 headline size). Aligned widths run
+    zero-copy (compiled temp = 0 bytes, verified via memory_analysis).
+    """
+    if d % TILE != 0:
+        return None
+    acc = d * d * 4
+    # Largest 8-row-aligned chunk whose double-buffered f32 block plus
+    # bf16 scratch fits the budget next to the resident accumulator.
+    per_row = d * 4 * 2 + d * 2
+    rows = (VMEM_BUDGET - acc) // per_row
+    rows = min(rows, max(8, n // 4))  # at least 4 chunks to stream
+    rows = max(8, (rows // 8) * 8)
+    if rows < 128:
+        return None  # accumulator too big, or too few rows to stream
+    return int(rows), int(d)
+
+
 def supported(shape, dtype) -> bool:
     if len(shape) != 2:
         return False
-    n, d = shape
-    # Accumulator (padded to 128 lanes) + double-buffered input tile must
-    # fit VMEM (~16MB/core budget).
-    d_pad = -(-d // 128) * 128
-    if d_pad * d_pad * 4 > 8 * 1024 * 1024:
+    n, d = int(shape[0]), int(shape[1])
+    if np.dtype(dtype) != np.float32:
         return False
-    return str(dtype) == "float32" and n >= 512
-
-
-def _pick_row_tile(n, d):
-    # Aim for ~2MB input tiles, 8-row aligned, at least 4 grid steps.
-    d_pad = max(128, -(-d // 128) * 128)
-    rows = max(8, (2 * 1024 * 1024) // (d_pad * 4))
-    rows = min(rows, max(8, n // 4))
-    return max(8, (rows // 8) * 8)
+    return _plan(n, d) is not None
 
 
 @functools.lru_cache(maxsize=None)
 def gram_fn(n, d):
-    """Jitted G = XᵀX for fp32 (n, d); pads rows to the tile size."""
-    row_tile = _pick_row_tile(n, d)
+    """Jitted G = XᵀX for fp32 (n, d): the kernel consumes x as-is
+    (ragged row/column tiles are handled in-kernel — padding a 10GB
+    input with jnp.pad would double HBM) and the upper-triangular
+    tiles mirror into the lower triangle with one elementwise where."""
+    rows, _ = _plan(n, d)
 
     def impl(x):
-        m = x.shape[0]
-        num = -(-m // row_tile)
-        padded = num * row_tile
-        if padded != m:
-            x = jnp.concatenate(
-                [x, jnp.zeros((padded - m, d), x.dtype)], axis=0
-            )
-        return _gram_call(padded, d, row_tile)(x)
+        u = _gram_call(n, d, rows)(x)
+        blk = jnp.arange(d) // TILE
+        mask = blk[:, None] <= blk[None, :]
+        return jnp.where(mask, u, u.T)
 
     return jax.jit(impl)
 
