@@ -175,6 +175,22 @@ def main():
     ok &= check("autodiff lsq gradient", g.get(),
                 2.0 * xa.T @ (xa @ ba - ya), tol=5e-3)
 
+    # Symmetric Pallas gram (round 4): default-on for lane-aligned d on
+    # TPU; bf16-class accuracy, exactly symmetric output.
+    from nums_tpu.core.ops import pallas_gram
+
+    xp = rs.randn(120_000, 256).astype(np.float32)
+    if pallas_gram.enabled() and pallas_gram.supported(xp.shape, xp.dtype):
+        import jax.numpy as _jnp
+
+        gp = np.asarray(pallas_gram.gram(_jnp.asarray(xp)))
+        ok &= check("pallas symmetric gram", gp, xp.T @ xp, tol=2e-3)
+        sym = bool(np.array_equal(gp, gp.T))
+        ok &= sym
+        print(f"{'PASS' if sym else 'FAIL'} pallas gram exact symmetry")
+    else:
+        print("SKIP pallas gram (not enabled/supported on this backend)")
+
     print("OVERALL:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
