@@ -695,6 +695,9 @@ class BlockArray:
         if collective is not None:
             return collective
         if other._data is self._data:
+            fast = self._pallas_gram_fast(other, static_axes)
+            if fast is not None:
+                return fast
             data, lshape = padded.call(
                 linear.tensordot_same(
                     static_axes, self._transposed, other._transposed
@@ -716,6 +719,39 @@ class BlockArray:
             )
         else:
             bs = array_utils.default_block_shape_for(lshape)
+        return self._new(data, bs, shape=lshape)
+
+    def _pallas_gram_fast(self, other, static_axes):
+        """x.T @ x on the PHYSICAL at-rest buffer via the symmetric
+        Pallas kernel (ops/pallas_gram), or None.
+
+        The kernel consumes the raw (possibly lane-padded) buffer with
+        NO slice-to-logical: zero-filled at-rest pads contribute zero
+        to the contraction, and a slice in front of a pallas custom
+        call would force XLA to materialize a relayouted copy of the
+        whole input. The (d_phys, d_phys) result has exactly-zero pads
+        — already the at-rest form for the logical (d, d). Serial
+        backend only (the kernel is single-device)."""
+        from nums_tpu.core.ops import pallas_gram
+
+        if (
+            static_axes != 1
+            or self.ndim != 2
+            or not self._transposed
+            or other._transposed
+            or self.backend.mesh is not None
+            or not pallas_gram.enabled()
+        ):
+            return None
+        phys = tuple(self._data.shape)
+        if len(phys) != 2 or not pallas_gram.supported(phys, self.dtype):
+            return None
+        kernel = pallas_gram.gram_fn(int(phys[0]), int(phys[1]))
+        data = lazy.apply(kernel, self._data)
+        lshape = (self.shape[0], other.shape[1])
+        bs = array_utils.tensordot_block_shape(
+            self.block_shape, other.block_shape, 1
+        )
         return self._new(data, bs, shape=lshape)
 
     @staticmethod

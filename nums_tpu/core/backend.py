@@ -114,6 +114,27 @@ class SerialBackend(Backend):
     def num_devices(self):
         return 1
 
+    def physical_shape(self, shape: tuple, grid_shape: tuple = None):
+        """Optionally lane-pads the minor dim (NUMS_TPU_LANE_PAD): the
+        pad region is zero-filled at rest and every consumer either
+        slices to logical (ops/padded.py) or is pad-blind by zeros
+        (contractions), exactly like mesh ragged padding — but here the
+        motive is Mosaic's 128-lane block alignment, which lets the
+        symmetric Pallas gram consume the buffer with no relayout."""
+        del grid_shape
+        from nums_tpu.core import settings
+
+        shape = tuple(shape)
+        if (
+            settings.lane_pad
+            and len(shape) >= 2
+            and shape[-1] >= settings.lane_pad_min
+        ):
+            pad = (-shape[-1]) % 128
+            if pad:
+                return shape[:-1] + (shape[-1] + pad,)
+        return shape
+
     def sharding_for_grid(self, grid: ArrayGrid):
         return jax.sharding.SingleDeviceSharding(self._device)
 

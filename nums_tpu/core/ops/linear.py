@@ -36,20 +36,13 @@ def tensordot_same(axes, t1: bool = False, t2: bool = False, precision=None):
 
     Passing one argument halves the program's argument footprint — some
     PJRT transports account (and stage) duplicate arguments separately,
-    which OOMs at x.T@x scale otherwise.
+    which OOMs at x.T@x scale otherwise. (The symmetric Pallas gram
+    dispatches one level up, BlockArray._pallas_gram_fast, on the
+    PHYSICAL buffer — inside this sliced-to-logical kernel a pallas
+    custom call would force XLA to materialize a relayouted copy.)
     """
-    from nums_tpu.core.ops import pallas_gram
 
     def impl(a):
-        if (
-            axes == 1
-            and t1
-            and not t2
-            and precision is None
-            and pallas_gram.enabled()
-            and pallas_gram.supported(tuple(a.shape), a.dtype)
-        ):
-            return pallas_gram.gram(a)
         return jnp.tensordot(
             _maybe_t(a, t1), _maybe_t(a, t2), axes=axes, precision=precision
         )

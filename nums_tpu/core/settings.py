@@ -158,6 +158,15 @@ debug_sharding = os.environ.get("NUMS_TPU_DEBUG_SHARDING", "0") == "1"
 # aren't supported.
 collective_matmul = os.environ.get("NUMS_TPU_COLLECTIVE_MATMUL", "0")
 
+# At-rest lane padding (serial backend): pad the minor dim of >=2-D
+# arrays to the TPU lane multiple (128) when it is >= lane_pad_min.
+# Zero-filled pads make pad-blind contractions exact, and lane-aligned
+# buffers feed the symmetric Pallas gram with no relayout copy (for
+# unaligned minor dims Mosaic needs a whole-array relayout — measured
+# slower and 2x HBM). Opt-in: it changes every at-rest buffer shape.
+lane_pad = os.environ.get("NUMS_TPU_LANE_PAD", "0") == "1"
+lane_pad_min = int(os.environ.get("NUMS_TPU_LANE_PAD_MIN", "512"))
+
 # Lazy expression batching (SURVEY hard-part #7): BlockArray ops build a
 # deferred DAG; the first sync point compiles the whole chain as ONE
 # jitted program (cached structurally). "0" executes one program per op.
