@@ -21,15 +21,21 @@ Methodology notes:
     in the compiled code objects' ``co_lines()`` tables (recursively
     through nested code consts). No docstring/pragma exclusion — the
     number is slightly conservative vs coverage.py.
-  * Only THIS process is traced. The multi-host e2e spawns
-    ``jax.distributed`` worker subprocesses; lines they alone execute
-    (e.g. ``core/multiprocess.py`` internals) are measured by import
-    and by the in-process mesh tests, not by the workers.
+  * Child interpreters are traced too: ``scripts/linecov_boot`` is
+    prepended to ``PYTHONPATH`` so every subprocess the suite spawns
+    (``jax.distributed`` multi-host workers, dryrun device-count
+    children, trackers) installs the same first-hit collector at
+    startup and dumps its hits to ``NUMS_TPU_LINECOV_DIR`` at exit;
+    the dumps are merged before reporting. Workers that are SIGKILLed
+    (timeout cleanup) lose their dump — best-effort by design.
 """
 
 import argparse
+import json
 import os
+import shutil
 import sys
+import tempfile
 
 TOOL = sys.monitoring.COVERAGE_ID
 
@@ -87,6 +93,43 @@ def executable_lines(path):
             if isinstance(c, codetype):
                 stack.append(c)
     return lines
+
+
+def enable_subprocess_collection(package_dirs):
+    """Point child interpreters at the linecov_boot sitecustomize.
+
+    Returns the directory the children will dump their hit sets into.
+    Mutates ``os.environ`` (inherited by everything the suite spawns;
+    the multi-host tests strip only ``JAX_``/``XLA_`` prefixes).
+    """
+    sub_dir = tempfile.mkdtemp(prefix="linecov_sub_")
+    boot = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "linecov_boot"
+    )
+    os.environ["NUMS_TPU_LINECOV_DIR"] = sub_dir
+    os.environ["NUMS_TPU_LINECOV_PKGS"] = os.pathsep.join(
+        os.path.abspath(p) for p in package_dirs
+    )
+    prev = os.environ.get("PYTHONPATH", "")
+    os.environ["PYTHONPATH"] = boot + (os.pathsep + prev if prev else "")
+    return sub_dir
+
+
+def merge_subprocess(sub_dir, covered):
+    """Fold child-interpreter hit dumps into ``covered``; returns count."""
+    n = 0
+    for f in sorted(os.listdir(sub_dir)):
+        if not f.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(sub_dir, f)) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue  # truncated dump from a dying worker
+        for fn, lines in data.items():
+            covered.setdefault(fn, set()).update(lines)
+        n += 1
+    return n
 
 
 def summarize(package_dirs, covered):
@@ -155,12 +198,16 @@ def main(argv=None):
     # `tests.core...` helpers); running via this script must match.
     if os.getcwd() not in sys.path:
         sys.path.insert(0, os.getcwd())
+    sub_dir = enable_subprocess_collection(pkgs)
     start(pkgs)
     import pytest
 
     rc = pytest.main(pytest_args or ["tests/", "-q"])
     stop()
 
+    n_sub = merge_subprocess(sub_dir, _covered)
+    print(f"merged {n_sub} subprocess coverage dump(s) from {sub_dir}")
+    shutil.rmtree(sub_dir, ignore_errors=True)
     rows = summarize(pkgs, _covered)
     pct = report(rows, show_worst=args.worst)
     if args.uncovered:

@@ -63,6 +63,67 @@ def test_monitoring_records_executed_lines_only(tmp_path):
     assert 0 < pct < 100
 
 
+def test_subprocess_collection_roundtrip(tmp_path):
+    """A child interpreter under linecov_boot dumps hits that merge.
+
+    The child imports a tiny package and runs one of two functions;
+    the dump must carry exactly the taken lines, chain-load the real
+    environment sitecustomize (jax backends still resolvable), and
+    merge into a fresh covered dict.
+    """
+    import subprocess
+
+    pkg = tmp_path / "subcovpkg"
+    pkg.mkdir()
+    (pkg / "mod.py").write_text(textwrap.dedent("""
+        def taken(x):
+            return x * 2
+
+        def never(x):
+            return x - 1
+    """))
+    script = tmp_path / "child.py"
+    script.write_text(textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {str(tmp_path)!r})
+        from subcovpkg import mod
+        assert mod.taken(3) == 6
+        print("CHILD_OK")
+    """))
+    sub_dir = tmp_path / "dumps"
+    sub_dir.mkdir()
+    boot = os.path.join(
+        os.path.dirname(os.path.abspath(linecov.__file__)), "linecov_boot"
+    )
+    env = dict(os.environ)
+    env["NUMS_TPU_LINECOV_DIR"] = str(sub_dir)
+    env["NUMS_TPU_LINECOV_PKGS"] = str(pkg)
+    prev = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = boot + (os.pathsep + prev if prev else "")
+    out = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "CHILD_OK" in out.stdout
+
+    covered = {}
+    n = linecov.merge_subprocess(str(sub_dir), covered)
+    assert n == 1, sorted(os.listdir(sub_dir))
+    hits = {
+        ln
+        for fn, lines in covered.items()
+        if fn.endswith("mod.py")
+        for ln in lines
+    }
+    assert 3 in hits  # taken's body executed
+    assert 6 not in hits  # never's body did not
+    # A truncated dump from a dying worker is skipped, not fatal.
+    (sub_dir / "cov_bad.json").write_text("{truncated")
+    covered2 = {}
+    assert linecov.merge_subprocess(str(sub_dir), covered2) == 1
+
+
 def test_plot_all_renders_committed_artifacts(tmp_path, monkeypatch):
     from scripts import plot_all
 
