@@ -191,6 +191,32 @@ def main():
     else:
         print("SKIP pallas gram (not enabled/supported on this backend)")
 
+    # At-rest lane padding route (round 4, what bench.py runs): a
+    # (n, 1000) BlockArray stored as (n, 1024) with zero pads — x.T@x
+    # must dispatch the symmetric kernel on the PHYSICAL buffer and
+    # match the logical oracle.
+    if pallas_gram.enabled():
+        from nums_tpu.core import application_manager, settings
+
+        settings.lane_pad, settings.lane_pad_min = True, 512
+        application_manager.destroy()
+        app_lp = application_manager.create()
+        try:
+            xq = rs.randn(20_000, 1000).astype(np.float32)
+            bq = app_lp.array(xq, block_shape=(10_000, 1000))
+            padded = tuple(bq.raw.shape) == (20_000, 1024)
+            print(f"{'PASS' if padded else 'FAIL'} lane-padded at-rest "
+                  f"buffer (raw {tuple(bq.raw.shape)})")
+            ok &= padded
+            ok &= check("lane-padded gram route (physical-buffer kernel)",
+                        (bq.T @ bq).get(), xq.T @ xq, tol=5e-3)
+        finally:
+            settings.lane_pad = False
+            application_manager.destroy()
+            application_manager.create()
+    else:
+        print("SKIP lane-padded gram route (pallas disabled here)")
+
     print("OVERALL:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
