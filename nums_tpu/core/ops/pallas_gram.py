@@ -133,7 +133,10 @@ def enabled() -> bool:
         return False
     if env in ("1", "true"):
         return True
-    return jax.default_backend() == "tpu"
+    # "axon" is the experimental remote-TPU PJRT plugin platform name:
+    # same v5e hardware, Mosaic-capable (the kernel's A/B numbers were
+    # measured through it).
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _plan(n, d):
