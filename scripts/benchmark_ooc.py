@@ -33,11 +33,20 @@ import numpy as np
 
 
 def _gen_host_panel(start, rows, d, dtype):
-    """Deterministic data, ~GB/s on host (np.random is 10x slower)."""
-    i = (np.arange(start, start + rows, dtype=np.float64)[:, None]
-         % 977.0)
-    j = np.arange(d, dtype=np.float64)[None, :] % 31.0
-    return ((i * 0.013 + j * 0.07) % 1.9 - 0.95).astype(dtype)
+    """Deterministic data: column j is a sinusoid with its OWN
+    frequency, so columns are near-orthogonal and the design matrix is
+    full rank with a healthy spectrum (H ≈ (n/2)·diag — the Newton
+    solve stays far above single-pass-MAC noise at any N). The old
+    sawtooth ``(i·a + j·b) % 1.9`` had at most 977 distinct rows and
+    near-duplicate columns: H was singular by construction and the
+    solve sat on the Cholesky jitter floor. ~0.5 GB/s on host (sin
+    in fp32)."""
+    i = (np.arange(start, start + rows, dtype=np.float32)[:, None]
+         % 59999.0)
+    j = np.arange(d, dtype=np.float32)[None, :] % 1021.0
+    return np.sin(
+        i * (0.013 + j * 3.7e-4) + j * 0.073, dtype=np.float32
+    ).astype(dtype)
 
 
 def main(argv=None):
@@ -69,53 +78,99 @@ def main(argv=None):
     if args.mode == "device":
         # One program: scan over panels generated in-kernel; measures
         # the pure accumulate path (gen cost is a few % of the GEMM).
-        def gen_panel(pi):
+        #
+        # Lane-padded symmetric route (round 4): generating panels at a
+        # 128-aligned width with ZERO pad columns is free (the
+        # generator is elementwise), and the symmetric Pallas gram then
+        # takes each panel's contraction — upper-triangular tile pairs
+        # only, ~44% fewer MXU FLOPs than XLA's full dot_general. Zero
+        # pads contribute zero, so the padded accumulator's logical
+        # corner is exactly the unpadded result; slice once at the end.
+        from nums_tpu.core.ops import pallas_gram
+
+        def lane_width(width):
+            w = -(-width // 128) * 128
+            if pallas_gram.enabled() and pallas_gram.supported(
+                (rows, w), np.float32
+            ):
+                return w, True
+            return width, False
+
+        def gen_panel(pi, width, dp, intercept=False):
+            """Panel at physical width ``dp``: data columns < width,
+            an intercept column AT ``width`` if asked, zero pads after
+            (the formula matches ``_gen_host_panel`` column-for-column
+            so device and disk modes compute the same statistics)."""
             i = (pi * rows + jax.lax.broadcasted_iota(
-                jnp.float32, (rows, d), 0)) % 977.0
-            j = jax.lax.broadcasted_iota(jnp.float32, (rows, d), 1) % 31.0
-            return (i * 0.013 + j * 0.07) % 1.9 - 0.95
+                jnp.float32, (rows, dp), 0)) % 59999.0
+            j = jax.lax.broadcasted_iota(
+                jnp.float32, (rows, dp), 1) % 1021.0
+            vals = jnp.sin(i * (0.013 + j * 3.7e-4) + j * 0.073)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (rows, dp), 1)
+            if intercept:
+                vals = jnp.where(jj == width, 1.0, vals)
+            if dp > width + (1 if intercept else 0):
+                keep = jj <= width if intercept else jj < width
+                vals = jnp.where(keep, vals, 0.0)
+            return vals
 
         if args.op == "gram":
+            dp, use_pallas = lane_width(d)
+
             @jax.jit
             def run():
                 def body(G, pi):
-                    p = gen_panel(pi)
+                    p = gen_panel(pi, d, dp)
+                    if use_pallas:
+                        return G + pallas_gram.gram(p), None
                     return G + p.T @ p, None
                 G, _ = jax.lax.scan(
-                    body, jnp.zeros((d, d), dtype),
+                    body, jnp.zeros((dp, dp), dtype),
                     jnp.arange(k_panels, dtype=jnp.float32),
                 )
-                return G
+                return G[:d, :d]
 
             sync = lambda out: float(np.asarray(out[0, 0]))
         else:  # one Newton step of logistic regression
+            da_, use_pallas = lane_width(d + 1)
+
             @jax.jit
             def run():
-                beta = jnp.zeros((d + 1,), dtype)
+                beta = jnp.zeros((da_,), dtype)
 
                 def body(carry, pi):
                     g, H = carry
-                    p = gen_panel(pi)
-                    pa = jnp.concatenate(
-                        [p, jnp.ones((rows, 1), dtype)], axis=1)
+                    pa = gen_panel(pi, d, da_, intercept=True)
                     eta = pa @ beta
                     mu = jax.nn.sigmoid(eta)
                     y = (eta > 0).astype(dtype)
                     s = mu * (1.0 - mu)
                     g = g + pa.T @ (mu - y)
-                    H = H + (pa * s[:, None]).T @ pa
+                    if use_pallas:
+                        # H += paᵀ diag(s) pa == gram(√s·pa): the
+                        # weighted Hessian rides the symmetric kernel.
+                        H = H + pallas_gram.gram(
+                            pa * jnp.sqrt(s)[:, None])
+                    else:
+                        H = H + (pa * s[:, None]).T @ pa
                     return (g, H), None
 
                 (g, H), _ = jax.lax.scan(
                     body,
-                    (jnp.zeros((d + 1,), dtype),
-                     jnp.zeros((d + 1, d + 1), dtype)),
+                    (jnp.zeros((da_,), dtype),
+                     jnp.zeros((da_, da_), dtype)),
                     jnp.arange(k_panels, dtype=jnp.float32),
                 )
+                # Pad rows/cols of H are zero; the scale-aware ridge
+                # makes them a benign identity block (and keeps the
+                # pivot floor above single-pass-MAC noise at any N),
+                # and g's pads are zero, so the padded solve's logical
+                # entries equal the unpadded one.
+                ridge = 1e-6 * (jnp.trace(H) / da_ + 1.0)
                 L = jnp.linalg.cholesky(
-                    H + 1e-6 * jnp.eye(d + 1, dtype=dtype))
+                    H + ridge * jnp.eye(da_, dtype=dtype))
                 step = jax.scipy.linalg.cho_solve((L, True), g)
-                return beta - step
+                return (beta - step)[:d + 1]
 
             sync = lambda out: float(np.asarray(out[0]))
 
