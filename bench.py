@@ -29,35 +29,76 @@ def main():
     reps = int(os.environ.get("NUMS_TPU_BENCH_REPS", 5))
     sweeps = int(os.environ.get("NUMS_TPU_BENCH_SWEEPS", 5))
 
+    # At-rest lane padding (round 4): store X as (n, 1024) with ZERO
+    # pad columns so the symmetric Pallas gram consumes the buffer with
+    # no relayout (Mosaic needs 128-aligned widths). Pads are zero, so
+    # the padded contraction equals the logical one exactly; logical
+    # shape stays (n, 1000). Override with NUMS_TPU_LANE_PAD=0.
+    os.environ.setdefault("NUMS_TPU_LANE_PAD", "1")
+
     import jax
 
     import nums_tpu
+    from nums_tpu.core import settings
     from nums_tpu.core.array.blockarray import BlockArray
+    from nums_tpu.core.grid import ArrayGrid
 
     app = nums_tpu.init()
     backend = app.backend
 
     # Deterministic fp32 data generated on-device in ONE buffer (sampling
-    # via jax.random would transiently hold 2x = 20GB at this N).
+    # via jax.random would transiently hold 2x = 20GB at this N) —
+    # directly in the at-rest padded form (no post-hoc pad copy).
     import jax.numpy as jnp
 
-    @jax.jit
-    def gen():
-        i = jax.lax.broadcasted_iota(jnp.float32, (n, d), 0)
-        j = jax.lax.broadcasted_iota(jnp.float32, (n, d), 1)
-        return jnp.sin(i * 1e-5) + jnp.cos(j * 0.37) * 0.5
+    def build():
+        pshape = backend.physical_shape((n, d))
 
-    data = gen()
-    block_rows = max(1, n // max(1, backend.num_devices))
-    X = BlockArray.from_jax(data, block_shape=(block_rows, d), backend=backend)
+        @jax.jit
+        def gen():
+            i = jax.lax.broadcasted_iota(jnp.float32, pshape, 0)
+            j = jax.lax.broadcasted_iota(jnp.float32, pshape, 1)
+            vals = jnp.sin(i * 1e-5) + jnp.cos(j * 0.37) * 0.5
+            if pshape != (n, d):
+                vals = jnp.where((i < n) & (j < d), vals, 0.0)  # zero pad
+            return vals
 
-    def run_once():
-        Z = X.T @ X
-        # Scalar fetch forces completion (robust even where
-        # block_until_ready is a no-op through transport layers).
-        return float(Z[0, 0])
+        block_rows = max(1, n // max(1, backend.num_devices))
+        grid = ArrayGrid((n, d), (block_rows, d), "float32")
+        return BlockArray(gen(), grid, backend)
 
-    run_once()  # compile + warmup
+    def warmup_and_guard(X):
+        # Compile + warmup, then a one-time numerics guard on the
+        # headline op: spot-check G entries against a float64 host
+        # oracle from the generator formula (bf16-MAC/f32-accumulate
+        # class — the same as XLA's default matmul precision on TPU).
+        Zc = (X.T @ X).raw
+        i64 = np.arange(n, dtype=np.float64)
+        for a, b in ((0, 0), (0, d - 1), (d - 1, d - 1)):
+            ca = np.sin(i64 * 1e-5) + np.cos(a * 0.37) * 0.5
+            cb = np.sin(i64 * 1e-5) + np.cos(b * 0.37) * 0.5
+            oracle = float(ca @ cb)
+            got = float(Zc[a, b])
+            assert abs(got - oracle) / abs(oracle) < 5e-3, (
+                a, b, got, oracle,
+            )
+
+    X = build()
+    try:
+        warmup_and_guard(X)
+    except Exception as e:  # pragma: no cover - hardware safety net
+        # The lane-padded Pallas route failed here (compile or
+        # numerics): fall back to the round-3 plain-XLA path rather
+        # than losing the bench run. settings.lane_pad is read
+        # per-call, so flipping it re-routes build() dynamically.
+        if not settings.lane_pad:
+            raise
+        print(f"lane-pad route failed ({type(e).__name__}: {e}); "
+              "falling back to plain XLA", file=sys.stderr)
+        settings.lane_pad = False
+        del X  # free the 10GB padded buffer before rebuilding
+        X = build()
+        warmup_and_guard(X)
 
     def one_sweep():
         # Chain `reps` executions and fetch once: the host↔device scalar
@@ -93,6 +134,7 @@ def main():
         "sweep_s": [round(x, 5) for x in times],
         "baseline": "CupyNcclActorSystem 8xGPU (reference result_bop.csv)",
         "device": str(jax.devices()[0]),
+        "lane_pad": bool(settings.lane_pad),
     }
     print(json.dumps(result))
     return 0

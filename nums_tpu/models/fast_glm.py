@@ -30,36 +30,68 @@ def _posdef_solve(a, b):
     return jax.scipy.linalg.solve_triangular(l.T, z, lower=False)
 
 
-def logistic_newton_step(X, y, beta):
+def _gram(X, s=None, pallas=False):
+    """H = Xᵀ diag(s) X (or XᵀX when ``s`` is None).
+
+    With ``pallas=True`` the contraction rides the symmetric Pallas
+    kernel as gram(√s·X) — upper-triangular tiles only, ~44% fewer MXU
+    FLOPs (``core/ops/pallas_gram.py``). The CALLER opts in (static
+    flag): the kernel requires a lane-aligned unsharded fp32 buffer
+    whose pad columns, if any, are zero — conditions the BlockArray
+    layer checks (``glms._fused_newton``), not this module.
+    """
+    if pallas:
+        from nums_tpu.core.ops import pallas_gram
+
+        W = X if s is None else X * jnp.sqrt(s)[:, None]
+        return pallas_gram.gram(W)
+    Xw = X if s is None else X * s[:, None]
+    return Xw.T @ X
+
+
+def _pad_identity(H, pad_from):
+    """At-rest lane pads leave zero rows/cols in H — give them unit
+    diagonal so the Cholesky stays positive-definite (g's pads are
+    zero, so the solve's pad entries are exactly zero)."""
+    if pad_from is None:
+        return H
+    pad = (jnp.arange(H.shape[0]) >= pad_from).astype(H.dtype)
+    return H + jnp.diag(pad)
+
+
+def logistic_newton_step(X, y, beta, pallas=False, pad_from=None):
     """One Newton step of logistic regression. Fully fused.
 
     Matches the math of the reference benchmark step
     (scripts/benchmark_lr.py:56-150): mu = sigmoid(X beta);
     g = X^T (mu - y); H = X^T S X; beta' = beta - H^{-1} g.
+    ``pallas``/``pad_from``: lane-padded opt-in, see ``newton_fit``.
     """
     mu = _sigmoid(X @ beta)
     g = X.T @ (mu - y)
     s = mu * (1.0 - mu)
-    H = (X * s[:, None]).T @ X
-    return beta - _posdef_solve(H, g), g
+    H = _gram(X, s, pallas=pallas)
+    return beta - _posdef_solve(_pad_identity(H, pad_from), g), g
 
 
-logistic_newton_step_jit = jax.jit(logistic_newton_step)
+logistic_newton_step_jit = jax.jit(
+    logistic_newton_step, static_argnames=("pallas", "pad_from")
+)
 
 
-def linear_newton_step(X, y, beta):
+def linear_newton_step(X, y, beta, pallas=False, pad_from=None):
     mu = X @ beta
     g = X.T @ (mu - y)
-    H = X.T @ X
-    return beta - _posdef_solve(H, g), g
+    H = _gram(X, pallas=pallas)
+    return beta - _posdef_solve(_pad_identity(H, pad_from), g), g
 
 
-def poisson_newton_step(X, y, beta):
+def poisson_newton_step(X, y, beta, pallas=False, pad_from=None):
     eta = X @ beta
     mu = jnp.exp(eta)
     g = X.T @ (mu - y)
-    H = (X * mu[:, None]).T @ X
-    return beta - _posdef_solve(H, g), g
+    H = _gram(X, mu, pallas=pallas)
+    return beta - _posdef_solve(_pad_identity(H, pad_from), g), g
 
 
 _STEPS = {
@@ -69,7 +101,8 @@ _STEPS = {
 }
 
 
-def _newton_step_penalized(kind, X, y, beta, lambda_vec):
+def _newton_step_penalized(kind, X, y, beta, lambda_vec,
+                           pallas=False, pad_from=None):
     """One Newton step with l2 penalty: g += λ∘β; H += diag(λ).
 
     (The reference broadcasts the λ vector across the whole Hessian —
@@ -81,30 +114,39 @@ def _newton_step_penalized(kind, X, y, beta, lambda_vec):
         s = mu * (1.0 - mu)
     elif kind == "linear":
         mu = X @ beta
-        s = jnp.ones_like(mu)
+        s = None  # H = XᵀX
     elif kind == "poisson":
         mu = jnp.exp(X @ beta)
         s = mu
     else:
         raise ValueError(kind)
     g = X.T @ (mu - y)
-    H = (X * s[:, None]).T @ X
+    H = _gram(X, s, pallas=pallas)
     if lambda_vec is not None:
         g = g + lambda_vec * beta
         H = H + jnp.diag(lambda_vec)
-    return beta - _posdef_solve(H, g), g
+    return beta - _posdef_solve(_pad_identity(H, pad_from), g), g
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "max_iter", "penalized")
+    jax.jit,
+    static_argnames=("kind", "max_iter", "penalized", "pallas", "pad_from"),
 )
 def newton_fit(X, y, beta0, tol, kind="logistic", max_iter=10,
-               penalized=False, lambda_vec=None):
+               penalized=False, lambda_vec=None,
+               pallas=False, pad_from=None):
     """Full Newton training with ON-DEVICE convergence: the loop is a
     lax.while_loop checking max|g| <= tol after each update — semantics
     identical to the reference's driver loop (glms.py:362-372) but with
     zero per-iteration host syncs (the reference ray.get's every
-    iteration, its acknowledged choke point)."""
+    iteration, its acknowledged choke point).
+
+    ``pallas``/``pad_from``: opt-in from the BlockArray layer — X is
+    the at-rest lane-padded PHYSICAL buffer (zero pad columns from
+    ``pad_from`` on), beta0/lambda_vec are zero-padded to match, and
+    the Hessian rides the symmetric Pallas kernel; pads stay exactly
+    zero through every iteration (zero X columns → zero g/H entries,
+    unit pad diagonal in the solve)."""
     lv = lambda_vec if penalized else None
 
     def cond(state):
@@ -113,7 +155,9 @@ def newton_fit(X, y, beta0, tol, kind="logistic", max_iter=10,
 
     def body(state):
         beta, _, it = state
-        beta, g = _newton_step_penalized(kind, X, y, beta, lv)
+        beta, g = _newton_step_penalized(
+            kind, X, y, beta, lv, pallas=pallas, pad_from=pad_from
+        )
         return beta, jnp.max(jnp.abs(g)), it + 1
 
     init = (beta0, jnp.array(jnp.inf, X.dtype), jnp.array(0, jnp.int32))

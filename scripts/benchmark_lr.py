@@ -31,24 +31,38 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import nums_tpu
+    from nums_tpu.core.ops import pallas_gram
 
     nums_tpu.init()
     d = args.d
     for n in [int(x) for x in args.ns.split(",")]:
         try:
+            # Lane-padded symmetric route (round 4): generate X at a
+            # 128-aligned width with zero pad columns so the Hessian
+            # rides the upper-triangular-only Pallas kernel.
+            dp = -(-d // 128) * 128
+            use_pallas = pallas_gram.enabled() and pallas_gram.supported(
+                (n, dp), np.float32
+            )
+            if not use_pallas:
+                dp = d
+
             @jax.jit
-            def gen(n=n):
-                i = jax.lax.broadcasted_iota(jnp.float32, (n, d), 0)
-                j = jax.lax.broadcasted_iota(jnp.float32, (n, d), 1)
+            def gen(n=n, dp=dp):
+                i = jax.lax.broadcasted_iota(jnp.float32, (n, dp), 0)
+                j = jax.lax.broadcasted_iota(jnp.float32, (n, dp), 1)
                 X = jnp.sin(i * 1e-5) + jnp.cos(j * 0.37) * 0.5
+                if dp != d:
+                    X = jnp.where(j < d, X, 0.0)
                 y = (jnp.sin(i[:, 0] * 0.77) > 0).astype(jnp.float32)
                 return X, y
 
             X, y = gen()
-            beta = jnp.zeros((d,), jnp.float32)
+            beta = jnp.zeros((dp,), jnp.float32)
+            kw = dict(pallas=True, pad_from=d) if use_pallas else {}
 
             tmin, tmean, tstd = benchmark_chained(
-                lambda: logistic_newton_step_jit(X, y, beta),
+                lambda: logistic_newton_step_jit(X, y, beta, **kw),
                 lambda out: float(out[0][0]),
             )
             del X, y

@@ -82,6 +82,37 @@ def test_pallas_gram_fast_path_on_padded_buffer(padded_app, monkeypatch):
     assert np.all(raw[100:, :] == 0) and np.all(raw[:, 100:] == 0)
 
 
+def test_fused_newton_rides_pallas_on_padded_buffer(padded_app, monkeypatch):
+    """GLM training: with a lane-padded at-rest X, the fused Newton
+    Hessian dispatches the symmetric Pallas kernel on the PHYSICAL
+    buffer (pads stay zero through every iteration; the solve gives
+    pad rows a unit diagonal) and the fit still converges."""
+    monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")
+    from nums_tpu.core.ops import pallas_gram
+    from nums_tpu.models.glms import LogisticRegression
+
+    rs = np.random.RandomState(3)
+    n, d = 2048, 96
+    X = rs.randn(n, d).astype(np.float32)
+    w = rs.randn(d).astype(np.float32)
+    y = (X @ w + 0.1 * rs.randn(n).astype(np.float32) > 0).astype(
+        np.float32
+    )
+
+    calls = []
+    orig = pallas_gram.gram_fn
+    monkeypatch.setattr(
+        pallas_gram, "gram_fn", lambda *a: calls.append(a) or orig(*a)
+    )
+    bx = padded_app.array(X, block_shape=(n, d))
+    by = padded_app.array(y, block_shape=(n,))
+    model = LogisticRegression(solver="newton", tol=1e-6, max_iter=10)
+    model.fit(bx, by)
+    acc = float((model.predict(bx).get() == y).mean())
+    assert acc > 0.97, acc
+    assert any(a[-1] == 128 for a in calls), calls  # physical width
+
+
 def test_checkpoint_roundtrip_padded(padded_app, tmp_path):
     rs = np.random.RandomState(2)
     x = rs.randn(24, 17)
