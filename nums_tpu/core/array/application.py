@@ -64,7 +64,8 @@ def _global_put(get_rows, gshape, sharding):
     )
 
 
-def ooc_put(backend, panel, fill=0.0):
+def ooc_put(backend, panel, fill=0.0, lane_pad_to=None,
+            augment_ones=False):
     """Host panel → device, ROW-SHARDED over the whole mesh (rows pad
     to the device-count multiple with ``fill``); single-device backends
     place it whole. Returns (device_panel, n_valid_rows). Streaming
@@ -76,7 +77,15 @@ def ooc_put(backend, panel, fill=0.0):
     Under multi-controller SPMD every process calls this collectively;
     each puts only the rows of ITS addressable devices (a PanelRef then
     reads 1/P of the panel from disk — the reference's cluster-wide
-    aggregate-bandwidth execution, systems.py:156-191 there)."""
+    aggregate-bandwidth execution, systems.py:156-191 there).
+
+    ``lane_pad_to``/``augment_ones``: serial-backend only —
+    ``augment_ones`` appends the GLM intercept column (all ones; serial
+    panels have no pad rows to mask) and ``lane_pad_to`` then zero-pads
+    the minor dim to this width, both HOST-side, so lane-aligned
+    kernels (the symmetric Pallas gram) consume the transferred buffer
+    with no on-device relayout (padding on device would cost more HBM
+    traffic than the kernel saves; see ops/pallas_gram.py)."""
     import jax
 
     from nums_tpu.core import multiprocess as _mp
@@ -86,6 +95,15 @@ def ooc_put(backend, panel, fill=0.0):
     if mesh is None:
         if hasattr(panel, "full"):
             panel = panel.full()
+        if augment_ones:
+            ones = np.ones((rows, 1), panel.dtype)
+            panel = np.concatenate([panel, ones], axis=-1)
+        if lane_pad_to is not None and lane_pad_to > panel.shape[-1]:
+            cols = np.zeros(
+                tuple(panel.shape[:-1]) + (lane_pad_to - panel.shape[-1],),
+                panel.dtype,
+            )
+            panel = np.concatenate([panel, cols], axis=-1)
         return jax.device_put(panel), rows
     n_dev = int(np.prod(mesh.devices.shape))
     pad = (-rows) % n_dev
@@ -870,10 +888,26 @@ class ArrayApplication:
         self.write_fs(ba, filename, replicas=replicas)
         return self.open_fs(filename)
 
-    def _ooc_put(self, panel, fill=0.0):
-        return ooc_put(self.backend, panel, fill=fill)
+    def _ooc_put(self, panel, fill=0.0, lane_pad_to=None):
+        return ooc_put(
+            self.backend, panel, fill=fill, lane_pad_to=lane_pad_to
+        )
 
-    def _ooc_accumulate(self, X, init, update, fill=0.0):
+    def _ooc_lane_width(self, d, dtype):
+        """Accumulator width for a streamed gram-shaped fold: the 128
+        multiple when the symmetric Pallas kernel can take the panels
+        (serial backend, fp32), else the logical width."""
+        import jax.numpy as jnp
+
+        if self.backend.mesh is None and dtype == jnp.float32:
+            from nums_tpu.core.ops import pallas_gram
+
+            if pallas_gram.enabled():
+                return -(-d // 128) * 128
+        return d
+
+    def _ooc_accumulate(self, X, init, update, fill=0.0,
+                        lane_pad_to=None):
         """Fold ``update(acc, panel_on_device)`` over X's row panels;
         under a mesh each panel is row-sharded across every device (the
         per-panel GEMM/reduction partitions with a psum). COLLECTIVE
@@ -881,7 +915,7 @@ class ArrayApplication:
         each process streams only its addressable panel rows."""
         acc = ooc_accumulator(self.backend, init)
         for _, panel in ooc_panels(X):
-            p, _ = self._ooc_put(panel, fill=fill)
+            p, _ = self._ooc_put(panel, fill=fill, lane_pad_to=lane_pad_to)
             acc = update(acc, p)
         return acc
 
@@ -896,11 +930,19 @@ class ArrayApplication:
         d = X.shape[1]
         # jnp round-trip resolves device coercion (e.g. f64→f32 on TPU).
         dtype = jnp.asarray(np.zeros(0, dtype or X.dtype)).dtype
+        # Lane-padded symmetric route (serial, fp32): panels transfer
+        # zero-padded to the 128 multiple and each contraction rides
+        # the symmetric Pallas kernel (gram_update dispatches per
+        # shape); the accumulator's logical corner is sliced once.
+        dp = self._ooc_lane_width(d, dtype)
         upd = streaming.gram_update()
         G = self._ooc_accumulate(
-            X, jnp.zeros((d, d), dtype),
+            X, jnp.zeros((dp, dp), dtype),
             lambda acc, p: upd(acc, p.astype(dtype)),
+            lane_pad_to=dp if dp != d else None,
         )
+        if dp != d:
+            G = G[:d, :d]
         return BlockArray.from_jax(G, backend=self.backend)
 
     def _reduce0_ooc(self, X, op):
@@ -971,14 +1013,19 @@ class ArrayApplication:
         assert X.ndim == 2
         d = X.shape[1]
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        dp = self._ooc_lane_width(d, dtype)
         y_at = _ooc_y_getter(X, y)
         upd = streaming.normal_eq_update()
-        G = ooc_accumulator(self.backend, jnp.zeros((d, d), dtype))
-        b = ooc_accumulator(self.backend, jnp.zeros((d,), dtype))
+        G = ooc_accumulator(self.backend, jnp.zeros((dp, dp), dtype))
+        b = ooc_accumulator(self.backend, jnp.zeros((dp,), dtype))
         for start, panel in ooc_panels(X):
-            p, _ = self._ooc_put(panel)
+            p, _ = self._ooc_put(
+                panel, lane_pad_to=dp if dp != d else None
+            )
             yp, _ = self._ooc_put(y_at(start, panel.shape[0]))
             G, b = upd(G, b, p.astype(dtype), yp.astype(dtype))
+        if dp != d:
+            G, b = G[:d, :d], b[:d]
         if lamb:
             G = G + lamb * jnp.eye(d, dtype=dtype)
         theta = linalg.posdef_solve(G, b)

@@ -26,7 +26,12 @@ dot_general 18.5 ms (1.36×), compiled with ZERO temp HBM (the input is
 consumed in place). Constraint: d must be a multiple of 128 — for
 unaligned d Mosaic needs a whole-array relayout copy that is both
 slower and 2× the HBM footprint (see ``_plan``), so those shapes stay
-on XLA (the d=1000 headline bench among them).
+on XLA. Unaligned-width WORKLOADS still ride the kernel by making the
+buffer aligned with zero pad columns (which contribute zero to the
+contraction): at-rest lane padding for BlockArrays
+(NUMS_TPU_LANE_PAD — the d=1000 headline bench), host-side panel
+padding for the OOC streaming paths (``ooc_put(lane_pad_to=...)``),
+and padded generation in the benchmark scripts.
 """
 
 import functools

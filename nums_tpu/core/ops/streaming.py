@@ -17,13 +17,34 @@ from nums_tpu.core.ops import linalg as _linalg
 
 @functools.lru_cache(maxsize=None)
 def gram_update():
-    """G += panelᵀ panel."""
+    """G += panelᵀ panel.
+
+    Per-shape dispatch (at trace time): a lane-aligned fp32 panel —
+    what ``gram_ooc`` transfers when the symmetric Pallas kernel is
+    enabled — contracts via the upper-triangular-only kernel; anything
+    else (unaligned width, ragged tail panel too short to stream,
+    other dtypes) takes the XLA dot. Both routes compute the same
+    logical values (pad columns are zero), so mixed panels are fine.
+    """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def k(G, panel):
-        return G + panel.T @ panel
+        return G + _sym_gram(panel)
 
     return k
+
+
+def _sym_gram(panel):
+    """panelᵀ panel with per-shape dispatch (trace time): lane-aligned
+    fp32 panels ride the symmetric Pallas kernel, everything else takes
+    the XLA dot. Pad columns, if any, are zero, so both routes compute
+    the same logical values."""
+    from nums_tpu.core.ops import pallas_gram
+
+    shp = (int(panel.shape[0]), int(panel.shape[1]))
+    if pallas_gram.enabled() and pallas_gram.supported(shp, panel.dtype):
+        return pallas_gram.gram(panel)
+    return panel.T @ panel
 
 
 @functools.lru_cache(maxsize=None)
@@ -33,7 +54,7 @@ def gram_and_sum_update():
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def k(G, s, panel):
-        return G + panel.T @ panel, s + panel.sum(axis=0)
+        return G + _sym_gram(panel), s + panel.sum(axis=0)
 
     return k
 
@@ -44,7 +65,7 @@ def normal_eq_update():
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def k(G, b, panel, y_panel):
-        return G + panel.T @ panel, b + panel.T @ y_panel
+        return G + _sym_gram(panel), b + panel.T @ y_panel
 
     return k
 
@@ -132,14 +153,58 @@ def glm_stats_update(kind: str):
 
 
 @functools.lru_cache(maxsize=None)
-def newton_update(penalized: bool):
-    """beta' = beta − (H + diag(λ))⁻¹ (g + λ∘beta); returns max|g|."""
+def glm_stats_update_aug(kind: str):
+    """``glm_stats_update`` for panels that arrive ALREADY
+    intercept-augmented (and possibly lane-padded) from
+    ``ooc_put(augment_ones=True, lane_pad_to=...)`` — serial backend
+    only (no pad rows to mask). The Hessian contraction rides the
+    symmetric Pallas kernel as gram(√s·pa) when the panel shape
+    qualifies; pad columns are zero so every pad entry of g and H is
+    exactly zero either way."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def k(g, H, pa, y_panel, beta):
+        from nums_tpu.core.ops import pallas_gram
+
+        eta = pa @ beta
+        if kind == "logistic":
+            mu = jax.nn.sigmoid(eta)
+            s = mu * (1.0 - mu)
+        elif kind == "linear":
+            mu = eta
+            s = jnp.ones_like(eta)
+        elif kind == "poisson":
+            mu = jnp.exp(eta)
+            s = mu
+        else:
+            raise ValueError(kind)
+        g = g + pa.T @ (mu - y_panel)
+        shp = (int(pa.shape[0]), int(pa.shape[1]))
+        if pallas_gram.enabled() and pallas_gram.supported(shp, pa.dtype):
+            H = H + pallas_gram.gram(pa * jnp.sqrt(s)[:, None])
+        else:
+            H = H + (pa * s[:, None]).T @ pa
+        return g, H
+
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def newton_update(penalized: bool, pad_from: int = None):
+    """beta' = beta − (H + diag(λ))⁻¹ (g + λ∘beta); returns max|g|.
+
+    ``pad_from``: lane-padded stats — H's pad rows/cols are zero; give
+    them a unit diagonal so the Cholesky stays positive-definite (g and
+    beta pads are zero, so the step's pad entries stay exactly zero)."""
 
     @jax.jit
     def k(beta, g, H, lambda_vec):
         if penalized:
             g = g + lambda_vec * beta
             H = H + jnp.diag(lambda_vec)
+        if pad_from is not None:
+            pad = (jnp.arange(H.shape[0]) >= pad_from).astype(H.dtype)
+            H = H + jnp.diag(pad)
         step = _linalg._posdef_solve_impl(H, g)
         return beta - step, jnp.max(jnp.abs(g))
 

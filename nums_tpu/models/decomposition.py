@@ -145,12 +145,24 @@ class _BaseSVDModel:
         backend = X.backend
         d = X.shape[1]
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        # Lane-padded symmetric route (serial fp32): see
+        # application.gram_ooc — panels transfer zero-padded so the
+        # streamed gram rides the symmetric Pallas kernel.
+        dp = d
+        if getattr(backend, "mesh", None) is None and dtype == jnp.float32:
+            from nums_tpu.core.ops import pallas_gram
+
+            if pallas_gram.enabled():
+                dp = -(-d // 128) * 128
         upd = streaming.gram_and_sum_update()
-        G = ooc_accumulator(backend, jnp.zeros((d, d), dtype))
-        s = ooc_accumulator(backend, jnp.zeros((d,), dtype))
+        G = ooc_accumulator(backend, jnp.zeros((dp, dp), dtype))
+        s = ooc_accumulator(backend, jnp.zeros((dp,), dtype))
         for _, panel in ooc_panels(X):
-            p, _ = ooc_put(backend, panel)
+            p, _ = ooc_put(backend, panel,
+                           lane_pad_to=dp if dp != d else None)
             G, s = upd(G, s, p.astype(dtype))
+        if dp != d:
+            G, s = G[:d, :d], s[:d]
         G = np.asarray(_jax.device_get(G), dtype=np.float64)
         mu = np.asarray(_jax.device_get(s), dtype=np.float64) / X.shape[0]
         return G, mu

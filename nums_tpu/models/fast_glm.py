@@ -413,27 +413,53 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
     # jnp round-trip resolves device coercion (e.g. f64→f32 on TPU).
     dtype = jnp.asarray(np.zeros(0, dtype or X_disk.dtype)).dtype
     y_at = _ooc_y_getter(X_disk, y)
-    stats = streaming.glm_stats_update(kind)
-    newt = streaming.newton_update(bool(penalized))
+    # Lane-padded symmetric route (serial, fp32): panels arrive
+    # intercept-augmented AND zero-padded to the 128 multiple from
+    # ooc_put, so the per-panel Hessian rides the symmetric Pallas
+    # kernel; beta/λ/g/H carry the padded width (pads stay exactly
+    # zero) and beta's logical slice is returned.
+    da = d + 1
+    dp = da
+    if backend.mesh is None and dtype == jnp.float32:
+        from nums_tpu.core.ops import pallas_gram
+
+        if pallas_gram.enabled():
+            dp = -(-da // 128) * 128
+    padded = dp != da
+    if padded:
+        stats = streaming.glm_stats_update_aug(kind)
+        newt = streaming.newton_update(bool(penalized), pad_from=da)
+    else:
+        stats = streaming.glm_stats_update(kind)
+        newt = streaming.newton_update(bool(penalized))
     # Under multi-controller every carried array is mesh-replicated so
     # the jitted updates see (global panel, global stats) — a process-
     # local jnp.zeros cannot mix with a global panel in one jit.
     acc = lambda v: ooc_accumulator(backend, v)  # noqa: E731
-    lv = acc(
+    lv0 = (
         jnp.asarray(lambda_vec, dtype) if lambda_vec is not None
-        else jnp.zeros((d + 1,), dtype)
+        else jnp.zeros((da,), dtype)
     )
-    beta = acc(jnp.zeros((d + 1,), dtype))
+    if padded:
+        lv0 = jnp.pad(lv0, (0, dp - da))
+    lv = acc(lv0)
+    beta = acc(jnp.zeros((dp,), dtype))
     gmax = jnp.array(jnp.inf, dtype)
     it = 0
     for it in range(1, int(max_iter) + 1):
-        g = acc(jnp.zeros((d + 1,), dtype))
-        H = acc(jnp.zeros((d + 1, d + 1), dtype))
+        g = acc(jnp.zeros((dp,), dtype))
+        H = acc(jnp.zeros((dp, dp), dtype))
         for start, panel in ooc_panels(X_disk):
+            yp, _ = ooc_put(backend, y_at(start, panel.shape[0]))
+            if padded:
+                pa, _ = ooc_put(backend, panel, augment_ones=True,
+                                lane_pad_to=dp)
+                g, H = stats(g, H, pa.astype(dtype), yp.astype(dtype),
+                             beta)
+                continue
             # Mesh backends shard the panel rows over every device; pad
             # rows are masked out via nv inside the kernel.
             p, nv = ooc_put(backend, panel)
-            yp, _ = ooc_put(backend, y_at(start, panel.shape[0]))
             # nv rides in as a HOST scalar: numpy inputs are auto-
             # replicated under multi-controller jit, a jnp.int32 would
             # be a process-local device array (incompatible devices).
@@ -442,6 +468,8 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
         beta, gmax = newt(beta, g, H, lv)
         if float(gmax) <= tol:  # one scalar sync per PASS, not per op
             break
+    if padded:
+        beta = beta[:da]
     return beta, gmax, it
 
 

@@ -113,6 +113,120 @@ def test_fused_newton_rides_pallas_on_padded_buffer(padded_app, monkeypatch):
     assert any(a[-1] == 128 for a in calls), calls  # physical width
 
 
+def test_gram_ooc_rides_pallas_lane_padded(padded_app, monkeypatch,
+                                           tmp_path):
+    """The library OOC path: gram_ooc transfers panels zero-padded to
+    the 128 multiple and the streaming update dispatches the symmetric
+    kernel per shape (falls back to XLA for panels too short to
+    stream, identically-valued either way)."""
+    monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")
+    from nums_tpu.core.ops import pallas_gram, streaming
+
+    rs = np.random.RandomState(5)
+    n, d = 3100, 96  # ragged: 3100 rows over 1024-row panels
+    real_X = rs.randn(n, d).astype(np.float32)
+    X = padded_app.array(real_X, block_shape=(1024, d))
+    dX = padded_app.spill(X, str(tmp_path / "Xooc"))
+
+    calls = []
+    orig = pallas_gram.gram_fn
+    monkeypatch.setattr(
+        pallas_gram, "gram_fn", lambda *a: calls.append(a) or orig(*a)
+    )
+    streaming.gram_update.cache_clear()  # retrace under the counter
+    G = padded_app.gram_ooc(dX, dtype=np.float32).get()
+    assert G.shape == (d, d)
+    rel = np.abs(G - real_X.T @ real_X).max() / np.abs(
+        real_X.T @ real_X
+    ).max()
+    assert rel < 2e-3, rel  # bf16-MAC class
+    # Full panels (1024 rows) took the kernel at the PADDED width; the
+    # 28-row ragged tail legitimately falls back to XLA.
+    assert (1024, 128) in calls, calls
+
+
+def test_pca_and_linreg_ooc_lane_padded(padded_app, monkeypatch,
+                                        tmp_path):
+    """The other streamed gram consumers (PCA moments, linear normal
+    equations) under the lane-padded route: padded accumulators slice
+    back to the logical corner and match in-core oracles."""
+    monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")
+    rs = np.random.RandomState(11)
+    n, d = 3100, 96
+    real_X = rs.randn(n, d).astype(np.float32)
+    real_y = (real_X @ np.linspace(-1, 1, d) + 0.05 * rs.randn(n)).astype(
+        np.float32
+    )
+    X = padded_app.array(real_X, block_shape=(1024, d))
+    dX = padded_app.spill(X, str(tmp_path / "Xpca"))
+
+    theta = padded_app.linear_regression_ooc(
+        dX, real_y, lamb=1e-3
+    ).get()
+    G64 = real_X.T.astype(np.float64) @ real_X.astype(np.float64)
+    oracle = np.linalg.solve(
+        G64 + 1e-3 * np.eye(d), real_X.T.astype(np.float64) @ real_y
+    )
+    rel = np.abs(theta - oracle).max() / np.abs(oracle).max()
+    assert rel < 5e-2, rel  # bf16-MAC class through the solve
+
+    from nums_tpu.models.decomposition import PCA
+
+    pca = PCA(n_components=3)
+    pca.fit(dX)
+    # Column spaces agree with the in-core fit (signs fixed by the
+    # deterministic convention; bf16 gram → loose tolerance).
+    pca_ic = PCA(n_components=3)
+    pca_ic.fit(X)
+    comp_ooc = np.asarray(pca.components_.get())
+    comp_ic = np.asarray(pca_ic.components_.get())
+    assert np.allclose(np.abs(comp_ooc), np.abs(comp_ic), atol=5e-2)
+
+
+def test_newton_fit_ooc_rides_pallas(padded_app, monkeypatch, tmp_path):
+    """OOC GLM training: panels arrive intercept-augmented and
+    lane-padded from ooc_put, the streaming Hessian rides the
+    symmetric kernel, and the fit converges to the in-core beta."""
+    monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")
+    import jax.numpy as jnp
+
+    from nums_tpu.core.ops import pallas_gram, streaming
+    from nums_tpu.models import fast_glm
+
+    rs = np.random.RandomState(7)
+    n, d = 3100, 96  # da=97 -> padded to 128
+    real_X = rs.randn(n, d).astype(np.float32)
+    w = rs.randn(d).astype(np.float32) * 0.5
+    y = (real_X @ w > 0).astype(np.float32)
+    X = padded_app.array(real_X, block_shape=(1024, d))
+    dX = padded_app.spill(X, str(tmp_path / "Xglm"))
+
+    calls = []
+    orig = pallas_gram.gram_fn
+    monkeypatch.setattr(
+        pallas_gram, "gram_fn", lambda *a: calls.append(a) or orig(*a)
+    )
+    streaming.glm_stats_update_aug.cache_clear()
+    beta_ooc, gmax, _ = fast_glm.newton_fit_ooc(
+        dX, y, tol=1e-4, kind="logistic", max_iter=8
+    )
+    assert beta_ooc.shape == (d + 1,)
+    assert (1024, 128) in calls, calls  # padded augmented panels
+
+    Xa = jnp.concatenate(
+        [jnp.asarray(real_X), jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+    beta_ic, _, _ = fast_glm.newton_fit(
+        Xa, jnp.asarray(y), jnp.zeros((d + 1,), jnp.float32), 1e-4,
+        kind="logistic", max_iter=8,
+    )
+    denom = max(1e-6, float(np.abs(np.asarray(beta_ic)).max()))
+    rel = float(
+        np.abs(np.asarray(beta_ooc) - np.asarray(beta_ic)).max()
+    ) / denom
+    assert rel < 5e-2, rel
+
+
 def test_checkpoint_roundtrip_padded(padded_app, tmp_path):
     rs = np.random.RandomState(2)
     x = rs.randn(24, 17)
