@@ -16,17 +16,27 @@ import jax.numpy as jnp
 
 
 def make_x(n, d, backend):
+    """On-device generation DIRECTLY in at-rest form: under
+    NUMS_TPU_LANE_PAD=1 (what bench.py sets) the buffer is 128-aligned
+    with zero pad columns, so x.T@x rides the symmetric Pallas kernel
+    with no relayout copy (same construction as bench.py)."""
     from nums_tpu.core.array.blockarray import BlockArray
+    from nums_tpu.core.grid import ArrayGrid
+
+    pshape = backend.physical_shape((n, d))
 
     @jax.jit
     def gen():
-        i = jax.lax.broadcasted_iota(jnp.float32, (n, d), 0)
-        j = jax.lax.broadcasted_iota(jnp.float32, (n, d), 1)
-        return jnp.sin(i * 1e-5) + jnp.cos(j * 0.37) * 0.5
+        i = jax.lax.broadcasted_iota(jnp.float32, pshape, 0)
+        j = jax.lax.broadcasted_iota(jnp.float32, pshape, 1)
+        vals = jnp.sin(i * 1e-5) + jnp.cos(j * 0.37) * 0.5
+        if pshape != (n, d):
+            vals = jnp.where((i < n) & (j < d), vals, 0.0)  # zero pads
+        return vals
 
     block_rows = max(1, n // max(1, backend.num_devices))
-    return BlockArray.from_jax(gen(), block_shape=(block_rows, d),
-                               backend=backend)
+    grid = ArrayGrid((n, d), (block_rows, d), "float32")
+    return BlockArray(gen(), grid, backend)
 
 
 def main(argv=None):
