@@ -132,16 +132,45 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--live", action="store_true",
                         help="run bench.py now and gate its output")
+    parser.add_argument("--live-all", action="store_true",
+                        help="ALSO re-measure the TSQR and OOC north "
+                             "stars on the attached device into fresh "
+                             "CSVs and gate those (hardware tier; "
+                             "~10 min)")
     parser.add_argument("--bench-json", default=None,
                         help="a bench JSON line to gate instead of "
                              "BENCH_r*.json")
     args = parser.parse_args(argv)
     os.chdir(os.path.join(os.path.dirname(__file__), ".."))
 
+    if args.live_all:
+        args.live = True
+        import tempfile
+
+        live_dir = tempfile.mkdtemp(prefix="perf_live_")
+        tsqr_csv = os.path.join(live_dir, "tsqr.csv")
+        ooc_csv = os.path.join(live_dir, "ooc.csv")
+        for cmd in (
+            [sys.executable, "scripts/benchmark_tsqr.py",
+             "--out", tsqr_csv],
+            [sys.executable, "scripts/benchmark_ooc.py",
+             "--n", "20000000", "--op", "gram", "--mode", "device",
+             "--out", ooc_csv],
+        ):
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=2400)
+            if r.returncode != 0:
+                print(f"live re-measure failed: {' '.join(cmd[1:])}\n"
+                      f"{r.stdout[-500:]}{r.stderr[-500:]}")
+        live_paths = {"tsqr": tsqr_csv, "ooc": ooc_csv}
+    else:
+        live_paths = {"tsqr": "result_tsqr_tpu.csv",
+                      "ooc": "result_ooc_tpu.csv"}
+
     failures = []
     check_gemm_csv("result_gemm_tpu.csv", failures)
-    check_tsqr_csv("result_tsqr_tpu.csv", failures)
-    check_ooc_csv("result_ooc_tpu.csv", failures)
+    check_tsqr_csv(live_paths["tsqr"], failures)
+    check_ooc_csv(live_paths["ooc"], failures)
 
     if args.bench_json:
         check_bench_payload(json.loads(args.bench_json), "--bench-json",
