@@ -35,8 +35,8 @@ python scripts/check_perf.py
 if [[ "${NUMS_TPU_HW_TESTS:-0}" != "0" ]]; then
   echo "== hardware tier (real TPU) =="
   python -m pytest tests/test_tpu_hardware.py -q
-  echo "== perf floors (live bench on device) =="
-  python scripts/check_perf.py --live
+  echo "== perf floors (live re-measure on device) =="
+  python scripts/check_perf.py --live-all
 fi
 
 echo "CI GATE: ALL GREEN"
