@@ -226,6 +226,22 @@ def test_newton_fit_ooc_rides_pallas(padded_app, monkeypatch, tmp_path):
     ) / denom
     assert rel < 5e-2, rel
 
+    # linear kind: Newton converges in ONE step to the least-squares
+    # solution of the intercept-augmented system — an exact oracle.
+    y_lin = (real_X @ w + 0.3).astype(np.float32)
+    beta_lin, _, _ = fast_glm.newton_fit_ooc(
+        dX, y_lin, tol=0.0, kind="linear", max_iter=1
+    )
+    Xa_np = np.concatenate(
+        [real_X, np.ones((n, 1), np.float32)], axis=1
+    ).astype(np.float64)
+    oracle = np.linalg.lstsq(Xa_np, y_lin.astype(np.float64),
+                             rcond=None)[0]
+    rel = np.abs(np.asarray(beta_lin) - oracle).max() / np.abs(
+        oracle
+    ).max()
+    assert rel < 5e-2, rel  # bf16-MAC Hessian class
+
 
 def test_checkpoint_roundtrip_padded(padded_app, tmp_path):
     rs = np.random.RandomState(2)
