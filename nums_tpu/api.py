@@ -247,12 +247,23 @@ def write_parquet(ba, filename: str, column_names=None,
 
     from nums_tpu.core import multiprocess as _mp
 
+    import os as _os
+
     multi = _mp.is_multiprocess()
+    marker = f"{filename}.write-failed"
     if isinstance(ba, DiskArray):
         if multi and _mp.process_index() != 0:
             # Host-pure producer (shared-FS panel reads, no collectives):
-            # peers skip straight to the completion barrier.
+            # peers skip straight to the completion barrier. Process 0
+            # reaches it via finally even on a failed write; the marker
+            # turns that into an error here (read_parquet pattern)
+            # instead of a silent torn file.
             _mp.barrier(f"write_parquet:{filename}")
+            if _os.path.exists(marker):
+                raise RuntimeError(
+                    f"write_parquet({filename!r}) failed on process 0 "
+                    "(see its traceback)"
+                )
             return
         stripes = (p for _, p in ba.iter_row_panels())
         if row_group_rows is not None:
@@ -275,25 +286,61 @@ def write_parquet(ba, filename: str, column_names=None,
 
         stripes = gen()
     write = not multi or _mp.process_index() == 0
+    if multi and write:
+        # Consume any stale marker from a PRIOR failed run (a retry
+        # must not leave peers raising on it).
+        try:
+            _os.remove(marker)
+        except OSError:
+            pass
     writer = None
+    write_exc = None
     try:
-        for stripe in stripes:
-            if not write:
-                continue
-            table = pa.table(
-                {nm: stripe[:, j] for j, nm in enumerate(names)}
-            )
-            if writer is None:
-                writer = pq.ParquetWriter(filename, table.schema)
-            writer.write_table(table)
-        if write and writer is None:  # zero rows: still emit a valid file
-            empty = pa.table(
-                {nm: np.empty(0, np_dtype) for nm in names}
-            )
-            writer = pq.ParquetWriter(filename, empty.schema)
-            writer.write_table(empty)
+        try:
+            for stripe in stripes:
+                if not write or write_exc is not None:
+                    # Keep draining: the stripe producer may be
+                    # collective (allgather_to_host), so every process
+                    # must iterate the WHOLE stream even after a
+                    # process-0 write failure — abandoning it mid-way
+                    # would strand the peers inside the producer,
+                    # before the release barrier.
+                    continue
+                try:
+                    table = pa.table(
+                        {nm: stripe[:, j] for j, nm in enumerate(names)}
+                    )
+                    if writer is None:
+                        writer = pq.ParquetWriter(filename, table.schema)
+                    writer.write_table(table)
+                except BaseException as e:  # noqa: BLE001 - raised below
+                    write_exc = e
+            if write_exc is not None:
+                raise write_exc
+            if write and writer is None:  # zero rows: still a valid file
+                empty = pa.table(
+                    {nm: np.empty(0, np_dtype) for nm in names}
+                )
+                writer = pq.ParquetWriter(filename, empty.schema)
+                writer.write_table(empty)
+        except BaseException:
+            # Failure release: drop the marker BEFORE the finally
+            # barrier frees the peers, so they raise instead of
+            # treating a torn file as complete.
+            if multi and write:
+                try:
+                    open(marker, "w").close()
+                except OSError:
+                    pass
+            raise
+        finally:
+            if writer is not None:
+                writer.close()
     finally:
-        if writer is not None:
-            writer.close()
-    if multi:
-        _mp.barrier(f"write_parquet:{filename}")
+        if multi:
+            _mp.barrier(f"write_parquet:{filename}")
+    if multi and not write and _os.path.exists(marker):
+        raise RuntimeError(
+            f"write_parquet({filename!r}) failed on process 0 "
+            "(see its traceback)"
+        )

@@ -902,8 +902,12 @@ class ArrayApplication:
         if self.backend.mesh is None and dtype == jnp.float32:
             from nums_tpu.core.ops import pallas_gram
 
-            if pallas_gram.enabled():
-                return -(-d // 128) * 128
+            dp = -(-d // 128) * 128
+            # plan_possible: don't pay host-side panel padding (plus a
+            # wider XLA contraction) for widths whose (dp, dp) f32
+            # accumulator the kernel's VMEM plan rejects anyway.
+            if pallas_gram.enabled() and pallas_gram.plan_possible(dp):
+                return dp
         return d
 
     def _ooc_accumulate(self, X, init, update, fill=0.0,

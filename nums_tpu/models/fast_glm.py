@@ -43,8 +43,10 @@ def _gram(X, s=None, pallas=False):
     if pallas:
         from nums_tpu.core.ops import pallas_gram
 
-        W = X if s is None else X * jnp.sqrt(s)[:, None]
-        return pallas_gram.gram(W)
+        # The Hessian weight fuses INTO the kernel (per-row √s scale in
+        # VMEM): materializing √s·X first cost one full extra HBM
+        # write+read of the (n, d) buffer per Newton iteration.
+        return pallas_gram.gram(X, s)
     Xw = X if s is None else X * s[:, None]
     return Xw.T @ X
 

@@ -432,7 +432,11 @@ def roots(p):
     cdt = np.result_type(ba.dtype, np.complex64)
     data, cnt, all_real = _roots_kernel(cap, cdt.name)(ba.data)
     out = data[: int(cnt)]
-    if bool(all_real):
+    # numpy parity: complex coefficient arrays KEEP a complex result
+    # even when every root has zero imaginary part (np.roots([1+0j,-3+0j,
+    # 2+0j]) is complex128); the real downcast applies to real inputs
+    # only — the same guard eig/eigvals use (numpy/linalg.py).
+    if bool(all_real) and not np.issubdtype(ba.dtype, np.complexfloating):
         out = jnp.real(out)
     from nums_tpu.core.array.blockarray import BlockArray
 

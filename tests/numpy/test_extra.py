@@ -477,6 +477,15 @@ def test_eig_roots_in_program():
     assert np.issubdtype(rc.get().dtype, np.complexfloating)
     assert np.allclose(np.sort_complex(rc.get()),
                        np.sort_complex(np.roots(pc)))
+    # COMPLEX coefficients keep a complex dtype even when every root is
+    # real (np.roots([1+0j,-3+0j,2+0j]) is complex128) — same guard as
+    # eig/eigvals (ADVICE r4).
+    pz = np.array([1.0 + 0j, -3.0 + 0j, 2.0 + 0j])
+    rz = nps.roots(nps.array(pz))
+    assert np.issubdtype(rz.get().dtype, np.complexfloating)
+    assert np.issubdtype(np.roots(pz).dtype, np.complexfloating)
+    assert np.allclose(np.sort_complex(rz.get()),
+                       np.sort_complex(np.roots(pz)))
 
 
 def test_mutation_family():

@@ -62,6 +62,79 @@ def test_bench_floor():
     assert failures  # missing field must not pass silently
 
 
+def _bench_record(parsed, rc=0):
+    rec = {"n": 4, "cmd": "python bench.py", "rc": rc, "tail": "",
+           "parsed": parsed}
+    return rec
+
+
+def _in_dir(tmp_path, records):
+    import json
+
+    for name, rec in records.items():
+        with open(tmp_path / name, "w") as f:
+            json.dump(rec, f)
+
+
+def test_dead_newest_bench_record_fails(tmp_path, monkeypatch):
+    """The round-4 regression: the newest BENCH record was a dead
+    capture (rc=124, parsed=null) and the gate printed 'no BENCH_r*.json
+    found (skipping)'. It must FAIL instead, and still gate the newest
+    live record."""
+    _in_dir(tmp_path, {
+        "BENCH_r03.json": _bench_record({"vs_baseline": 1.84}),
+        "BENCH_r04.json": _bench_record(None, rc=124),
+    })
+    monkeypatch.chdir(tmp_path)
+    payload, path, newest = check_perf.latest_bench_record()
+    assert newest == "BENCH_r04.json"
+    assert path == "BENCH_r03.json"
+    assert payload == {"vs_baseline": 1.84}
+    failures = []
+    check_perf.check_bench_records(failures)
+    assert any("dead capture" in f for f in failures), failures
+
+
+def test_dead_newest_plus_regressed_fallback_reports_both(
+    tmp_path, monkeypatch
+):
+    _in_dir(tmp_path, {
+        "BENCH_r03.json": _bench_record({"vs_baseline": 0.9}),
+        "BENCH_r04.json": _bench_record(None, rc=124),
+    })
+    monkeypatch.chdir(tmp_path)
+    failures = []
+    check_perf.check_bench_records(failures)
+    assert any("dead capture" in f for f in failures)
+    assert any("baseline floor" in f for f in failures)
+
+
+def test_all_dead_bench_records_fail(tmp_path, monkeypatch):
+    _in_dir(tmp_path, {"BENCH_r04.json": _bench_record(None, rc=124)})
+    monkeypatch.chdir(tmp_path)
+    failures = []
+    check_perf.check_bench_records(failures)
+    assert failures
+
+
+def test_live_newest_bench_record_passes(tmp_path, monkeypatch):
+    _in_dir(tmp_path, {
+        "BENCH_r03.json": _bench_record(None, rc=124),
+        "BENCH_r04.json": _bench_record({"vs_baseline": 2.2}),
+    })
+    monkeypatch.chdir(tmp_path)
+    failures = []
+    check_perf.check_bench_records(failures)
+    assert not failures, failures
+
+
+def test_no_bench_records_skips(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    failures = []
+    check_perf.check_bench_records(failures)
+    assert not failures
+
+
 def _write_tsqr(path, rows):
     with open(path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["op", "m", "n", "min_s"])
@@ -148,9 +221,13 @@ def test_committed_artifacts_pass_the_gate():
     cwd = os.getcwd()
     os.chdir(repo)
     try:
-        payload, path = check_perf.latest_bench_record()
+        check_perf.check_bench_records(failures)
     finally:
         os.chdir(cwd)
-    if payload is not None:
-        check_perf.check_bench_payload(payload, "record", failures)
-    assert not failures, failures
+    # A dead NEWEST driver capture (hardware outage at round end) is a
+    # hardware-state failure, not an artifact-drift one: ci_gate.sh's
+    # check_perf.py run stays strict on it (the gate must be red until a
+    # live record is committed), but this hermetic test only guards the
+    # committed artifacts themselves against the floors.
+    drift = [f for f in failures if "dead capture" not in f]
+    assert not drift, drift
