@@ -221,6 +221,67 @@ def plot_ooc(outdir):
     plt.close(fig)
 
 
+def plot_pallas_gram(outdir):
+    """XLA vs Pallas A/B per (op, n, d) — the committed artifact behind
+    the kernel speedup claims (result_pallas_gram_tpu.csv)."""
+    rows = [r for r in _read("result_pallas_gram_tpu.csv")
+            if r["op"] in ("gram", "gram_weighted")
+            and "lane-padded from" not in r["note"]
+            and "logical width" not in r["note"]]
+    if not rows:
+        return
+    pairs = {}  # (op, n, d) -> {route: min_s}
+    for r in rows:
+        key = (r["op"], int(r["n"]), int(r["d"]))
+        pairs.setdefault(key, {})[r["route"]] = float(r["min_s"])
+    keys = [k for k, v in sorted(pairs.items())
+            if "xla" in v and "pallas" in v]
+    if not keys:
+        return
+    labels = [f"{op.replace('gram_weighted', 'wgram')}\n"
+              f"{n // 1000}k x {d}" for op, n, d in keys]
+    speedups = [pairs[k]["xla"] / pairs[k]["pallas"] for k in keys]
+    fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=160)
+    _style(ax, "Symmetric Pallas gram vs XLA dot_general (fp32, 1 chip)",
+           "", "speedup (x)")
+    ax.bar(labels, speedups, width=0.55, color=C_OURS, zorder=3)
+    ax.axhline(1.0, color=TEXT2, linewidth=1, linestyle=(0, (4, 3)))
+    for i, v in enumerate(speedups):
+        ax.text(i, v, f" {v:.2f}x", ha="center", va="bottom",
+                fontsize=8, color=TEXT2)
+    ax.grid(axis="x", visible=False)
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "pallas_gram.png"))
+    plt.close(fig)
+
+
+def plot_models(outdir):
+    rows = _read("result_models_tpu.csv")
+    if not rows:
+        return
+    best = {}
+    for r in rows:  # best (min) run per (model, op)
+        key = (r["model"], r["op"], int(r["n"]), int(r["d"]))
+        best[key] = min(float(r["seconds"]),
+                        best.get(key, float("inf")))
+    labels = [f"{m} {op}\n{n // 1_000_000}M x {d}" if n >= 10**6
+              else f"{m} {op}\n{n // 1000}k x {d}"
+              for (m, op, n, d) in best]
+    vals = list(best.values())
+    fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=160)
+    _style(ax, "Beyond-reference models (1 TPU v5e) — the reference "
+               "has no trees model and single-node SVD only",
+           "", "seconds")
+    ax.bar(labels, vals, width=0.55, color=C_OURS, zorder=3)
+    for i, v in enumerate(vals):
+        ax.text(i, v, f" {v:.2f}s", ha="center", va="bottom",
+                fontsize=8, color=TEXT2)
+    ax.grid(axis="x", visible=False)
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "models.png"))
+    plt.close(fig)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="plots")
@@ -231,6 +292,8 @@ def main(argv=None):
     plot_tsqr(args.out)
     plot_gemm(args.out)
     plot_ooc(args.out)
+    plot_pallas_gram(args.out)
+    plot_models(args.out)
     made = sorted(os.listdir(args.out))
     print(f"wrote {len(made)} figures to {args.out}/: {', '.join(made)}")
     return 0
