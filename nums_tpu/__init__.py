@@ -13,8 +13,11 @@ from nums_tpu.core import application_manager
 
 
 def init():
-    """Eagerly initialize the backend (parity: nums/__init__.py:26-30)."""
-    application_manager.instance()
+    """Eagerly initialize the backend (parity: nums/__init__.py:26-30).
+
+    Bounded: a wedged device runtime raises RuntimeError after
+    ``NUMS_TPU_INIT_TIMEOUT_S`` (default 300 s) instead of hanging
+    (``settings.ensure_runtime_alive``)."""
     return application_manager.instance()
 
 

@@ -154,8 +154,10 @@ def main(argv=None):
         shapes = [(8192, 256), (8192, 512)]
         headline = (8192, 1024, 1000)
     else:
-        shapes = [(1_000_000, 512), (1_000_000, 1024),
-                  (1_000_000, 1280), (500_000, 2048)]
+        # Includes the exact RESULTS.md round-4 A/B shapes (2.4M x 1024,
+        # 5M x 512, 1M x 256) so the refresh replaces prose 1:1.
+        shapes = [(1_000_000, 256), (5_000_000, 512),
+                  (2_400_000, 1024), (1_000_000, 1280), (500_000, 2048)]
         headline = (2_500_000, 1024, 1000)
     for n, d in shapes:
         x = gen(n, d)
