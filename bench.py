@@ -93,11 +93,16 @@ class _State:
         return result
 
     def emit(self, partial=False):
+        # The print happens INSIDE the lock: the watchdog calls
+        # os._exit right after emit(), so `emitted` must never be
+        # observable as True before the JSON actually reached stdout
+        # (otherwise a hard-deadline _exit could land between the
+        # main thread's flag-set and its print, erasing the output).
         with self.lock:
             if self.emitted:
                 return False
             self.emitted = True
-        print(json.dumps(self.payload(partial)), flush=True)
+            print(json.dumps(self.payload(partial)), flush=True)
         return True
 
 

@@ -8,7 +8,8 @@ Parity: ``nums/__init__.py:17-30``.
 """
 
 from nums_tpu._version import __version__
-from nums_tpu.api import read, write, delete, read_csv, read_parquet
+from nums_tpu.api import (read, write, delete, read_csv, read_parquet,
+                          write_parquet)
 from nums_tpu.core import application_manager
 
 
@@ -21,4 +22,5 @@ def init():
     return application_manager.instance()
 
 
-__all__ = ["read", "write", "delete", "read_csv", "read_parquet", "init", "__version__"]
+__all__ = ["read", "write", "delete", "read_csv", "read_parquet",
+           "write_parquet", "init", "__version__"]

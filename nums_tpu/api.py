@@ -89,40 +89,15 @@ def read_parquet(filename, columns=None, dtype=None, out=None,
             # COLLECTIVE: the DiskArray lands on the shared FS once
             # (process 0 streams it); every other process opens it
             # after the barrier — concurrent writers to the same block
-            # files would tear the checkpoint. The streaming window is
-            # minutes-long, so a process-0 failure must release the
-            # barrier (via finally) and leave a marker the peers turn
-            # into an error instead of a whole-job hang.
-            import os as _os
-
+            # files would tear the checkpoint. Failure-release protocol
+            # (marker + barrier ordering): multiprocess.publishing.
             marker = f"{out}.ingest-failed"
+            tag = f"read_parquet:out:{out}"
             if _mp.process_index() == 0:
-                # Consume any stale marker from a PRIOR failed run before
-                # streaming: otherwise a retry succeeds on process 0 but
-                # every peer still sees the old marker and raises —
-                # divergent control flow that hangs the next collective.
-                try:
-                    _os.remove(marker)
-                except OSError:
-                    pass
-                try:
-                    da = _read_parquet_ooc(pf, columns, dtype, out,
-                                           block_rows)
-                except BaseException:
-                    try:
-                        open(marker, "w").close()
-                    except OSError:
-                        pass
-                    raise
-                finally:
-                    _mp.barrier(f"read_parquet:out:{out}")
-                return da
-            _mp.barrier(f"read_parquet:out:{out}")
-            if _os.path.exists(marker):
-                raise RuntimeError(
-                    f"read_parquet(out={out!r}) failed on process 0 "
-                    "(see its traceback)"
-                )
+                with _mp.publishing(tag, marker):
+                    return _read_parquet_ooc(pf, columns, dtype, out,
+                                             block_rows)
+            _mp.await_published(tag, marker, f"read_parquet(out={out!r})")
             return _instance().open_fs(out)
         return _read_parquet_ooc(pf, columns, dtype, out, block_rows)
     from nums_tpu.core import multiprocess as _mp
@@ -247,23 +222,15 @@ def write_parquet(ba, filename: str, column_names=None,
 
     from nums_tpu.core import multiprocess as _mp
 
-    import os as _os
-
     multi = _mp.is_multiprocess()
     marker = f"{filename}.write-failed"
+    tag = f"write_parquet:{filename}"
+    what = f"write_parquet({filename!r})"
     if isinstance(ba, DiskArray):
         if multi and _mp.process_index() != 0:
             # Host-pure producer (shared-FS panel reads, no collectives):
-            # peers skip straight to the completion barrier. Process 0
-            # reaches it via finally even on a failed write; the marker
-            # turns that into an error here (read_parquet pattern)
-            # instead of a silent torn file.
-            _mp.barrier(f"write_parquet:{filename}")
-            if _os.path.exists(marker):
-                raise RuntimeError(
-                    f"write_parquet({filename!r}) failed on process 0 "
-                    "(see its traceback)"
-                )
+            # peers skip straight to the release barrier + marker check.
+            _mp.await_published(tag, marker, what)
             return
         stripes = (p for _, p in ba.iter_row_panels())
         if row_group_rows is not None:
@@ -286,25 +253,24 @@ def write_parquet(ba, filename: str, column_names=None,
 
         stripes = gen()
     write = not multi or _mp.process_index() == 0
-    if multi and write:
-        # Consume any stale marker from a PRIOR failed run (a retry
-        # must not leave peers raising on it).
-        try:
-            _os.remove(marker)
-        except OSError:
-            pass
-    writer = None
-    write_exc = None
-    try:
+
+    def write_stream():
+        writer = None
+        write_exc = None
         try:
             for stripe in stripes:
-                if not write or write_exc is not None:
+                if write_exc is not None:
+                    if not multi:
+                        # Single-process: nothing collective to drain —
+                        # surface the failure now instead of paying the
+                        # remaining stream fetches first.
+                        break
                     # Keep draining: the stripe producer may be
                     # collective (allgather_to_host), so every process
-                    # must iterate the WHOLE stream even after a
-                    # process-0 write failure — abandoning it mid-way
-                    # would strand the peers inside the producer,
-                    # before the release barrier.
+                    # must iterate the WHOLE stream even after a write
+                    # failure — abandoning it mid-way would strand the
+                    # peers inside the producer, before the release
+                    # barrier.
                     continue
                 try:
                     table = pa.table(
@@ -317,30 +283,33 @@ def write_parquet(ba, filename: str, column_names=None,
                     write_exc = e
             if write_exc is not None:
                 raise write_exc
-            if write and writer is None:  # zero rows: still a valid file
+            if writer is None:  # zero rows: still a valid file
                 empty = pa.table(
                     {nm: np.empty(0, np_dtype) for nm in names}
                 )
                 writer = pq.ParquetWriter(filename, empty.schema)
                 writer.write_table(empty)
-        except BaseException:
-            # Failure release: drop the marker BEFORE the finally
-            # barrier frees the peers, so they raise instead of
-            # treating a torn file as complete.
-            if multi and write:
-                try:
-                    open(marker, "w").close()
-                except OSError:
-                    pass
-            raise
         finally:
             if writer is not None:
                 writer.close()
-    finally:
-        if multi:
-            _mp.barrier(f"write_parquet:{filename}")
-    if multi and not write and _os.path.exists(marker):
-        raise RuntimeError(
-            f"write_parquet({filename!r}) failed on process 0 "
-            "(see its traceback)"
-        )
+
+    if not multi:
+        write_stream()
+        return
+    if write:
+        # Process 0: marker lifecycle + release-barrier ordering live
+        # in multiprocess.publishing.
+        with _mp.publishing(tag, marker):
+            write_stream()
+        return
+    # Peers with a collective stripe producer: drain the whole stream
+    # in lockstep, reach the release barrier even when the producer
+    # itself failed (process 0 is waiting there), then surface this
+    # process's own failure before the marker check.
+    try:
+        for _ in stripes:
+            pass
+    except BaseException:
+        _mp.barrier(tag)
+        raise
+    _mp.await_published(tag, marker, what)

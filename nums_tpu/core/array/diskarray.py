@@ -223,66 +223,45 @@ class DiskArray:
         from nums_tpu.core import multiprocess as _mp
         from nums_tpu.core.io.filesystem import _fs_path
 
+        tag = f"DiskArray.from_panels:{_fs_path(path)}"
+        marker = f"{_fs_path(path)}.ingest-failed"
         if _mp.is_multiprocess() and _mp.process_index() != 0:
-            producer_exc = None
             try:
                 for _ in panels:  # lockstep with process 0's collectives
                     pass
-            except BaseException as e:  # noqa: BLE001 - re-raised below
+            except BaseException:
                 # Reach the barrier FIRST (process 0 is waiting there),
                 # then surface this process's own producer failure.
-                producer_exc = e
-            _mp.barrier(f"DiskArray.from_panels:{_fs_path(path)}")
-            if producer_exc is not None:
-                raise producer_exc
-            # Failure release (read_parquet pattern): process 0 reaches
-            # the barrier via finally even when its write raised; the
-            # marker turns that into an error here instead of opening a
-            # torn checkpoint.
-            if os.path.exists(f"{_fs_path(path)}.ingest-failed"):
-                raise RuntimeError(
-                    f"DiskArray.from_panels({path!r}) failed on "
-                    "process 0 (see its traceback)"
-                )
+                _mp.barrier(tag)
+                raise
+            _mp.await_published(tag, marker,
+                                f"DiskArray.from_panels({path!r})")
             return cls(_fs_path(path), fs)
 
         path = _fs_path(path)  # relative names live under data_dir
-        marker = f"{path}.ingest-failed"
         if _mp.is_multiprocess():
-            # Consume any stale marker from a PRIOR failed run before
-            # streaming (a retry must not leave peers raising on it).
-            try:
-                os.remove(marker)
-            except OSError:
-                pass
-            # The streaming window is minutes-long, so a process-0
-            # failure (disk full, kernel error) must RELEASE the peers'
-            # barrier via finally and leave a marker they turn into an
-            # error — otherwise the whole job hangs in
-            # sync_global_devices (read_parquet pattern).
-            try:
-                return cls._write_panels_p0(
-                    path, fs, panels, shape, dtype, block_rows
-                )
-            except BaseException:
-                # A WRITE failure (disk full, bad panel) abandons the
-                # stream mid-way — drain the rest so producers that
-                # contain collectives stay matched with the peers'
-                # lockstep iteration (else they hang in the producer,
-                # never reaching the release barrier). A producer that
-                # itself raised is already closed; the drain is a no-op.
+            # Marker lifecycle + release-barrier ordering live in
+            # multiprocess.publishing; the site-specific part is the
+            # failure drain below.
+            with _mp.publishing(tag, marker):
                 try:
-                    for _ in panels:
+                    return cls._write_panels_p0(
+                        path, fs, panels, shape, dtype, block_rows
+                    )
+                except BaseException:
+                    # A WRITE failure (disk full, bad panel) abandons
+                    # the stream mid-way — drain the rest so producers
+                    # that contain collectives stay matched with the
+                    # peers' lockstep iteration (else they hang in the
+                    # producer, never reaching the release barrier). A
+                    # producer that itself raised is already closed;
+                    # the drain is a no-op.
+                    try:
+                        for _ in panels:
+                            pass
+                    except BaseException:  # noqa: BLE001 - keep original
                         pass
-                except BaseException:  # noqa: BLE001 - keep original
-                    pass
-                try:
-                    open(marker, "w").close()
-                except OSError:
-                    pass
-                raise
-            finally:
-                _mp.barrier(f"DiskArray.from_panels:{path}")
+                    raise
         return cls._write_panels_p0(path, fs, panels, shape, dtype,
                                     block_rows)
 

@@ -26,6 +26,7 @@ on every process; per-process divergence is only inside them (each
 process touches only its addressable shards).
 """
 
+import contextlib
 import os
 
 import numpy as np
@@ -101,6 +102,54 @@ def barrier(name: str):
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(name)
+
+
+@contextlib.contextmanager
+def publishing(tag: str, marker: str):
+    """Process-0 side of the collective publish protocol.
+
+    One process streams a long write to the shared FS while its peers
+    wait at a barrier; a mid-write failure (disk full, kernel error)
+    must not leave the peers hanging in ``sync_global_devices``. The
+    ordering is subtle and MUST be shared, not hand-rolled per site
+    (read_parquet / write_parquet / DiskArray.from_panels all use it):
+
+    1. consume any stale marker from a PRIOR failed run (else a retry
+       succeeds here but every peer raises on the old marker —
+       divergent control flow that hangs the next collective);
+    2. on failure, drop the marker BEFORE the barrier releases the
+       peers, so they raise instead of opening a torn file;
+    3. the barrier runs in a finally — success or failure, the peers
+       are always released.
+
+    Stream-drain semantics (keeping peers' lockstep iteration matched
+    when the producer contains collectives) genuinely differ per site
+    and stay with the caller.
+    """
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    try:
+        yield
+    except BaseException:
+        try:
+            open(marker, "w").close()
+        except OSError:
+            pass
+        raise
+    finally:
+        barrier(tag)
+
+
+def await_published(tag: str, marker: str, what: str):
+    """Peer side of :func:`publishing`: wait for process 0's release
+    barrier, then turn its failure marker into an error instead of
+    treating a torn file as complete."""
+    barrier(tag)
+    if os.path.exists(marker):
+        raise RuntimeError(f"{what} failed on process 0 "
+                           "(see its traceback)")
 
 
 def owned_regions(jax_array):

@@ -164,8 +164,10 @@ _x64_configured = False
 def configure_x64():
     """Enable jax x64 mode when running off-TPU (NumPy dtype parity).
 
-    Idempotent; invoked once at package import. On TPU we keep x64 off —
-    float64 is emulated and slow there, and the perf path is fp32/bf16.
+    Idempotent; invoked from ``application_manager.create()``. On TPU we
+    keep x64 off — float64 is emulated and slow there, and the perf path
+    is fp32/bf16. Raises (and un-latches) if the platform probe fails,
+    so init errors loudly in one timeout instead of mis-latching x64.
     """
     global _x64_configured
     if _x64_configured:
@@ -184,11 +186,17 @@ def configure_x64():
     # auto — bounded probe: an explicit jax_platforms/JAX_PLATFORMS
     # request resolves with no backend init; otherwise the probe runs
     # under init_timeout_s (VERDICT r4: the unbounded probe here turned
-    # every tunnel outage into a forever-hang at import).
+    # every tunnel outage into a forever-hang at import). A failed probe
+    # must NOT guess "cpu": enabling x64 on a TPU whose tunnel merely
+    # hiccuped would latch emulated-f64 mode for the whole process. It
+    # un-latches (so a retried init() re-probes after recovery) and
+    # re-raises — init fails loudly ONCE here, and ensure_runtime_alive
+    # never pays a second timeout on the same wedged runtime.
     try:
         platform = probe_default_backend()
-    except Exception:  # pragma: no cover - backend probing is best-effort
-        platform = "cpu"
+    except BaseException:
+        _x64_configured = False
+        raise
     if platform == "cpu":
         jax.config.update("jax_enable_x64", True)
 

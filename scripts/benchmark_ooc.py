@@ -147,10 +147,11 @@ def main(argv=None):
                     s = mu * (1.0 - mu)
                     g = g + pa.T @ (mu - y)
                     if use_pallas:
-                        # H += paᵀ diag(s) pa == gram(√s·pa): the
-                        # weighted Hessian rides the symmetric kernel.
-                        H = H + pallas_gram.gram(
-                            pa * jnp.sqrt(s)[:, None])
+                        # H += paᵀ diag(s) pa via the kernel's fused
+                        # per-row scale — the production route
+                        # (streaming.glm_stats_update_aug); no
+                        # materialized √s·pa HBM round-trip.
+                        H = H + pallas_gram.gram(pa, s)
                     else:
                         H = H + (pa * s[:, None]).T @ pa
                     return (g, H), None

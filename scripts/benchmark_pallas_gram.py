@@ -112,6 +112,25 @@ def main(argv=None):
         print(f"{op:14s} {route:7s} n={n:<9d} d={d:<5d} rows={rows} "
               f"min={min_s:.5f}s med={med_s:.5f}s {tf:7.1f} TF {note}")
 
+    def measure(fn, op, route, n, d, rows, note=""):
+        """Time + record, never crash the sweep: one OOM/compile error
+        must cost one row, not every row after it (this script IS the
+        round's evidence artifact)."""
+        try:
+            mn, md = _time_op(fn, sync, reps)
+        except Exception as e:  # noqa: BLE001 - record and continue
+            print(f"SKIP {op}/{route} n={n} d={d}: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
+            return
+        record(op, route, n, d, rows, mn, md, note)
+
+    # Weighted-XLA A/B leg gate: that route materializes sqrt(s)*x, so
+    # it transiently holds TWO (n, d) f32 buffers. Skip it where 2x
+    # does not fit the chip (v5e: 16 GB HBM; budget leaves headroom for
+    # the (d, d) output + runtime) — a deliberate "route impossible at
+    # this scale" datapoint, not a lost row.
+    hbm_budget = float(os.environ.get("NUMS_TPU_BENCH_HBM_GB", "14")) * 1e9
+
     reps = args.reps
 
     if args.rows_sweep:
@@ -137,15 +156,15 @@ def main(argv=None):
         for dl in (256, 384, 512, 640, 768, 1000):
             dp = -(-dl // 128) * 128
             x_l = gen(n, dl)
-            mn, md = _time_op(lambda: xla_gram(x_l), sync, reps)
-            record("gram", "xla", n, dl, None, mn, md, "logical width")
+            measure(lambda: xla_gram(x_l), "gram", "xla", n, dl, None,
+                    "logical width")
             del x_l
             if not pallas_gram.supported((n, dp), np.float32):
                 continue
             x_p = gen(n, dp, d_logical=dl)
-            mn, md = _time_op(lambda: pallas_gram.gram(x_p), sync, reps)
-            record("gram", "pallas", n, dp, pallas_gram._plan(n, dp)[0],
-                   mn, md, f"lane-padded from d={dl}")
+            measure(lambda: pallas_gram.gram(x_p), "gram", "pallas",
+                    n, dp, pallas_gram._plan(n, dp)[0],
+                    f"lane-padded from d={dl}")
             del x_p
         return 0
 
@@ -162,31 +181,32 @@ def main(argv=None):
     for n, d in shapes:
         x = gen(n, d)
         s = jnp.abs(jnp.sin(jnp.arange(n, dtype=jnp.float32))) + 0.01
-        mn, md = _time_op(lambda: xla_gram(x), sync, reps)
-        record("gram", "xla", n, d, None, mn, md)
+        measure(lambda: xla_gram(x), "gram", "xla", n, d, None)
         if pallas_gram.supported((n, d), np.float32):
             rows = pallas_gram._plan(n, d)[0]
-            mn, md = _time_op(lambda: pallas_gram.gram(x), sync, reps)
-            record("gram", "pallas", n, d, rows, mn, md)
-            mn, md = _time_op(lambda: xla_wgram(x, s), sync, reps)
-            record("gram_weighted", "xla", n, d, None, mn, md,
-                   "materialized sqrt(s)*x")
-            mn, md = _time_op(lambda: pallas_gram.gram(x, s), sync, reps)
-            record("gram_weighted", "pallas", n, d, rows, mn, md,
-                   "fused in-kernel scale")
+            measure(lambda: pallas_gram.gram(x), "gram", "pallas",
+                    n, d, rows)
+            if 2.0 * n * d * 4 < hbm_budget:
+                measure(lambda: xla_wgram(x, s), "gram_weighted", "xla",
+                        n, d, None, "materialized sqrt(s)*x")
+            else:
+                print(f"SKIP gram_weighted/xla n={n} d={d}: "
+                      "materialized sqrt(s)*x needs 2 full operands "
+                      f"(> {hbm_budget / 1e9:.0f} GB budget)",
+                      file=sys.stderr, flush=True)
+            measure(lambda: pallas_gram.gram(x, s), "gram_weighted",
+                    "pallas", n, d, rows, "fused in-kernel scale")
         del x, s
 
     # Headline pair: logical d=1000 stored lane-padded at 1024.
     n, dp, dl = headline
     x = gen(n, dp, d_logical=dl)
-    mn, md = _time_op(lambda: xla_gram(x), sync, reps)
-    record("gram", "xla", n, dp, None, mn, md,
-           f"padded buffer, logical d={dl}")
+    measure(lambda: xla_gram(x), "gram", "xla", n, dp, None,
+            f"padded buffer, logical d={dl}")
     if pallas_gram.supported((n, dp), np.float32):
         rows = pallas_gram._plan(n, dp)[0]
-        mn, md = _time_op(lambda: pallas_gram.gram(x), sync, reps)
-        record("gram", "pallas", n, dp, rows, mn, md,
-               f"padded buffer, logical d={dl} (headline)")
+        measure(lambda: pallas_gram.gram(x), "gram", "pallas", n, dp,
+                rows, f"padded buffer, logical d={dl} (headline)")
     return 0
 
 

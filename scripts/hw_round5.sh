@@ -39,28 +39,37 @@ fi
 log "3/8 pallas gram A/B sweep"
 python scripts/benchmark_pallas_gram.py --out result_pallas_gram_tpu.csv \
   2>&1 | tee /tmp/hw5_pg.log
+ab_rc=$?
 
 log "4/8 pallas gram crossover (lane_pad_min calibration)"
 python scripts/benchmark_pallas_gram.py --crossover \
   --out result_pallas_gram_tpu.csv 2>&1 | tee -a /tmp/hw5_pg.log
+xover_rc=$?
 
 log "5/8 pallas gram rows sweep (VMEM plan calibration)"
 python scripts/benchmark_pallas_gram.py --rows-sweep \
   --out result_pallas_gram_tpu.csv 2>&1 | tee -a /tmp/hw5_pg.log
+rows_rc=$?
 
 log "6/8 bop + lr sweeps (post-routing rows)"
 NUMS_TPU_LANE_PAD=1 python scripts/benchmark_bop.py \
   --out result_bop_tpu.csv 2>&1 | tee /tmp/hw5_bop.log
+bop_rc=$?
 python scripts/benchmark_lr.py --out result_lr_tpu.csv \
   2>&1 | tee /tmp/hw5_lr.log
+lr_rc=$?
 
 log "7/8 model north-stars (GBDT + randomized SVD)"
 python scripts/benchmark_models.py --out result_models_tpu.csv \
   2>&1 | tee /tmp/hw5_models.log
+models_rc=$?
 
 log "8/8 live perf gate (re-measures TSQR + OOC)"
 python scripts/check_perf.py --live-all 2>&1 | tee /tmp/hw5_gate.log
 gate_rc=$?
 
-log "DONE smoke_rc=$smoke_rc bench_rc=$bench_rc gate_rc=$gate_rc"
-exit $(( smoke_rc || bench_rc || gate_rc ))
+log "DONE smoke_rc=$smoke_rc bench_rc=$bench_rc ab_rc=$ab_rc" \
+    "xover_rc=$xover_rc rows_rc=$rows_rc bop_rc=$bop_rc lr_rc=$lr_rc" \
+    "models_rc=$models_rc gate_rc=$gate_rc"
+exit $(( smoke_rc || bench_rc || ab_rc || xover_rc || rows_rc \
+         || bop_rc || lr_rc || models_rc || gate_rc ))

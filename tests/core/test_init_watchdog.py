@@ -57,3 +57,31 @@ def test_zero_timeout_disables_watchdog():
     # 0 = unbounded (probe joins without deadline); healthy runtime
     # returns immediately.
     assert settings._bounded_probe(lambda: "ok", "p", 0) == "ok"
+
+
+def test_configure_x64_fails_loudly_and_unlatches(monkeypatch):
+    """A failed platform probe must NOT guess cpu (which would latch
+    emulated-f64 mode on a TPU whose tunnel merely hiccuped): it raises,
+    leaves x64 untouched, and un-latches so a retried init re-probes."""
+    import jax
+
+    def wedged(timeout_s=None):
+        raise RuntimeError("probe did not respond: wedged")
+
+    monkeypatch.setattr(settings, "probe_default_backend", wedged)
+    monkeypatch.setattr(settings, "_x64_configured", False)
+    monkeypatch.setattr(settings, "x64_mode", "auto")
+    before = jax.config.jax_enable_x64
+    with pytest.raises(RuntimeError, match="wedged"):
+        settings.configure_x64()
+    assert jax.config.jax_enable_x64 == before  # no mis-latch
+    assert settings._x64_configured is False  # retry re-probes
+
+    # After "recovery" (probe succeeds) the same process configures.
+    monkeypatch.setattr(settings, "probe_default_backend",
+                        lambda timeout_s=None: "tpu")
+    settings.configure_x64()
+    assert settings._x64_configured is True
+    assert jax.config.jax_enable_x64 == before  # tpu keeps x64 off
+    # Restore module latch for other tests (monkeypatch undoes attrs,
+    # but be explicit about the global).
