@@ -164,8 +164,17 @@ def glm_stats_update_aug(kind: str):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def k(g, H, pa, y_panel, beta):
-        from nums_tpu.core.ops import pallas_gram
+        from nums_tpu.core.ops import pallas_gram, pallas_newton
 
+        shp = (int(pa.shape[0]), int(pa.shape[1]))
+        if pallas_newton.enabled() and pallas_newton.supported(
+            shp, pa.dtype
+        ):
+            # Fused one-pass panel stats: eta, link chain, g, and the
+            # weighted symmetric Hessian from a SINGLE HBM read of the
+            # panel (the chain below reads it three times).
+            pg, pH = pallas_newton.stats(pa, y_panel, beta, kind)
+            return g + pg, H + pH
         eta = pa @ beta
         if kind == "logistic":
             mu = jax.nn.sigmoid(eta)
@@ -179,7 +188,6 @@ def glm_stats_update_aug(kind: str):
         else:
             raise ValueError(kind)
         g = g + pa.T @ (mu - y_panel)
-        shp = (int(pa.shape[0]), int(pa.shape[1]))
         if pallas_gram.enabled() and pallas_gram.supported(shp, pa.dtype):
             # Per-row Hessian weight fused into the kernel's VMEM pass
             # (no materialized √s·pa panel copy).

@@ -61,6 +61,37 @@ def _pad_identity(H, pad_from):
     return H + jnp.diag(pad)
 
 
+def _newton_stats(kind, X, y, beta, pallas):
+    """(g, H) for one Newton iteration.
+
+    With ``pallas=True`` this is ONE HBM pass over X when the fused
+    Newton-stats kernel qualifies (``core/ops/pallas_newton.py``: eta,
+    link chain, g, and the symmetric weighted Hessian from a single
+    VMEM-streamed read — the XLA chain reads X three times). Falls to
+    the eta/g XLA chain + symmetric gram kernel otherwise, and to pure
+    XLA when neither kernel qualifies."""
+    if pallas:
+        from nums_tpu.core.ops import pallas_newton
+
+        if pallas_newton.enabled() and pallas_newton.supported(
+            X.shape, X.dtype
+        ):
+            return pallas_newton.stats(X, y, beta, kind)
+    if kind == "logistic":
+        mu = _sigmoid(X @ beta)
+        s = mu * (1.0 - mu)
+    elif kind == "linear":
+        mu = X @ beta
+        s = None  # H = XᵀX
+    elif kind == "poisson":
+        mu = jnp.exp(X @ beta)
+        s = mu
+    else:
+        raise ValueError(kind)
+    g = X.T @ (mu - y)
+    return g, _gram(X, s, pallas=pallas)
+
+
 def logistic_newton_step(X, y, beta, pallas=False, pad_from=None):
     """One Newton step of logistic regression. Fully fused.
 
@@ -69,10 +100,7 @@ def logistic_newton_step(X, y, beta, pallas=False, pad_from=None):
     g = X^T (mu - y); H = X^T S X; beta' = beta - H^{-1} g.
     ``pallas``/``pad_from``: lane-padded opt-in, see ``newton_fit``.
     """
-    mu = _sigmoid(X @ beta)
-    g = X.T @ (mu - y)
-    s = mu * (1.0 - mu)
-    H = _gram(X, s, pallas=pallas)
+    g, H = _newton_stats("logistic", X, y, beta, pallas)
     return beta - _posdef_solve(_pad_identity(H, pad_from), g), g
 
 
@@ -82,17 +110,12 @@ logistic_newton_step_jit = jax.jit(
 
 
 def linear_newton_step(X, y, beta, pallas=False, pad_from=None):
-    mu = X @ beta
-    g = X.T @ (mu - y)
-    H = _gram(X, pallas=pallas)
+    g, H = _newton_stats("linear", X, y, beta, pallas)
     return beta - _posdef_solve(_pad_identity(H, pad_from), g), g
 
 
 def poisson_newton_step(X, y, beta, pallas=False, pad_from=None):
-    eta = X @ beta
-    mu = jnp.exp(eta)
-    g = X.T @ (mu - y)
-    H = _gram(X, mu, pallas=pallas)
+    g, H = _newton_stats("poisson", X, y, beta, pallas)
     return beta - _posdef_solve(_pad_identity(H, pad_from), g), g
 
 
@@ -111,19 +134,7 @@ def _newton_step_penalized(kind, X, y, beta, lambda_vec,
     glms.py:239 adds λ_j to every entry of column j, an asymmetric
     perturbation; that is a reference bug, fixed identically here and
     in the eager path. See DIVERGENCES.md.)"""
-    if kind == "logistic":
-        mu = _sigmoid(X @ beta)
-        s = mu * (1.0 - mu)
-    elif kind == "linear":
-        mu = X @ beta
-        s = None  # H = XᵀX
-    elif kind == "poisson":
-        mu = jnp.exp(X @ beta)
-        s = mu
-    else:
-        raise ValueError(kind)
-    g = X.T @ (mu - y)
-    H = _gram(X, s, pallas=pallas)
+    g, H = _newton_stats(kind, X, y, beta, pallas)
     if lambda_vec is not None:
         g = g + lambda_vec * beta
         H = H + jnp.diag(lambda_vec)

@@ -31,7 +31,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     import nums_tpu
-    from nums_tpu.core.ops import pallas_gram
+    from nums_tpu.core.ops import pallas_gram, pallas_newton
 
     nums_tpu.init()
     d = args.d
@@ -60,6 +60,18 @@ def main(argv=None):
             X, y = gen()
             beta = jnp.zeros((dp,), jnp.float32)
             kw = dict(pallas=True, pad_from=d) if use_pallas else {}
+            # Which kernel actually serves the step (artifact record):
+            # "fused" = one-pass Newton-stats kernel (eta+g+H, one HBM
+            # read of X), "gram" = symmetric gram kernel for H only,
+            # "xla" = plain dot_generals.
+            if use_pallas and pallas_newton.enabled() and (
+                pallas_newton.supported((n, dp), np.float32)
+            ):
+                route = "fused"
+            elif use_pallas:
+                route = "gram"
+            else:
+                route = "xla"
 
             tmin, tmean, tstd = benchmark_chained(
                 lambda: logistic_newton_step_jit(X, y, beta, **kw),
@@ -69,12 +81,13 @@ def main(argv=None):
         except Exception as e:
             print(f"N={n}: FAILED ({type(e).__name__})")
             append_csv(args.out, {"N": n, "d": d, "min_s": -1.0,
-                                  "mean_s": -1.0, "std_s": -1.0})
+                                  "mean_s": -1.0, "std_s": -1.0,
+                                  "route": "failed"})
             continue
-        print(f"N={n}: min {tmin:.4f}s mean {tmean:.4f}s")
+        print(f"N={n}: min {tmin:.4f}s mean {tmean:.4f}s [{route}]")
         append_csv(args.out, {"N": n, "d": d, "min_s": round(tmin, 5),
                               "mean_s": round(tmean, 5),
-                              "std_s": round(tstd, 5)})
+                              "std_s": round(tstd, 5), "route": route})
     return 0
 
 

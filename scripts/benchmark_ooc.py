@@ -86,7 +86,7 @@ def main(argv=None):
         # only, ~44% fewer MXU FLOPs than XLA's full dot_general. Zero
         # pads contribute zero, so the padded accumulator's logical
         # corner is exactly the unpadded result; slice once at the end.
-        from nums_tpu.core.ops import pallas_gram
+        from nums_tpu.core.ops import pallas_gram, pallas_newton
 
         def lane_width(width):
             w = -(-width // 128) * 128
@@ -141,6 +141,21 @@ def main(argv=None):
                 def body(carry, pi):
                     g, H = carry
                     pa = gen_panel(pi, d, da_, intercept=True)
+                    # beta is zeros here, so eta = 0 and the synthetic
+                    # label y = (eta > 0) is identically zero — the
+                    # fused path passes that constant directly.
+                    if use_pallas and pallas_newton.enabled() and (
+                        pallas_newton.supported((rows, da_), np.float32)
+                    ):
+                        # Production route (glm_stats_update_aug):
+                        # eta, link chain, g, and the weighted
+                        # symmetric Hessian in ONE HBM read of the
+                        # panel.
+                        pg, pH = pallas_newton.stats(
+                            pa, jnp.zeros((rows,), dtype), beta,
+                            "logistic",
+                        )
+                        return (g + pg, H + pH), None
                     eta = pa @ beta
                     mu = jax.nn.sigmoid(eta)
                     y = (eta > 0).astype(dtype)
@@ -148,9 +163,8 @@ def main(argv=None):
                     g = g + pa.T @ (mu - y)
                     if use_pallas:
                         # H += paᵀ diag(s) pa via the kernel's fused
-                        # per-row scale — the production route
-                        # (streaming.glm_stats_update_aug); no
-                        # materialized √s·pa HBM round-trip.
+                        # per-row scale; no materialized √s·pa HBM
+                        # round-trip.
                         H = H + pallas_gram.gram(pa, s)
                     else:
                         H = H + (pa * s[:, None]).T @ pa

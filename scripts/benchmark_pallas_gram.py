@@ -60,6 +60,10 @@ def main(argv=None):
                              "(schema/plumbing check only)")
     parser.add_argument("--crossover", action="store_true")
     parser.add_argument("--rows-sweep", action="store_true")
+    parser.add_argument("--newton", action="store_true",
+                        help="A/B one full Newton LR step: XLA chain "
+                             "(3 HBM reads of X) vs gram kernel (2) vs "
+                             "fused Newton-stats kernel (1)")
     args = parser.parse_args(argv)
 
     if args.smoke:
@@ -149,6 +153,51 @@ def main(argv=None):
                 continue
             note = "planned" if rows == planned else ""
             record("gram_rows", "pallas", n, d, rows, mn, md, note)
+        return 0
+
+    if args.newton:
+        # One full Newton LR step (forward + gradient + Hessian +
+        # solve) per route; same padded generator as the lr benchmark.
+        # Fresh jax.jit per route: the route gates (enabled()) are read
+        # at trace time, so reusing the cached step would freeze the
+        # first route measured.
+        import functools
+
+        from nums_tpu.models import fast_glm
+
+        if args.smoke:
+            shapes = [(8192, 256, 250)]
+        else:
+            shapes = [(1_000_000, 1024, 1000), (2_500_000, 1024, 1000)]
+        for n, dp, dl in shapes:
+            x = gen(n, dp, d_logical=dl)
+            y = (jnp.sin(jnp.arange(n, dtype=jnp.float32) * 0.77)
+                 > 0).astype(jnp.float32)
+            beta = jnp.zeros((dp,), jnp.float32)
+            routes = (
+                ("xla", {"NUMS_TPU_PALLAS_NEWTON": "0"}, False),
+                ("gram", {"NUMS_TPU_PALLAS_NEWTON": "0",
+                          "NUMS_TPU_PALLAS_GRAM": "1"}, True),
+                ("fused", {"NUMS_TPU_PALLAS_NEWTON": "1"}, True),
+            )
+            for route, env, pallas in routes:
+                saved = {k: os.environ.get(k) for k in env}
+                os.environ.update(env)
+                try:
+                    fn = jax.jit(functools.partial(
+                        fast_glm.logistic_newton_step,
+                        pallas=pallas, pad_from=dl,
+                    ))
+                    measure(lambda: fn(x, y, beta), "newton_step",
+                            route, n, dp, None,
+                            f"full step, logical d={dl}")
+                finally:
+                    for k, v in saved.items():
+                        if v is None:
+                            os.environ.pop(k, None)
+                        else:
+                            os.environ[k] = v
+            del x, y
         return 0
 
     if args.crossover:

@@ -51,6 +51,11 @@ python scripts/benchmark_pallas_gram.py --rows-sweep \
   --out result_pallas_gram_tpu.csv 2>&1 | tee -a /tmp/hw5_pg.log
 rows_rc=$?
 
+log "5b/8 newton step A/B (xla chain vs gram vs fused one-pass)"
+python scripts/benchmark_pallas_gram.py --newton \
+  --out result_pallas_gram_tpu.csv 2>&1 | tee -a /tmp/hw5_pg.log
+newton_rc=$?
+
 log "6/8 bop + lr sweeps (post-routing rows)"
 NUMS_TPU_LANE_PAD=1 python scripts/benchmark_bop.py \
   --out result_bop_tpu.csv 2>&1 | tee /tmp/hw5_bop.log
@@ -69,7 +74,7 @@ python scripts/check_perf.py --live-all 2>&1 | tee /tmp/hw5_gate.log
 gate_rc=$?
 
 log "DONE smoke_rc=$smoke_rc bench_rc=$bench_rc ab_rc=$ab_rc" \
-    "xover_rc=$xover_rc rows_rc=$rows_rc bop_rc=$bop_rc lr_rc=$lr_rc" \
-    "models_rc=$models_rc gate_rc=$gate_rc"
+    "xover_rc=$xover_rc rows_rc=$rows_rc newton_rc=$newton_rc" \
+    "bop_rc=$bop_rc lr_rc=$lr_rc models_rc=$models_rc gate_rc=$gate_rc"
 exit $(( smoke_rc || bench_rc || ab_rc || xover_rc || rows_rc \
-         || bop_rc || lr_rc || models_rc || gate_rc ))
+         || newton_rc || bop_rc || lr_rc || models_rc || gate_rc ))

@@ -257,6 +257,35 @@ def main():
     else:
         print("SKIP pallas gram (not enabled/supported on this backend)")
 
+    # Fused one-pass Newton stats (round 5): eta + g + weighted H from
+    # a single HBM read — non-interpret Mosaic compile of the matvec
+    # contractions and the in-VMEM link chain is exactly what this tier
+    # must prove before the lr benchmarks lean on the route.
+    from nums_tpu.core.ops import pallas_newton
+
+    xn = rs.randn(120_000, 256).astype(np.float32) * 0.1
+    if pallas_newton.enabled() and pallas_newton.supported(
+        xn.shape, xn.dtype
+    ):
+        import jax.numpy as _jnp
+
+        yn = (rs.rand(120_000) > 0.5).astype(np.float32)
+        bn = (rs.randn(256) * 0.05).astype(np.float32)
+        gn, hn = pallas_newton.stats(
+            _jnp.asarray(xn), _jnp.asarray(yn), _jnp.asarray(bn),
+            "logistic",
+        )
+        eta64 = xn.astype(np.float64) @ bn.astype(np.float64)
+        mu64 = 1.0 / (1.0 + np.exp(-eta64))
+        s64 = mu64 * (1.0 - mu64)
+        ok &= check("pallas fused newton g", np.asarray(gn),
+                    xn.T.astype(np.float64) @ (mu64 - yn), tol=4e-3)
+        ok &= check("pallas fused newton H", np.asarray(hn),
+                    (xn.astype(np.float64) * s64[:, None]).T
+                    @ xn.astype(np.float64), tol=4e-3)
+    else:
+        print("SKIP pallas fused newton (not enabled/supported here)")
+
     # Collective-matmul dispatch on ONE chip: choose_schedule must
     # decline cleanly (no mesh axes to ride), leaving XLA's path.
     from nums_tpu.core.ops import summa

@@ -55,12 +55,35 @@ def benchmark_chained(enqueue, sync, warmup=1, repeat=5, chain=5,
 
 
 def append_csv(path, row: dict):
+    """Append one row; if the row introduces columns the existing file
+    lacks (schema evolved between rounds), rewrite the file under the
+    union header (old rows get "" in the new columns) instead of
+    silently misaligning values against the old header."""
     import csv
     import os
 
     exists = os.path.isfile(path)
+    if exists:
+        with open(path, newline="") as f:
+            reader = csv.DictReader(f)
+            old_fields = reader.fieldnames or []
+            if set(row.keys()) - set(old_fields):
+                fields = list(old_fields) + [
+                    k for k in row.keys() if k not in old_fields
+                ]
+                rows = list(reader)
+                with open(path, "w", newline="") as g:
+                    w = csv.DictWriter(g, fieldnames=fields,
+                                       restval="")
+                    w.writeheader()
+                    w.writerows(rows)
+                    w.writerow(row)
+                return
+            fields = old_fields
+    else:
+        fields = list(row.keys())
     with open(path, "a", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(row.keys()))
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
         if not exists:
             w.writeheader()
         w.writerow(row)

@@ -83,12 +83,12 @@ def test_pallas_gram_fast_path_on_padded_buffer(padded_app, monkeypatch):
 
 
 def test_fused_newton_rides_pallas_on_padded_buffer(padded_app, monkeypatch):
-    """GLM training: with a lane-padded at-rest X, the fused Newton
-    Hessian dispatches the symmetric Pallas kernel on the PHYSICAL
-    buffer (pads stay zero through every iteration; the solve gives
-    pad rows a unit diagonal) and the fit still converges."""
+    """GLM training: with a lane-padded at-rest X, the Newton stats
+    dispatch the fused one-pass kernel on the PHYSICAL buffer (pads
+    stay zero through every iteration; the solve gives pad rows a unit
+    diagonal) and the fit still converges."""
     monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")
-    from nums_tpu.core.ops import pallas_gram
+    from nums_tpu.core.ops import pallas_newton
     from nums_tpu.models.glms import LogisticRegression
 
     rs = np.random.RandomState(3)
@@ -100,9 +100,9 @@ def test_fused_newton_rides_pallas_on_padded_buffer(padded_app, monkeypatch):
     )
 
     calls = []
-    orig = pallas_gram.gram_fn
+    orig = pallas_newton.stats_fn
     monkeypatch.setattr(
-        pallas_gram, "gram_fn",
+        pallas_newton, "stats_fn",
         lambda *a, **k: calls.append((a, k)) or orig(*a, **k),
     )
     bx = padded_app.array(X, block_shape=(n, d))
@@ -111,10 +111,9 @@ def test_fused_newton_rides_pallas_on_padded_buffer(padded_app, monkeypatch):
     model.fit(bx, by)
     acc = float((model.predict(bx).get() == y).mean())
     assert acc > 0.97, acc
-    assert any(a[1] == 128 for a, _ in calls), calls  # physical width
-    # The Hessian weight rides INSIDE the kernel (fused per-row scale),
-    # not as a materialized √s·X (VERDICT r4 weak #4).
-    assert any(k.get("scaled") for _, k in calls), calls
+    # Physical (padded) width, logistic link — eta/g/H in ONE kernel
+    # pass (supersedes the round-4 gram-with-fused-scale route).
+    assert any(a[1] == 128 and a[2] == "logistic" for a, _ in calls), calls
 
 
 def test_gram_ooc_rides_pallas_lane_padded(padded_app, monkeypatch,
@@ -194,7 +193,7 @@ def test_newton_fit_ooc_rides_pallas(padded_app, monkeypatch, tmp_path):
     monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")
     import jax.numpy as jnp
 
-    from nums_tpu.core.ops import pallas_gram, streaming
+    from nums_tpu.core.ops import pallas_newton, streaming
     from nums_tpu.models import fast_glm
 
     rs = np.random.RandomState(7)
@@ -206,9 +205,9 @@ def test_newton_fit_ooc_rides_pallas(padded_app, monkeypatch, tmp_path):
     dX = padded_app.spill(X, str(tmp_path / "Xglm"))
 
     calls = []
-    orig = pallas_gram.gram_fn
+    orig = pallas_newton.stats_fn
     monkeypatch.setattr(
-        pallas_gram, "gram_fn",
+        pallas_newton, "stats_fn",
         lambda *a, **k: calls.append((a, k)) or orig(*a, **k),
     )
     streaming.glm_stats_update_aug.cache_clear()
@@ -216,9 +215,9 @@ def test_newton_fit_ooc_rides_pallas(padded_app, monkeypatch, tmp_path):
         dX, y, tol=1e-4, kind="logistic", max_iter=8
     )
     assert beta_ooc.shape == (d + 1,)
-    # Padded augmented panels, with the Hessian weight fused in-kernel.
-    assert any(a == (1024, 128) and k.get("scaled")
-               for a, k in calls), calls
+    # Padded augmented panels: eta/g/H fused into ONE kernel pass per
+    # panel (supersedes the round-4 gram-with-fused-scale route).
+    assert any(a == (1024, 128, "logistic") for a, _ in calls), calls
 
     Xa = jnp.concatenate(
         [jnp.asarray(real_X), jnp.ones((n, 1), jnp.float32)], axis=1
