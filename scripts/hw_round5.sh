@@ -7,14 +7,20 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 export PYTHONUNBUFFERED=1
 
+# Per-step wall clock cap. Every CSV writer appends row-by-row, so a
+# killed step preserves completed rows; without the cap a mid-batch
+# re-wedge would hang the unattended batch forever. 45 min covers the
+# worst observed natural init-failure return (8-40 min).
+STEP_T=${NUMS_TPU_HW5_STEP_TIMEOUT_S:-2700}
+
 log() { echo "== $* ($(date -u +%H:%M:%S))"; }
 
 log "1/8 hardware smoke tier"
-python scripts/tpu_smoke.py 2>&1 | tee /tmp/hw5_smoke.log
+timeout "$STEP_T" python scripts/tpu_smoke.py 2>&1 | tee /tmp/hw5_smoke.log
 smoke_rc=$?
 
 log "2/8 headline bench (lane-padded Pallas route)"
-python bench.py > /tmp/hw5_bench.json 2> /tmp/hw5_bench.log
+timeout "$STEP_T" python bench.py > /tmp/hw5_bench.json 2> /tmp/hw5_bench.log
 bench_rc=$?
 cat /tmp/hw5_bench.json
 
@@ -37,40 +43,40 @@ EOF
 fi
 
 log "3/8 pallas gram A/B sweep"
-python scripts/benchmark_pallas_gram.py --out result_pallas_gram_tpu.csv \
+timeout "$STEP_T" python scripts/benchmark_pallas_gram.py --out result_pallas_gram_tpu.csv \
   2>&1 | tee /tmp/hw5_pg.log
 ab_rc=$?
 
 log "4/8 pallas gram crossover (lane_pad_min calibration)"
-python scripts/benchmark_pallas_gram.py --crossover \
+timeout "$STEP_T" python scripts/benchmark_pallas_gram.py --crossover \
   --out result_pallas_gram_tpu.csv 2>&1 | tee -a /tmp/hw5_pg.log
 xover_rc=$?
 
 log "5/8 pallas gram rows sweep (VMEM plan calibration)"
-python scripts/benchmark_pallas_gram.py --rows-sweep \
+timeout "$STEP_T" python scripts/benchmark_pallas_gram.py --rows-sweep \
   --out result_pallas_gram_tpu.csv 2>&1 | tee -a /tmp/hw5_pg.log
 rows_rc=$?
 
 log "5b/8 newton step A/B (xla chain vs gram vs fused one-pass)"
-python scripts/benchmark_pallas_gram.py --newton \
+timeout "$STEP_T" python scripts/benchmark_pallas_gram.py --newton \
   --out result_pallas_gram_tpu.csv 2>&1 | tee -a /tmp/hw5_pg.log
 newton_rc=$?
 
 log "6/8 bop + lr sweeps (post-routing rows)"
-NUMS_TPU_LANE_PAD=1 python scripts/benchmark_bop.py \
+NUMS_TPU_LANE_PAD=1 timeout "$STEP_T" python scripts/benchmark_bop.py \
   --out result_bop_tpu.csv 2>&1 | tee /tmp/hw5_bop.log
 bop_rc=$?
-python scripts/benchmark_lr.py --out result_lr_tpu.csv \
+timeout "$STEP_T" python scripts/benchmark_lr.py --out result_lr_tpu.csv \
   2>&1 | tee /tmp/hw5_lr.log
 lr_rc=$?
 
 log "7/8 model north-stars (GBDT + randomized SVD)"
-python scripts/benchmark_models.py --out result_models_tpu.csv \
+timeout "$STEP_T" python scripts/benchmark_models.py --out result_models_tpu.csv \
   2>&1 | tee /tmp/hw5_models.log
 models_rc=$?
 
 log "8/8 live perf gate (re-measures TSQR + OOC)"
-python scripts/check_perf.py --live-all 2>&1 | tee /tmp/hw5_gate.log
+timeout "$STEP_T" python scripts/check_perf.py --live-all 2>&1 | tee /tmp/hw5_gate.log
 gate_rc=$?
 
 log "DONE smoke_rc=$smoke_rc bench_rc=$bench_rc ab_rc=$ab_rc" \
