@@ -39,22 +39,99 @@ def make_x(n, d, backend):
     return BlockArray(gen(), grid, backend)
 
 
+def interleave(args, app):
+    """Interleaved same-chip A/B: the identical chained xTx through
+    (a) a raw ``jax.jit`` kernel on the BlockArray's own buffer and
+    (b) the full BlockArray lazy-dispatch path.
+
+    This is the committed artifact behind RESULTS.md's "run-to-run
+    spread" table (pure jax vs BlockArray): path sweeps ALTERNATE
+    (a,b,a,b,...) so tunnel/chip drift lands on both paths equally and
+    the delta isolates framework dispatch overhead. Both paths ride the
+    same XLA dot_general (lane padding is NOT forced here; at d=1000
+    the unaligned shape keeps the Pallas gram off on both sides — the
+    row records ``lane_pad`` so the artifact is self-describing).
+    """
+    import time
+
+    from scripts.utils import append_csv
+    from nums_tpu.core import settings
+
+    d = args.d
+    chain = args.chain
+
+    def one_sweep(enqueue, sync):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(chain):
+            out = enqueue()
+        sync(out)
+        return (time.perf_counter() - t0) / chain
+
+    for n in [int(x) for x in args.ns.split(",")]:
+        X = make_x(n, d, app.backend)
+        pure = jax.jit(lambda a: jnp.matmul(a.T, a))
+
+        def enq_pure():
+            return pure(X.data)
+
+        def enq_block():
+            return (X.T @ X).raw
+
+        def sync(Z):
+            float(Z[0, 0])
+
+        sync(enq_pure())  # compile + warmup both paths
+        sync(enq_block())
+        t_pure, t_block = [], []
+        for _ in range(args.reps):
+            t_pure.append(one_sweep(enq_pure, sync))
+            t_block.append(one_sweep(enq_block, sync))
+        del X
+        for path, times in (("pure_jax", t_pure), ("blockarray", t_block)):
+            row = {
+                "mode": "interleave", "N": n, "d": d, "path": path,
+                "median_s": round(float(np.median(times)), 5),
+                "min_s": round(float(np.min(times)), 5),
+                "sweeps_s": ";".join(f"{t:.5f}" for t in times),
+                "chain": chain, "lane_pad": int(bool(settings.lane_pad)),
+            }
+            append_csv(args.out, row)
+            print(f"N={n} {path}: median {row['median_s']}s "
+                  f"min {row['min_s']}s")
+        overhead = np.median(t_block) / np.median(t_pure) - 1.0
+        print(f"N={n}: BlockArray dispatch overhead {overhead * 100:+.2f}%")
+    return 0
+
+
 def main(argv=None):
     sys.path.insert(0, ".")
     from scripts.utils import benchmark_chained, append_csv
 
     parser = argparse.ArgumentParser()
-    parser.add_argument("--out", default="result_bop_tpu.csv")
+    parser.add_argument("--out", default=None)
     parser.add_argument("-d", type=int, default=1000)
     parser.add_argument(
         "--ns", default="125000,250000,1250000,2500000",
         help="comma-separated N values (larger Ns need >16GB HBM)",
     )
+    parser.add_argument(
+        "--interleave", action="store_true",
+        help="alternating pure-jax vs BlockArray A/B rows "
+             "(dispatch-overhead artifact; separate default CSV)",
+    )
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--chain", type=int, default=5)
     args = parser.parse_args(argv)
+    if args.out is None:
+        args.out = ("result_interleave_tpu.csv" if args.interleave
+                    else "result_bop_tpu.csv")
 
     import nums_tpu
 
     app = nums_tpu.init()
+    if args.interleave:
+        return interleave(args, app)
     d = args.d
     for n in [int(x) for x in args.ns.split(",")]:
         try:

@@ -70,6 +70,11 @@ timeout "$STEP_T" python scripts/benchmark_lr.py --out result_lr_tpu.csv \
   2>&1 | tee /tmp/hw5_lr.log
 lr_rc=$?
 
+log "6b/8 pure-jax vs BlockArray interleave (dispatch-overhead artifact)"
+timeout "$STEP_T" python scripts/benchmark_bop.py --interleave \
+  --out result_interleave_tpu.csv 2>&1 | tee /tmp/hw5_interleave.log
+il_rc=$?
+
 log "7/8 model north-stars (GBDT + randomized SVD)"
 timeout "$STEP_T" python scripts/benchmark_models.py --out result_models_tpu.csv \
   2>&1 | tee /tmp/hw5_models.log
@@ -81,6 +86,8 @@ gate_rc=$?
 
 log "DONE smoke_rc=$smoke_rc bench_rc=$bench_rc ab_rc=$ab_rc" \
     "xover_rc=$xover_rc rows_rc=$rows_rc newton_rc=$newton_rc" \
-    "bop_rc=$bop_rc lr_rc=$lr_rc models_rc=$models_rc gate_rc=$gate_rc"
+    "bop_rc=$bop_rc lr_rc=$lr_rc il_rc=$il_rc models_rc=$models_rc" \
+    "gate_rc=$gate_rc"
 exit $(( smoke_rc || bench_rc || ab_rc || xover_rc || rows_rc \
-         || newton_rc || bop_rc || lr_rc || models_rc || gate_rc ))
+         || newton_rc || bop_rc || lr_rc || il_rc || models_rc \
+         || gate_rc ))
