@@ -104,6 +104,86 @@ def interleave(args, app):
     return 0
 
 
+def device_resident(args, app):
+    """In-program loop timing: the committed artifact behind RESULTS.md's
+    "device-resident 2.65 ms" figure.
+
+    Runs the gram inside ONE jitted ``fori_loop`` so the per-iteration
+    cost excludes every host-side overhead (dispatch, tunnel RPC, the
+    scalar fetch). Two defenses keep the measurement honest:
+
+    * the design matrix is part of the loop carry and gets a
+      one-element in-place touch each iteration, so the gram is NOT
+      loop-invariant (XLA cannot hoist it out of the loop), and the
+      body consumes ``sum(G)`` (a [0,0] probe could legally be rewritten
+      to a sliced dot);
+    * per-iteration time is the DIFFERENCE quotient between a long and a
+      short loop — (T(hi) - T(lo)) / (hi - lo) — which cancels the
+      fixed costs (the input copy into the loop state, dispatch, and
+      the fetch) that a single-loop average would smear in.
+
+    One row per available route: ``xla`` always, ``pallas`` when the
+    symmetric kernel is enabled and supports the physical shape.
+    """
+    import time
+
+    from scripts.utils import append_csv
+    from nums_tpu.core.ops import pallas_gram
+
+    d = args.d
+    lo, hi = args.iters_lo, args.iters_hi
+    assert hi > lo > 0
+
+    def loop_fn(op, iters):
+        def body(_, carry):
+            Xc, acc = carry
+            Xc = Xc.at[0, 0].set(Xc[0, 0] + 0.0 * acc)
+            G = op(Xc)
+            return Xc, acc + jnp.sum(G).astype(jnp.float32)
+
+        @jax.jit
+        def run(X):
+            return jax.lax.fori_loop(
+                0, iters, body, (X, jnp.float32(0.0))
+            )[1]
+
+        return run
+
+    for n in [int(x) for x in args.ns.split(",")]:
+        X = make_x(n, d, app.backend).data  # physical (lane-padded) form
+        pn, pd = X.shape
+        routes = [("xla", lambda a: jnp.matmul(a.T, a))]
+        if pallas_gram.enabled() and pallas_gram.supported(X.shape, X.dtype):
+            routes.append(("pallas", pallas_gram.gram))
+        for route, op in routes:
+            run_lo, run_hi = loop_fn(op, lo), loop_fn(op, hi)
+            float(run_lo(X)), float(run_hi(X))  # compile + warmup
+            t_lo, t_hi = [], []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                float(run_lo(X))
+                t_lo.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(run_hi(X))
+                t_hi.append(time.perf_counter() - t0)
+            per_iter = (float(np.median(t_hi)) - float(np.median(t_lo))) \
+                / (hi - lo)
+            row = {
+                "mode": "device_resident", "N": n, "d": d,
+                "phys_n": pn, "phys_d": pd, "route": route,
+                "iters_lo": lo, "iters_hi": hi,
+                "t_lo_median_s": round(float(np.median(t_lo)), 5),
+                "t_hi_median_s": round(float(np.median(t_hi)), 5),
+                "per_iter_s": round(per_iter, 6), "reps": args.reps,
+            }
+            append_csv(args.out, row)
+            tf = 2.0 * pn * pd * pd / max(per_iter, 1e-12) / 1e12
+            print(f"N={n} {route}: {per_iter * 1e3:.3f} ms/iter "
+                  f"({tf:.1f} TFLOP/s)")
+        del X
+    return 0
+
+
 def main(argv=None):
     sys.path.insert(0, ".")
     from scripts.utils import benchmark_chained, append_csv
@@ -120,18 +200,28 @@ def main(argv=None):
         help="alternating pure-jax vs BlockArray A/B rows "
              "(dispatch-overhead artifact; separate default CSV)",
     )
+    parser.add_argument(
+        "--device-resident", action="store_true",
+        help="in-program fori_loop gram per route "
+             "(device-resident throughput artifact; separate default CSV)",
+    )
     parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--chain", type=int, default=5)
+    parser.add_argument("--iters-lo", type=int, default=5)
+    parser.add_argument("--iters-hi", type=int, default=20)
     args = parser.parse_args(argv)
     if args.out is None:
         args.out = ("result_interleave_tpu.csv" if args.interleave
-                    else "result_bop_tpu.csv")
+                    else "result_device_resident_tpu.csv"
+                    if args.device_resident else "result_bop_tpu.csv")
 
     import nums_tpu
 
     app = nums_tpu.init()
     if args.interleave:
         return interleave(args, app)
+    if args.device_resident:
+        return device_resident(args, app)
     d = args.d
     for n in [int(x) for x in args.ns.split(",")]:
         try:

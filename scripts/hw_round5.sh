@@ -75,6 +75,12 @@ timeout "$STEP_T" python scripts/benchmark_bop.py --interleave \
   --out result_interleave_tpu.csv 2>&1 | tee /tmp/hw5_interleave.log
 il_rc=$?
 
+log "6c/8 device-resident in-program gram loop (per-route artifact)"
+NUMS_TPU_LANE_PAD=1 timeout "$STEP_T" python scripts/benchmark_bop.py \
+  --device-resident --out result_device_resident_tpu.csv \
+  2>&1 | tee /tmp/hw5_devres.log
+dr_rc=$?
+
 log "7/8 model north-stars (GBDT + randomized SVD)"
 timeout "$STEP_T" python scripts/benchmark_models.py --out result_models_tpu.csv \
   2>&1 | tee /tmp/hw5_models.log
@@ -86,8 +92,8 @@ gate_rc=$?
 
 log "DONE smoke_rc=$smoke_rc bench_rc=$bench_rc ab_rc=$ab_rc" \
     "xover_rc=$xover_rc rows_rc=$rows_rc newton_rc=$newton_rc" \
-    "bop_rc=$bop_rc lr_rc=$lr_rc il_rc=$il_rc models_rc=$models_rc" \
-    "gate_rc=$gate_rc"
+    "bop_rc=$bop_rc lr_rc=$lr_rc il_rc=$il_rc dr_rc=$dr_rc" \
+    "models_rc=$models_rc gate_rc=$gate_rc"
 exit $(( smoke_rc || bench_rc || ab_rc || xover_rc || rows_rc \
-         || newton_rc || bop_rc || lr_rc || il_rc || models_rc \
-         || gate_rc ))
+         || newton_rc || bop_rc || lr_rc || il_rc || dr_rc \
+         || models_rc || gate_rc ))

@@ -50,6 +50,26 @@ def test_interleave_writes_both_paths(tmp_path, app_serial):
         assert r["lane_pad"] in ("0", "1")
 
 
+def test_device_resident_rows_per_route(tmp_path, app_serial, monkeypatch):
+    """--device-resident writes one row per available route with a
+    positive difference-quotient per-iteration time; with the pallas
+    gram forced on (interpret mode on CPU) both routes must appear."""
+    monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "1")
+    bop = _bop()
+    out = str(tmp_path / "dr.csv")
+    rc = bop.main([
+        "--device-resident", "--out", out, "--ns", "512", "-d", "128",
+        "--reps", "1", "--iters-lo", "2", "--iters-hi", "4",
+    ])
+    assert rc == 0
+    rows = list(csv.DictReader(open(out)))
+    assert [r["route"] for r in rows] == ["xla", "pallas"]
+    for r in rows:
+        assert r["mode"] == "device_resident"
+        assert float(r["t_hi_median_s"]) > 0.0
+        assert int(r["phys_d"]) % 128 == 0
+
+
 def test_interleave_default_out_is_separate_csv(tmp_path, app_serial,
                                                 monkeypatch):
     """Without --out the interleave rows must land in their own CSV,
