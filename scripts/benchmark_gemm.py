@@ -6,9 +6,6 @@ Usage: python scripts/benchmark_gemm.py [--n 32768] [--dtype bfloat16|float32]
 
 import argparse
 import sys
-import time
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ Usage: python scripts/benchmark_tsqr.py [--m 16777216] [--n 128]
 import argparse
 import sys
 
-import numpy as np
 
 import jax
 import jax.numpy as jnp

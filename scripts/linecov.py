@@ -172,7 +172,7 @@ def report(rows, show_worst=15):
     total_hit = sum(r[2] for r in rows)
     pct = 100.0 * total_hit / max(1, total_ex)
     worst = sorted(rows, key=lambda r: r[2] / r[1])[:show_worst]
-    print(f"\n== line coverage (sys.monitoring) ==")
+    print("\n== line coverage (sys.monitoring) ==")
     for rel, ex, hit in worst:
         print(f"  {100.0 * hit / ex:5.1f}%  {hit:>5}/{ex:<5}  {rel}")
     print(f"TOTAL line coverage: {pct:.1f}% "

@@ -255,6 +255,85 @@ def plot_pallas_gram(outdir):
     plt.close(fig)
 
 
+C_BASE = "#8a8986"   # neutral baseline series (pure jax / plain XLA)
+
+
+def plot_interleave(outdir):
+    """Pure-jax vs BlockArray interleaved A/B (dispatch overhead):
+    grouped bars per N from result_interleave_tpu.csv."""
+    rows = [r for r in _read("result_interleave_tpu.csv")
+            if r.get("mode") == "interleave"]
+    if not rows:
+        return
+    med = {}  # N -> {path: median_s}, last row per key wins (newest)
+    for r in rows:
+        med.setdefault(int(r["N"]), {})[r["path"]] = float(r["median_s"])
+    ns = [n for n in sorted(med)
+          if {"pure_jax", "blockarray"} <= set(med[n])]
+    if not ns:
+        return
+    xs = range(len(ns))
+    fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=160)
+    _style(ax, "Same-chip interleaved A/B: raw jax.jit vs BlockArray "
+               "dispatch", "N (rows, d=1000)", "seconds / execution")
+    w, off = 0.36, 0.20
+    ax.bar([x - off for x in xs], [med[n]["pure_jax"] for n in ns],
+           width=w, color=C_BASE, label="pure jax.jit", zorder=3)
+    ax.bar([x + off for x in xs], [med[n]["blockarray"] for n in ns],
+           width=w, color=C_OURS, label="BlockArray path", zorder=3)
+    for x, n in zip(xs, ns):
+        ovh = med[n]["blockarray"] / med[n]["pure_jax"] - 1.0
+        top = max(med[n]["pure_jax"], med[n]["blockarray"])
+        ax.text(x, top, f" {ovh * 100:+.1f}%", ha="center", va="bottom",
+                fontsize=8, color=TEXT2)
+    ax.set_xticks(list(xs))
+    ax.set_xticklabels([f"{n // 1000}k" if n < 10**6
+                        else f"{n / 1e6:g}M" for n in ns])
+    ax.grid(axis="x", visible=False)
+    ax.legend(frameon=False, fontsize=8, labelcolor=TEXT2)
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "interleave.png"))
+    plt.close(fig)
+
+
+def plot_device_resident(outdir):
+    """In-program fori_loop gram per route (device-resident throughput)
+    from result_device_resident_tpu.csv."""
+    rows = [r for r in _read("result_device_resident_tpu.csv")
+            if r.get("mode") == "device_resident"]
+    if not rows:
+        return
+    med = {}  # N -> {route: per_iter_s}, newest row per key wins
+    for r in rows:
+        med.setdefault(int(r["N"]), {})[r["route"]] = float(r["per_iter_s"])
+    ns = sorted(med)
+    xs = range(len(ns))
+    fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=160)
+    _style(ax, "Device-resident gram (in-program loop, fixed costs "
+               "cancelled)", "N (rows)", "ms / iteration")
+    w, off = 0.36, 0.20
+    ax.bar([x - off for x in xs],
+           [med[n].get("xla", 0.0) * 1e3 for n in ns],
+           width=w, color=C_BASE, label="XLA dot_general", zorder=3)
+    ax.bar([x + off for x in xs],
+           [med[n].get("pallas", 0.0) * 1e3 for n in ns],
+           width=w, color=C_OURS, label="Pallas symmetric", zorder=3)
+    for x, n in zip(xs, ns):
+        for dx, route in ((-off, "xla"), (off, "pallas")):
+            v = med[n].get(route)
+            if v:
+                ax.text(x + dx, v * 1e3, f" {v * 1e3:.2f}", ha="center",
+                        va="bottom", fontsize=8, color=TEXT2)
+    ax.set_xticks(list(xs))
+    ax.set_xticklabels([f"{n // 1000}k" if n < 10**6
+                        else f"{n / 1e6:g}M" for n in ns])
+    ax.grid(axis="x", visible=False)
+    ax.legend(frameon=False, fontsize=8, labelcolor=TEXT2)
+    fig.tight_layout()
+    fig.savefig(os.path.join(outdir, "device_resident.png"))
+    plt.close(fig)
+
+
 def plot_models(outdir):
     rows = _read("result_models_tpu.csv")
     if not rows:
@@ -294,6 +373,8 @@ def main(argv=None):
     plot_ooc(args.out)
     plot_pallas_gram(args.out)
     plot_models(args.out)
+    plot_interleave(args.out)
+    plot_device_resident(args.out)
     made = sorted(os.listdir(args.out))
     print(f"wrote {len(made)} figures to {args.out}/: {', '.join(made)}")
     return 0

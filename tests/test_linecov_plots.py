@@ -136,3 +136,32 @@ def test_plot_all_renders_committed_artifacts(tmp_path, monkeypatch):
                     "tsqr.png"]
     for f in made:
         assert (out / f).stat().st_size > 10_000  # a real figure
+
+
+def test_plot_all_renders_overhead_artifacts(tmp_path, monkeypatch):
+    """The interleave / device-resident figures render once their CSVs
+    exist (they are produced by the hardware batch, steps 6b/6c)."""
+    from scripts import plot_all
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "result_interleave_tpu.csv").write_text(
+        "mode,N,d,path,median_s,min_s,sweeps_s,chain,lane_pad\n"
+        "interleave,125000,1000,pure_jax,0.0055,0.0054,x,5,1\n"
+        "interleave,125000,1000,blockarray,0.0056,0.0055,x,5,1\n"
+    )
+    (tmp_path / "result_device_resident_tpu.csv").write_text(
+        "mode,N,d,phys_n,phys_d,route,iters_lo,iters_hi,"
+        "t_lo_median_s,t_hi_median_s,per_iter_s,reps\n"
+        "device_resident,2500000,1000,2500000,1024,xla,5,20,"
+        "0.2,0.6,0.0265,5\n"
+        "device_resident,2500000,1000,2500000,1024,pallas,5,20,"
+        "0.15,0.4,0.0168,5\n"
+    )
+    out = tmp_path / "plots"
+    assert plot_all.main(["--out", str(out)]) == 0
+    made = sorted(os.listdir(out))
+    # bop/lr always render (reference-constant series); the two new
+    # figures must appear because their CSVs exist here.
+    for f in ("device_resident.png", "interleave.png"):
+        assert f in made
+        assert (out / f).stat().st_size > 10_000
