@@ -15,8 +15,8 @@ python scripts/lint.py nums_tpu
 echo "== tests + line coverage (serial + virtual mesh) =="
 # sys.monitoring-based line coverage (the image has no coverage.py);
 # child interpreters (jax.distributed workers, dryrun subprocesses)
-# are collected too via scripts/linecov_boot. Measured 92.9% on the
-# round-4 suite (10 subprocess dumps merged) — above the reference's
+# are collected too via scripts/linecov_boot. Measured 93.5% on the
+# round-5 suite (12 subprocess dumps merged) — above the reference's
 # codecov 90% target (.travis.yml/codecov.yml there); the floor sits
 # under the measurement, above any untested-new-module regression.
 python scripts/linecov.py --floor 88 tests/ -q
