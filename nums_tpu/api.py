@@ -253,6 +253,13 @@ def write_parquet(ba, filename: str, column_names=None,
 
         stripes = gen()
     write = not multi or _mp.process_index() == 0
+    # The stream is collective ONLY for the in-memory branch
+    # (allgather_to_host per stripe): there every process iterates in
+    # lockstep, so a write failure must DRAIN the remainder or the
+    # peers strand inside the producer before the release barrier.
+    # DiskArray stripes are host-pure shared-FS reads that the peers
+    # never touch (they wait at await_published) — nothing to drain.
+    collective_stream = multi and not isinstance(ba, DiskArray)
 
     def write_stream():
         writer = None
@@ -260,17 +267,11 @@ def write_parquet(ba, filename: str, column_names=None,
         try:
             for stripe in stripes:
                 if write_exc is not None:
-                    if not multi:
-                        # Single-process: nothing collective to drain —
-                        # surface the failure now instead of paying the
-                        # remaining stream fetches first.
+                    if not collective_stream:
+                        # Nothing collective to drain — surface the
+                        # failure now instead of paying the remaining
+                        # stream reads first.
                         break
-                    # Keep draining: the stripe producer may be
-                    # collective (allgather_to_host), so every process
-                    # must iterate the WHOLE stream even after a write
-                    # failure — abandoning it mid-way would strand the
-                    # peers inside the producer, before the release
-                    # barrier.
                     continue
                 try:
                     table = pa.table(

@@ -188,10 +188,15 @@ def glm_stats_update_aug(kind: str):
         else:
             raise ValueError(kind)
         g = g + pa.T @ (mu - y_panel)
+        # linear's Hessian weight is identically 1: the unweighted gram
+        # is the same math without streaming an (n,) ones vector through
+        # the scaled kernel (or a second compiled kernel variant).
         if pallas_gram.enabled() and pallas_gram.supported(shp, pa.dtype):
             # Per-row Hessian weight fused into the kernel's VMEM pass
             # (no materialized √s·pa panel copy).
-            H = H + pallas_gram.gram(pa, s)
+            H = H + pallas_gram.gram(pa, None if kind == "linear" else s)
+        elif kind == "linear":
+            H = H + pa.T @ pa
         else:
             H = H + (pa * s[:, None]).T @ pa
         return g, H

@@ -136,7 +136,12 @@ def probe_default_backend(timeout_s=None):
         pass
     plats = plats or os.environ.get("JAX_PLATFORMS", "")
     if plats:
-        return plats.split(",")[0].strip().lower()
+        entries = [p for p in (q.strip().lower()
+                               for q in plats.split(",")) if p]
+        if len(entries) == 1:
+            return entries[0]
+        # A priority LIST ("tpu,cpu") resolves to whichever entry
+        # actually initializes — that needs the real (bounded) probe.
     if timeout_s is None:
         timeout_s = init_timeout_s
     return _bounded_probe(jax.default_backend, "jax.default_backend()",

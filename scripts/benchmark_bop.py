@@ -69,7 +69,11 @@ def interleave(args, app):
         return (time.perf_counter() - t0) / chain
 
     for n in [int(x) for x in args.ns.split(",")]:
-        X = make_x(n, d, app.backend)
+        try:
+            X = make_x(n, d, app.backend)
+        except Exception as e:  # OOM etc: skip the N, keep the batch
+            print(f"N={n}: build FAILED ({type(e).__name__})")
+            continue
         pure = jax.jit(lambda a: jnp.matmul(a.T, a))
 
         def enq_pure():
@@ -112,11 +116,13 @@ def device_resident(args, app):
     cost excludes every host-side overhead (dispatch, tunnel RPC, the
     scalar fetch). Two defenses keep the measurement honest:
 
-    * the design matrix is part of the loop carry and gets a
-      one-element in-place touch each iteration, so the gram is NOT
-      loop-invariant (XLA cannot hoist it out of the loop), and the
-      body consumes ``sum(G)`` (a [0,0] probe could legally be rewritten
-      to a sliced dot);
+    * the gram input passes through ``lax.optimization_barrier``
+      BUNDLED with the loop carry, so its per-iteration value depends
+      on the carry and XLA cannot hoist the dot out of the loop (an
+      identity fence — no copy, unlike carrying the 10 GB matrix in
+      the loop state, which would double HBM and OOM at N=2.5M); the
+      body consumes ``sum(G)`` (a [0,0] probe could legally be
+      rewritten to a sliced dot);
     * per-iteration time is the DIFFERENCE quotient between a long and a
       short loop — (T(hi) - T(lo)) / (hi - lo) — which cancels the
       fixed costs (the input copy into the loop state, dispatch, and
@@ -135,37 +141,42 @@ def device_resident(args, app):
     assert hi > lo > 0
 
     def loop_fn(op, iters):
-        def body(_, carry):
-            Xc, acc = carry
-            Xc = Xc.at[0, 0].set(Xc[0, 0] + 0.0 * acc)
-            G = op(Xc)
-            return Xc, acc + jnp.sum(G).astype(jnp.float32)
-
         @jax.jit
         def run(X):
-            return jax.lax.fori_loop(
-                0, iters, body, (X, jnp.float32(0.0))
-            )[1]
+            def body(_, acc):
+                Xc, acc = jax.lax.optimization_barrier((X, acc))
+                G = op(Xc)
+                return acc + jnp.sum(G).astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         return run
 
     for n in [int(x) for x in args.ns.split(",")]:
-        X = make_x(n, d, app.backend).data  # physical (lane-padded) form
+        try:
+            X = make_x(n, d, app.backend).data  # physical (padded) form
+        except Exception as e:  # OOM etc: skip the N, keep the batch
+            print(f"N={n}: build FAILED ({type(e).__name__})")
+            continue
         pn, pd = X.shape
         routes = [("xla", lambda a: jnp.matmul(a.T, a))]
         if pallas_gram.enabled() and pallas_gram.supported(X.shape, X.dtype):
             routes.append(("pallas", pallas_gram.gram))
         for route, op in routes:
-            run_lo, run_hi = loop_fn(op, lo), loop_fn(op, hi)
-            float(run_lo(X)), float(run_hi(X))  # compile + warmup
-            t_lo, t_hi = [], []
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                float(run_lo(X))
-                t_lo.append(time.perf_counter() - t0)
-                t0 = time.perf_counter()
-                float(run_hi(X))
-                t_hi.append(time.perf_counter() - t0)
+            try:
+                run_lo, run_hi = loop_fn(op, lo), loop_fn(op, hi)
+                float(run_lo(X)), float(run_hi(X))  # compile + warmup
+                t_lo, t_hi = [], []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    float(run_lo(X))
+                    t_lo.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    float(run_hi(X))
+                    t_hi.append(time.perf_counter() - t0)
+            except Exception as e:  # per-route isolation for the batch
+                print(f"N={n} {route}: FAILED ({type(e).__name__})")
+                continue
             per_iter = (float(np.median(t_hi)) - float(np.median(t_lo))) \
                 / (hi - lo)
             row = {

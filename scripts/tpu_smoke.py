@@ -38,7 +38,9 @@ def main():
     t_init = time.perf_counter() - t_init
     from nums_tpu.core import settings as _settings
 
-    init_ok = t_init < _settings.init_timeout_s
+    # init_timeout_s == 0 disables the watchdog — no budget to enforce.
+    init_ok = (_settings.init_timeout_s == 0
+               or t_init < _settings.init_timeout_s)
     print(f"{'PASS' if init_ok else 'FAIL'} bounded init: "
           f"{t_init:.1f}s (watchdog budget {_settings.init_timeout_s}s)")
     print("backend:", app.backend.name, "devices:", app.backend.num_devices)

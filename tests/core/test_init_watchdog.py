@@ -15,6 +15,27 @@ def test_probe_short_circuits_on_explicit_platform():
     assert settings.probe_default_backend(timeout_s=0.001) == "cpu"
 
 
+def test_priority_list_uses_real_probe(monkeypatch):
+    """A multi-entry priority list ("tpu,cpu") must NOT short-circuit
+    to its first entry: the platform that actually initializes may be
+    the fallback, and configure_x64 would mis-decide x64 for it."""
+    import jax
+
+    calls = []
+
+    def fake_probe(fn, what, timeout_s):
+        calls.append(what)
+        return "cpu"
+
+    monkeypatch.setattr(settings, "_bounded_probe", fake_probe)
+    jax.config.update("jax_platforms", "cpu,cpu")
+    try:
+        assert settings.probe_default_backend(timeout_s=1) == "cpu"
+    finally:
+        jax.config.update("jax_platforms", "cpu")
+    assert calls  # the real (bounded) probe ran; no first-entry guess
+
+
 def test_bounded_probe_times_out():
     def hang():
         time.sleep(60)
