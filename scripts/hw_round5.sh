@@ -15,11 +15,10 @@ STEP_T=${NUMS_TPU_HW5_STEP_TIMEOUT_S:-2700}
 
 log() { echo "== $* ($(date -u +%H:%M:%S))"; }
 
-log "1/8 hardware smoke tier"
-timeout "$STEP_T" python scripts/tpu_smoke.py 2>&1 | tee /tmp/hw5_smoke.log
-smoke_rc=$?
-
-log "2/8 headline bench (lane-padded Pallas route)"
+# The headline recapture is the round's #1 deliverable — it runs FIRST
+# so a recovery window that closes early still yields it (bench.py has
+# its own numerics guard + XLA fallback; the smoke tier follows).
+log "1/8 headline bench (lane-padded Pallas route)"
 timeout "$STEP_T" python bench.py > /tmp/hw5_bench.json 2> /tmp/hw5_bench.log
 bench_rc=$?
 cat /tmp/hw5_bench.json
@@ -41,6 +40,10 @@ json.dump(rec, open("BENCH_r04b.json", "w"), indent=2)
 print("BENCH_r04b.json written:", rec["parsed"]["vs_baseline"], "x")
 EOF
 fi
+
+log "2/8 hardware smoke tier"
+timeout "$STEP_T" python scripts/tpu_smoke.py 2>&1 | tee /tmp/hw5_smoke.log
+smoke_rc=$?
 
 log "3/8 pallas gram A/B sweep"
 timeout "$STEP_T" python scripts/benchmark_pallas_gram.py --out result_pallas_gram_tpu.csv \
