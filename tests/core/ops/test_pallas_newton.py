@@ -139,3 +139,33 @@ def test_enabled_follows_gram_gate(app_inst, monkeypatch):
     monkeypatch.setenv("NUMS_TPU_PALLAS_NEWTON", "1")
     monkeypatch.setenv("NUMS_TPU_PALLAS_GRAM", "0")
     assert pallas_newton.enabled()  # own force wins
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(12))
+def test_stats_shape_kind_fuzz(app_inst, seed):
+    """Randomized (n, d, kind, scale) sweep against the float64 oracle
+    — pre-hardware confidence for the shapes the OOC/GLM routes feed
+    the kernel (odd n incl. sub-chunk, every 128-multiple d tier, beta
+    scales spanning near-saturated links)."""
+    from nums_tpu.core.ops import pallas_newton
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(1000 + seed)
+    n = int(rs.choice([17, 100, 384, 1000, 1025, 4096]))
+    d = int(rs.choice([128, 256, 384, 512]))
+    kind = str(rs.choice(["logistic", "linear", "poisson"]))
+    xscale = float(rs.choice([0.01, 0.1, 0.3]))
+    bscale = float(rs.choice([0.01, 0.1]))
+    x = rs.randn(n, d).astype(np.float32) * xscale
+    y = (rs.rand(n) > 0.5).astype(np.float32)
+    beta = rs.randn(d).astype(np.float32) * bscale
+    if not pallas_newton.supported(x.shape, x.dtype):
+        pytest.skip(f"plan rejects ({n}, {d})")
+    g, h = pallas_newton.stats(
+        jnp.asarray(x), jnp.asarray(y), jnp.asarray(beta), kind
+    )
+    og, oh = _oracle(kind, x, y, beta)
+    assert _rel(np.asarray(g), og) < BF16_REL, (n, d, kind)
+    assert _rel(np.asarray(h), oh) < BF16_REL, (n, d, kind)
+    assert np.array_equal(np.asarray(h), np.asarray(h).T), (n, d, kind)
