@@ -13,6 +13,17 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdint>
+#include <locale.h>
+
+// strtod is LC_NUMERIC-dependent: an embedding application that calls
+// setlocale() into a comma-decimal locale (de_DE etc., common in GUI /
+// plotting stacks) would make strtod consume ',' field delimiters as
+// decimal points, silently merging fields. Pin the C locale for the
+// fallback path explicitly (the fast path is locale-free by design).
+static locale_t nums_c_locale() {
+    static locale_t loc = newlocale(LC_ALL_MASK, "C", (locale_t)0);
+    return loc;
+}
 
 // Exact powers of ten representable in a double (10^0 .. 10^22).
 static const double kPow10[] = {
@@ -122,9 +133,10 @@ long nums_parse_csv(const char* buf, long len, char delim, double* out,
             const char* next = fast_double(p, end, &v);
             if (next == nullptr) {
                 // Exact fast path declined: correctly-rounded strtod
-                // (buf is null-terminated by the Python bytes object).
+                // (buf is null-terminated by the Python bytes object),
+                // pinned to the C locale (see nums_c_locale above).
                 char* sn = nullptr;
-                v = strtod(p, &sn);
+                v = strtod_l(p, &sn, nums_c_locale());
                 if (sn == p) {
                     // Not a number (e.g. stray text): fail parse.
                     return -2;

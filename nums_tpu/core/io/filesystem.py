@@ -113,11 +113,32 @@ def _existing_replicas(final_path: str):
     return found
 
 
+def _live_writer_tmp(suffix: str) -> bool:
+    """True when the ``.tmp-<pid>`` suffix names a LIVE process other
+    than ours — a concurrent writer mid-write, whose tmp must not be
+    swept as an orphan (best-effort: pids are host-local, so a shared
+    FS reached from multiple hosts can still collide; the publish
+    rename's meta-recheck guard covers that residual race). Pid 0 is
+    the multi-process writers' deterministic suffix, never a real pid."""
+    m = re.search(r"\.tmp-(\d+)$", suffix)
+    if m is None:
+        return False
+    pid = int(m.group(1))
+    if pid <= 0 or pid == os.getpid():
+        return False
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True
+
+
 def _cleanup_orphans(final_path: str, include_replicas: bool = False):
     """Remove publish orphans (``.tmp-*`` / ``.old-*``) of this
     checkpoint AND of its replica dirs (a writer crashed mid-replica
     write leaves ``<replica>.tmp-*`` dirs that no later write touches).
-    With ``include_replicas`` the published replica dirs go too."""
+    With ``include_replicas`` the published replica dirs go too. A
+    ``.tmp-<pid>`` of a live concurrent writer is left alone."""
     for parent, base, rep_re in _replica_parents(final_path):
         if not os.path.isdir(parent):
             continue
@@ -128,12 +149,42 @@ def _cleanup_orphans(final_path: str, include_replicas: bool = False):
             core = _ORPHAN_RE.sub("", suffix)
             is_orphan = _ORPHAN_RE.search(suffix) and (
                 core == "" or rep_re.fullmatch(core)
-            )
+            ) and not _live_writer_tmp(suffix)
             is_replica = include_replicas and rep_re.fullmatch(suffix)
             if is_orphan or is_replica:
                 shutil.rmtree(
                     os.path.join(parent, entry), ignore_errors=True
                 )
+
+
+def _publish_tmps(tmps, targets):
+    """Atomic overwrite publish of COMPLETE tmp dirs, replicas first so
+    a published primary implies its replicas were already attempted.
+    Shared by the single- and multi-process writers (the rename dance
+    and its recovery-race guard must not drift between them)."""
+    for t, p in list(zip(tmps, targets))[::-1]:
+        if os.path.isdir(p):
+            trash = f"{p}.old-{os.getpid()}"
+            shutil.rmtree(trash, ignore_errors=True)
+            os.rename(p, trash)
+            # A crash HERE leaves no visible dir — but both the
+            # complete .tmp and the .old backup survive, and every
+            # reader runs _recover_fs_dir to promote one.
+            try:
+                os.rename(t, p)
+            except OSError:
+                # A concurrent reader's recovery may have promoted
+                # our complete tmp into place mid-window; any
+                # complete final dir means the publish landed.
+                if not os.path.isfile(os.path.join(p, "meta.pkl")):
+                    raise
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            try:
+                os.rename(t, p)
+            except OSError:
+                if not os.path.isfile(os.path.join(p, "meta.pkl")):
+                    raise
 
 
 def _fsync_tree(path: str):
@@ -315,29 +366,7 @@ class FileSystem:
                 if settings.checkpoint_fsync:
                     os.fsync(f.fileno())
             _fsync_tree(t)
-        for t, p in list(zip(tmps, targets))[::-1]:
-            if os.path.isdir(p):
-                trash = f"{p}.old-{os.getpid()}"
-                shutil.rmtree(trash, ignore_errors=True)
-                os.rename(p, trash)
-                # A crash HERE leaves no visible dir — but both the
-                # complete .tmp and the .old backup survive, and every
-                # reader runs _recover_fs_dir to promote one.
-                try:
-                    os.rename(t, p)
-                except OSError:
-                    # A concurrent reader's recovery may have promoted
-                    # our complete tmp into place mid-window; any
-                    # complete final dir means the publish landed.
-                    if not os.path.isfile(os.path.join(p, "meta.pkl")):
-                        raise
-                shutil.rmtree(trash, ignore_errors=True)
-            else:
-                try:
-                    os.rename(t, p)
-                except OSError:
-                    if not os.path.isfile(os.path.join(p, "meta.pkl")):
-                        raise
+        _publish_tmps(tmps, targets)
         # Orphans from crashed earlier writers (any pid, incl. replica
         # tmp dirs under replica roots) are stale now.
         _cleanup_orphans(final_path)
@@ -422,36 +451,68 @@ class FileSystem:
         goal, no task system.
         """
         from nums_tpu.core import multiprocess as _mp
+        from nums_tpu.core.io import shard_native
 
         final_path = _fs_path(filename)
         targets = [final_path] + _replica_paths(final_path, max(1, replicas))
-        tmps = [f"{p}.tmp-mp" for p in targets]
+        # Deterministic tmp suffix (every process writes into the SAME
+        # dirs on the shared FS) that matches _ORPHAN_RE, so a crashed
+        # multi-host write is cleaned up / recovery-promoted exactly
+        # like a single-process one (".tmp-mp" matched neither and
+        # leaked forever — or resurrected after delete_fs).
+        tmps = [f"{p}.tmp-0" for p in targets]
         tag = filename.replace(os.sep, "_")
         grid, owned_blocks = self._shard_grid_blocks(ba)
 
-        if _mp.process_index() == 0:
+        # Every stage ends in a checked barrier: one process's failure
+        # (disk full, bad block) surfaces on ALL processes instead of
+        # stranding the peers at the next collective.
+        def stage(name, fn, *, only0=False):
+            ok, err = True, None
+            if not only0 or _mp.process_index() == 0:
+                try:
+                    fn()
+                except BaseException as e:  # noqa: BLE001 - re-raised
+                    ok, err = False, e
+            _mp.checked_barrier(f"write_fs:{name}:{tag}", ok,
+                                f"write_fs({filename!r}) {name}")
+            if err is not None:
+                raise err
+
+        def prepare():
             for t in tmps:
                 if os.path.isdir(t):
                     shutil.rmtree(t)
                 os.makedirs(t, exist_ok=True)
-        _mp.barrier(f"write_fs:prepare:{tag}")
+
+        stage("prepare", prepare, only0=True)
 
         checksums = {}
         results = []
-        for entry, block in owned_blocks:
-            fname = _block_fname(entry)
-            checksums[fname] = _block_crc(block)
-            for t in tmps:
-                np.save(os.path.join(t, fname), block)
-            results.append(True)
-        # CRC sidecar per process; merged into meta.pkl by process 0.
-        side = f"checksums.{_mp.process_index()}.pkl"
-        for t in tmps:
-            with open(os.path.join(t, side), "wb") as f:
-                f.write(pickle.dumps(checksums))
-        _mp.barrier(f"write_fs:blocks:{tag}")
 
-        if _mp.process_index() == 0:
+        def write_blocks():
+            items = []
+            for entry, block in owned_blocks:
+                fname = _block_fname(entry)
+                checksums[fname] = _block_crc(block)
+                items.extend(
+                    (os.path.join(t, fname), block) for t in tmps
+                )
+                results.append(True)
+            # Native parallel writer (C++ thread pool, GIL released);
+            # same fallback contract as the single-process path.
+            if items and not shard_native.write_shards(items):
+                for p, blk in items:
+                    np.save(p, blk)
+            # CRC sidecar per process; merged into meta.pkl by proc 0.
+            side = f"checksums.{_mp.process_index()}.pkl"
+            for t in tmps:
+                with open(os.path.join(t, side), "wb") as f:
+                    f.write(pickle.dumps(checksums))
+
+        stage("blocks", write_blocks)
+
+        def publish():
             merged = {}
             for entry in sorted(os.listdir(tmps[0])):
                 if entry.startswith("checksums.") and entry.endswith(".pkl"):
@@ -468,20 +529,13 @@ class FileSystem:
                     if settings.checkpoint_fsync:
                         os.fsync(f.fileno())
                 _fsync_tree(t)
-            for t, p in list(zip(tmps, targets))[::-1]:
-                if os.path.isdir(p):
-                    trash = f"{p}.old-{os.getpid()}"
-                    shutil.rmtree(trash, ignore_errors=True)
-                    os.rename(p, trash)
-                    os.rename(t, p)
-                    shutil.rmtree(trash, ignore_errors=True)
-                else:
-                    os.rename(t, p)
+            _publish_tmps(tmps, targets)
             _cleanup_orphans(final_path)
             for stale in _existing_replicas(final_path):
                 if stale not in targets:
                     shutil.rmtree(stale, ignore_errors=True)
-        _mp.barrier(f"write_fs:publish:{tag}")
+
+        stage("publish", publish, only0=True)
         return np.array(results or [True], dtype=bool)
 
     def read_meta_fs(self, filename: str) -> dict:
@@ -614,11 +668,18 @@ class FileSystem:
             tag = filename.replace(os.sep, "_")
             exists = os.path.isdir(path)
             _mp.barrier(f"delete_fs:probe:{tag}")
+            ok, err = True, None
             if _mp.process_index() == 0:
-                _cleanup_orphans(path, include_replicas=True)
-                if exists:
-                    shutil.rmtree(path)
-            _mp.barrier(f"delete_fs:done:{tag}")
+                try:
+                    _cleanup_orphans(path, include_replicas=True)
+                    if exists:
+                        shutil.rmtree(path)
+                except BaseException as e:  # noqa: BLE001 - re-raised
+                    ok, err = False, e
+            _mp.checked_barrier(f"delete_fs:done:{tag}", ok,
+                                f"delete_fs({filename!r})")
+            if err is not None:
+                raise err
             return np.array([exists], dtype=bool)
         # Replicas AND publish orphans (any scheme) go too — else a later
         # exists_fs/read would resurrect the deleted checkpoint.
@@ -652,16 +713,30 @@ class FileSystem:
             # on every process would multiply the CRC I/O by P).
             tag = filename.replace(os.sep, "_")
             sidecar = _fs_path(filename) + ".scrub-report.pkl"
+            ok, err = True, None
             if _mp.process_index() == 0:
-                report = self._verify_fs_impl(filename, repair=True)
-                tmp = f"{sidecar}.tmp-{os.getpid()}"
-                with open(tmp, "wb") as f:
-                    f.write(pickle.dumps(report))
-                os.replace(tmp, sidecar)
-            _mp.barrier(f"verify_fs:scrub:{tag}")
-            with open(sidecar, "rb") as f:
-                report = pickle.load(f)
-            _mp.barrier(f"verify_fs:read:{tag}")
+                try:
+                    report = self._verify_fs_impl(filename, repair=True)
+                    tmp = f"{sidecar}.tmp-{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        f.write(pickle.dumps(report))
+                    os.replace(tmp, sidecar)
+                except BaseException as e:  # noqa: BLE001 - re-raised
+                    ok, err = False, e
+            _mp.checked_barrier(f"verify_fs:scrub:{tag}", ok,
+                                f"verify_fs({filename!r}) scrub")
+            if err is not None:
+                raise err
+            ok, err = True, None
+            try:
+                with open(sidecar, "rb") as f:
+                    report = pickle.load(f)
+            except BaseException as e:  # noqa: BLE001 - re-raised
+                ok, err = False, e
+            _mp.checked_barrier(f"verify_fs:read:{tag}", ok,
+                                f"verify_fs({filename!r}) report read")
+            if err is not None:
+                raise err
             if _mp.process_index() == 0:
                 try:
                     os.remove(sidecar)
@@ -785,20 +860,39 @@ class FileSystem:
         bucket, key = _s3_parse(filename)
         grid, owned_blocks = self._shard_grid_blocks(ba)
         results = []
-        for entry, block in owned_blocks:
-            suffix = "_".join(map(str, entry))
-            client.put_object(
-                Bucket=bucket, Key=f"{key}_{suffix}",
-                Body=pickle.dumps(block),
-            )
-            results.append(True)
-        _mp.barrier(f"write_s3:blocks:{key}")
+        ok, err = True, None
+        try:
+            for entry, block in owned_blocks:
+                suffix = "_".join(map(str, entry))
+                client.put_object(
+                    Bucket=bucket, Key=f"{key}_{suffix}",
+                    Body=pickle.dumps(block),
+                )
+                results.append(True)
+        except BaseException as e:  # noqa: BLE001 - re-raised
+            ok, err = False, e
+        # checked: a failed put on ANY process must stop process 0 from
+        # publishing the meta object (readers key on it) and must not
+        # strand the peers (no shared FS here, so the marker-file
+        # protocol can't serve S3 — the allgathered flag can).
+        _mp.checked_barrier(f"write_s3:blocks:{key}", ok,
+                            f"write_s3({filename!r}) blocks")
+        if err is not None:
+            raise err
+        ok, err = True, None
         if _mp.process_index() == 0:
-            meta = {"grid": grid.to_meta()}
-            client.put_object(
-                Bucket=bucket, Key=f"{key}_meta", Body=pickle.dumps(meta)
-            )
-        _mp.barrier(f"write_s3:meta:{key}")
+            try:
+                meta = {"grid": grid.to_meta()}
+                client.put_object(
+                    Bucket=bucket, Key=f"{key}_meta",
+                    Body=pickle.dumps(meta),
+                )
+            except BaseException as e:  # noqa: BLE001 - re-raised
+                ok, err = False, e
+        _mp.checked_barrier(f"write_s3:meta:{key}", ok,
+                            f"write_s3({filename!r}) meta")
+        if err is not None:
+            raise err
         return np.array(results or [True], dtype=bool)
 
     def read_meta_s3(self, filename: str) -> dict:
@@ -867,9 +961,14 @@ class FileSystem:
             f"{key}_" + "_".join(map(str, e))
             for e in grid.get_entry_iterator()
         ]
-        client.delete_objects(
-            Bucket=bucket, Delete={"Objects": [{"Key": k} for k in keys]}
-        )
+        # DeleteObjects caps at 1000 keys per request (real S3 returns
+        # MalformedXML above it; the in-process fake accepts any count).
+        for i in range(0, len(keys), 1000):
+            client.delete_objects(
+                Bucket=bucket,
+                Delete={"Objects": [{"Key": k}
+                                    for k in keys[i:i + 1000]]},
+            )
         return np.array([True] * len(keys), dtype=bool)
 
     # -- parallel text ingestion (parity: filesystem.py:144-212,357-439) -
@@ -926,13 +1025,17 @@ class FileSystem:
             for i in range(pidx, len(ranges), nproc):
                 start, stop = ranges[i]
                 f.seek(start)
-                counts[i] = f.read(stop - start).count(b"\n")
-            last_byte = b"\n"
-            if size:
-                f.seek(size - 1)
-                last_byte = f.read(1)
-        if last_byte != b"\n" and (len(ranges) - 1) % nproc == pidx:
-            counts[-1] += 1  # unterminated final line
+                # NON-BLANK lines only: both parsers (native + loadtxt)
+                # skip blank lines, so a trailing extra newline (or any
+                # interior blank line) must not count as a data row.
+                # Ranges are newline-aligned, so every split part but
+                # the last is a complete line; the last part is b""
+                # except in the file's final range, where it is the
+                # unterminated tail (a row iff non-blank).
+                parts = f.read(stop - start).split(b"\n")
+                counts[i] = sum(1 for ln in parts[:-1] if ln.strip())
+                if parts[-1].strip():
+                    counts[i] += 1  # unterminated final line
         counts = np.asarray(
             multihost_utils.process_allgather(counts)
         ).reshape(nproc, -1).sum(axis=0)
@@ -955,23 +1058,31 @@ class FileSystem:
         pshape = self.backend.physical_shape(grid.shape, grid.grid_shape)
 
         def line_offset(f, line_idx):
-            """Byte offset of physical line ``line_idx`` (coarse range
-            from the counts table, then an in-range newline scan)."""
+            """Byte offset of NON-BLANK line ``line_idx`` (coarse range
+            from the counts table, then an in-range scan that skips
+            blank lines, mirroring the counting pass). Pointing at the
+            start of a blank run instead of the line itself would be
+            equally correct — the parsers skip blanks — but the scan
+            lands on the line start directly."""
             if line_idx >= cum[-1]:
                 return size
             i = int(np.searchsorted(cum, line_idx, side="right")) - 1
             start, stop = ranges[i]
             need = int(line_idx - cum[i])
-            if need == 0:
-                return start
             f.seek(start)
             raw = f.read(stop - start)
-            ofs = -1
-            for _ in range(need):
-                ofs = raw.find(b"\n", ofs + 1)
-                if ofs < 0:
-                    return stop
-            return start + ofs + 1
+            ofs, seen = 0, 0
+            while ofs <= len(raw):
+                nl = raw.find(b"\n", ofs)
+                end = nl if nl >= 0 else len(raw)
+                if raw[ofs:end].strip():
+                    if seen == need:
+                        return start + ofs
+                    seen += 1
+                if nl < 0:
+                    break
+                ofs = nl + 1
+            return stop
 
         def fill_rows(r0, rr1, c0, cc1, out):
             with open(filename, "rb") as f:
@@ -1106,6 +1217,10 @@ class FileSystem:
                     p for p in ex.map(parse, ranges)
                     if p is not None and p.size
                 ]
+            if not parts:
+                raise ValueError(
+                    f"{filename}: no data rows (empty or blank file)"
+                )
             arr = (
                 np.concatenate(parts, axis=0) if len(parts) > 1
                 else parts[0]
@@ -1155,8 +1270,10 @@ class FileSystem:
             parts = [
                 p for p in ex.map(parse, ranges) if p is not None and p.size
             ]
+        if not parts:
+            raise ValueError(f"{fname}: no data rows (empty or blank file)")
         arr = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-        # one-row-per-line 1-D result matches np.loadtxt squeezing
-        if arr.ndim == 2 and arr.shape[1] == 1:
-            arr = arr[:, 0]
+        # np.loadtxt with ndmin=0 squeezes EVERY size-1 axis: a single
+        # row gives (n,), a single column gives (m,), one value a 0-d.
+        arr = np.squeeze(arr)
         return BlockArray.from_np(arr, backend=self.backend)

@@ -104,6 +104,40 @@ def barrier(name: str):
     multihost_utils.sync_global_devices(name)
 
 
+def checked_barrier(name: str, ok: bool, what: str):
+    """Barrier that also AGREES ON SUCCESS: every process contributes
+    its ``ok`` flag via one tiny all-gather; if any process failed,
+    every OTHER process raises after the barrier (the failing process
+    re-raises its own exception at the call site).
+
+    This replaces the bare-barrier pattern in collective writers where
+    one process's exception would strand its peers in
+    ``sync_global_devices`` at the next collective. Unlike the
+    marker-file protocol (:func:`publishing`), it needs no shared
+    filesystem — it works for object-store writers too. Call pattern::
+
+        ok, err = True, None
+        try:
+            ...   # this process's slice of the stage
+        except BaseException as e:
+            ok, err = False, e
+        checked_barrier("write:blocks", ok, "write blocks")
+        if err is not None:
+            raise err
+    """
+    from jax.experimental import multihost_utils
+
+    flags = np.asarray(multihost_utils.process_allgather(
+        np.array([0 if ok else 1], dtype=np.int32)
+    ))
+    if int(flags.sum()) != 0:
+        if ok:
+            raise RuntimeError(
+                f"{what} failed on a peer process at stage {name!r} "
+                "(see its traceback)"
+            )
+
+
 @contextlib.contextmanager
 def publishing(tag: str, marker: str):
     """Process-0 side of the collective publish protocol.

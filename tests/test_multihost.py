@@ -244,8 +244,11 @@ def test_multi_process_mesh_e2e(tmp_path, nprocs, local_dev):
     csv_path = tmp_path / "data.csv"
     with open(csv_path, "w") as f:
         f.write(",".join(f"c{i}" for i in range(5)) + "\n")
-        for row in table:
+        for i, row in enumerate(table):
             f.write(",".join(repr(float(v)) for v in row) + "\n")
+            if i == 17:
+                f.write("\n")  # interior blank line: not a data row
+        f.write("\n")  # trailing extra newline: not a data row either
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
