@@ -92,6 +92,12 @@ def ooc_put(backend, panel, fill=0.0, lane_pad_to=None,
 
     mesh = getattr(backend, "mesh", None)
     rows = panel.shape[0]
+    if mesh is not None and (lane_pad_to is not None or augment_ones):
+        raise ValueError(
+            "lane_pad_to/augment_ones are serial-backend only (mesh "
+            "panels carry pad rows that an all-ones intercept column "
+            "would contaminate); pre-shape the panel instead"
+        )
     if mesh is None:
         if hasattr(panel, "full"):
             panel = panel.full()
@@ -182,6 +188,12 @@ def _ooc_y_getter(X, y):
 
         return get
     host = y.get() if isinstance(y, BlockArray) else np.asarray(y)
+    if host.shape[:1] != (X.shape[0],):
+        raise ValueError(
+            f"y has {host.shape[0] if host.ndim else 'scalar'} rows, "
+            f"X has {X.shape[0]} — an oversized y would be silently "
+            f"truncated to X's row range"
+        )
 
     def get(start, length):
         return host[start:start + length]
@@ -478,34 +490,27 @@ class ArrayApplication:
         return self.reduce("sum", X, axis, keepdims, dtype)
 
     def reduce(self, op_name, X, axis=None, keepdims=False, dtype=None):
-        res = X.reduce_axis(op_name, axis, keepdims=keepdims)
-        if dtype is not None:
-            res = res.astype(dtype)
-        return res
+        # dtype reaches the reduction KERNEL (the accumulator dtype),
+        # not a post-cast: np.sum(int32, dtype=int64) accumulates in
+        # int64 — casting after the int32 reduction would keep the
+        # overflow (and a float64 request would lose the precision the
+        # caller asked for).
+        return X.reduce_axis(op_name, axis, keepdims=keepdims, dtype=dtype)
 
     def mean(self, X, axis=None, keepdims=False, dtype=None):
         if X.dtype not in (float, np.float32, np.float64):
             X = X.astype(np.float64)
-        res = X.mean(axis=axis, keepdims=keepdims)
-        if dtype is not None:
-            res = res.astype(dtype)
-        return res
+        return X.mean(axis=axis, keepdims=keepdims, dtype=dtype)
 
     def var(self, X, axis=None, ddof=0, keepdims=False, dtype=None):
         if X.dtype not in (float, np.float32, np.float64):
             X = X.astype(np.float64)
-        res = X.var(axis=axis, ddof=ddof, keepdims=keepdims)
-        if dtype is not None:
-            res = res.astype(dtype)
-        return res
+        return X.var(axis=axis, ddof=ddof, keepdims=keepdims, dtype=dtype)
 
     def std(self, X, axis=None, ddof=0, keepdims=False, dtype=None):
         if X.dtype not in (float, np.float32, np.float64):
             X = X.astype(np.float64)
-        res = X.std(axis=axis, ddof=ddof, keepdims=keepdims)
-        if dtype is not None:
-            res = res.astype(dtype)
-        return res
+        return X.std(axis=axis, ddof=ddof, keepdims=keepdims, dtype=dtype)
 
     def argmin(self, X, axis=None):
         return self.argop("argmin", X, axis)

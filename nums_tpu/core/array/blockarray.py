@@ -40,7 +40,7 @@ def compute_shape(size: int, shape) -> tuple:
     shape = tuple(shape)
     unknown = [i for i, s in enumerate(shape) if s == -1]
     if not unknown:
-        if int(np.prod(shape)) != size and size != 0:
+        if int(np.prod(shape)) != size:
             raise ValueError(f"cannot reshape array of size {size} into {shape}")
         return shape
     if len(unknown) > 1:
@@ -437,11 +437,20 @@ class BlockArray:
     # ------------------------------------------------------------------
 
     def ufunc(self, op_name):
-        # Elementwise ops commute with transpose AND with padding (the
-        # output's pad region is still pad region): compute on the raw
-        # buffer and carry the lazy-transpose flag through.
+        # Elementwise ops commute with transpose (the flag carries
+        # through) but NOT with at-rest padding: f(0) != 0 ops (exp,
+        # cos, log, ...) would write nonzero values into the zero-filled
+        # pads that raw-buffer contractions (summa schedules, the
+        # symmetric Pallas gram) rely on being zero. padded.call slices
+        # pads away and re-pads the output with zeros, fused into the
+        # same jitted program — the op writes the full buffer either
+        # way, so this costs nothing on top of the raw path (and is a
+        # no-op entirely when no at-rest padding is configured).
         trace.log_op(op_name, self)
-        data = lazy.apply(elementwise.uop(op_name), self._data)
+        data, _ = padded.call(
+            elementwise.uop(op_name), (self._data,),
+            (self._raw_logical_shape(),), self.backend,
+        )
         grid = ArrayGrid(self.shape, self.block_shape, data.dtype.name)
         return BlockArray(data, grid, self.backend,
                           transposed=self._transposed)
@@ -454,10 +463,11 @@ class BlockArray:
         bs = array_utils.reduced_block_shape(self.block_shape, axis, keepdims)
         return self._new(data, bs, shape=lshape)
 
-    def reduce_axis(self, op_name, axis, keepdims=False):
+    def reduce_axis(self, op_name, axis, keepdims=False, dtype=None):
         trace.log_op(op_name, self)
         kernel = reductions.reduce(
-            op_name, axis, bool(keepdims), None, self._transposed
+            op_name, axis, bool(keepdims), array_utils.to_dtype_name(dtype),
+            self._transposed,
         )
         return self._reduce_call(kernel, axis, keepdims)
 
@@ -619,10 +629,25 @@ class BlockArray:
     __ipow__ = __pow__
 
     # Comparison
+    def _const_bool(self, value: bool):
+        """Full-shape bool constant (pads re-zeroed): NumPy's result
+        for equality against an incomparable operand like None."""
+        data, _ = padded.call(
+            elementwise.const_bool(bool(value)), (self._data,),
+            (self._raw_logical_shape(),), self.backend,
+        )
+        grid = ArrayGrid(self.shape, self.block_shape, "bool")
+        return BlockArray(data, grid, self.backend,
+                          transposed=self._transposed)
+
     def __eq__(self, other):
+        if other is None:  # np.ndarray == None -> elementwise False
+            return self._const_bool(False)
         return self._bop("equal", other)
 
     def __ne__(self, other):
+        if other is None:  # np.ndarray != None -> elementwise True
+            return self._const_bool(True)
         return self._bop("not_equal", other)
 
     def __lt__(self, other):

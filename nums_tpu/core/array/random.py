@@ -171,9 +171,12 @@ class NumsRandomState:
             # numpy raises here; the device chain would silently drive
             # the urn counts negative and return garbage.
             raise ValueError("ngood + nbad < nsample")
+        if dtype is None:
+            # Both routes default to int64 (numpy returns integers); the
+            # host fallback would otherwise hand back float64 whenever
+            # nsample crossed the internal perf threshold.
+            dtype = np.int64
         if nsample <= random_ops.HYPERGEOMETRIC_DEVICE_MAX_NSAMPLE:
-            if dtype is None:
-                dtype = np.int64
             dtype_name = array_utils.to_dtype_name(dtype)
             grid = self._grid(shape, block_shape, dtype_name)
             sharding = self._backend.sharding_for_grid(grid)
@@ -289,7 +292,7 @@ class NumsRandomState:
             self._next_key(), mean, cov, shape,
             dtype=np.dtype(array_utils.to_dtype_name(dtype)),
         )
-        data = self._backend.device_put(np.asarray(data), grid)
+        data = self._backend.device_reshard(data, grid)
         return BlockArray(data, grid, self._backend)
 
     def dirichlet(self, alpha, shape=None, block_shape=None, dtype=None):
@@ -302,8 +305,8 @@ class NumsRandomState:
         out_shape = shape + (alpha.shape[-1],)
         grid = self._grid(out_shape, block_shape, array_utils.to_dtype_name(dtype))
         data = jr.dirichlet(self._next_key(), alpha, shape)
-        data = self._backend.device_put(
-            np.asarray(data, dtype=np.dtype(grid.dtype)), grid
+        data = self._backend.device_reshard(
+            data.astype(np.dtype(grid.dtype)), grid
         )
         return BlockArray(data, grid, self._backend)
 
@@ -354,7 +357,7 @@ class NumsRandomState:
         grid = self._grid(
             tuple(data.shape), block_shape, out_dtype.name
         )
-        data = self._backend.device_put(np.asarray(data), grid)
+        data = self._backend.device_reshard(data, grid)
         return BlockArray(data, grid, self._backend)
 
     def choice(self, a, shape=None, block_shape=None, replace=True, p=None):
@@ -372,9 +375,12 @@ class NumsRandomState:
         grid = self._grid(tuple(data.shape), block_shape, data.dtype.name)
         return BlockArray(data, grid, self._backend)
 
-    def shuffle(self, x: BlockArray) -> BlockArray:
-        data = jr.permutation(self._next_key(), x.data, axis=0)
-        return BlockArray(data, x.grid.copy(), self._backend)
+    def shuffle(self, x: BlockArray) -> None:
+        """IN PLACE along axis 0 (numpy Generator.shuffle contract;
+        same in-place convention as BlockArray.sort). Returning a new
+        array instead silently de-randomizes numpy-ported code that
+        discards the return value."""
+        x._store(jr.permutation(self._next_key(), x.data, axis=0))
 
     def permutation(self, size, block_size=None):
         """Parity: random.py:181-195."""

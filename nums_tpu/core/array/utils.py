@@ -58,9 +58,7 @@ def broadcast_block_shape(
 
 def reduced_block_shape(block_shape: tuple, axis, keepdims: bool) -> tuple:
     if axis is None:
-        return block_shape if keepdims and False else (
-            tuple(1 for _ in block_shape) if keepdims else ()
-        )
+        return tuple(1 for _ in block_shape) if keepdims else ()
     axes = (axis,) if isinstance(axis, int) else tuple(axis)
     axes = tuple(a % len(block_shape) for a in axes)
     out = []

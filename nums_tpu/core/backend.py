@@ -80,6 +80,28 @@ class Backend:
             )
         return jax.device_put(array, sharding)
 
+    def device_reshard(self, data, grid: ArrayGrid):
+        """Shard an already-on-device logical-shape array into the
+        grid's at-rest layout WITHOUT a host round-trip (jnp.pad +
+        device_put stay on device in single-process mode; the
+        multi-controller path must stage through host because each
+        process can only materialize its addressable shards)."""
+        from nums_tpu.core import multiprocess
+
+        if multiprocess.is_multiprocess():
+            return self.device_put(np.asarray(data), grid)
+        pshape = self.physical_shape(grid.shape, grid.grid_shape)
+        if pshape != tuple(data.shape):
+            import jax.numpy as jnp
+
+            data = jnp.pad(
+                data, [(0, p - s) for p, s in zip(pshape, data.shape)]
+            )
+        sharding = self.sharding_for_grid(grid)
+        if sharding is None:
+            return jax.device_put(data)
+        return jax.device_put(data, sharding)
+
     def get(self, jax_array):
         from nums_tpu.core import multiprocess
 

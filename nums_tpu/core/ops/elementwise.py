@@ -70,6 +70,12 @@ def astype(dtype_name: str):
 
 
 @functools.lru_cache(maxsize=None)
+def const_bool(value: bool):
+    """Shape-preserving bool constant (eq/ne vs incomparable operands)."""
+    return jax.jit(lambda x: jnp.full(x.shape, value, dtype=jnp.bool_))
+
+
+@functools.lru_cache(maxsize=None)
 def materialize_t():
     return jax.jit(lambda x: jnp.transpose(x))
 

@@ -103,9 +103,8 @@ class RandomState:
         return self.rs().choice(a, shape=shape, replace=replace, p=p)
 
     def shuffle(self, x):
-        # NumPy shuffles in place; BlockArrays are functional — return the
-        # shuffled array (documented divergence).
-        return self.rs().shuffle(x)
+        # In place along axis 0, like np.random.shuffle.
+        self.rs().shuffle(x)
 
     def permutation(self, x):
         app = _instance()

@@ -368,3 +368,39 @@ def test_integer_reductions_ooc_with_ragged_panels(app_inst, tmp_path):
     assert int(app_inst.min_ooc(dX).get()) == 1
     assert int(app_inst.max_ooc(dX).get()) == 13
     assert int(app_inst.sum_ooc(dX).get()) == int(vals.sum())
+
+
+def test_linear_regression_ooc_rejects_mismatched_y(app_inst, disk_xy):
+    """Review regression: an oversized host y must raise, not be
+    silently truncated to X's row range (a stale y from a larger
+    dataset would otherwise fit a plausible-but-wrong model)."""
+    real_X, real_y, dX, _ = disk_xy
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rows"):
+        app_inst.linear_regression_ooc(
+            dX, np.concatenate([real_y, real_y[:3]])
+        )
+    with _pytest.raises(ValueError, match="rows"):
+        app_inst.linear_regression_ooc(dX, real_y[:-1])
+
+
+def test_ooc_put_rejects_serial_only_kwargs_on_mesh(app_inst):
+    """Review regression: lane_pad_to/augment_ones are serial-only;
+    mesh callers must get a loud error instead of a silent no-op."""
+    import pytest as _pytest
+
+    from nums_tpu.core.array.application import ooc_put
+    from nums_tpu.core.backend import MeshBackend
+
+    panel = np.ones((8, 3))
+    if isinstance(app_inst.backend, MeshBackend):
+        with _pytest.raises(ValueError, match="serial-backend only"):
+            ooc_put(app_inst.backend, panel, augment_ones=True)
+        with _pytest.raises(ValueError, match="serial-backend only"):
+            ooc_put(app_inst.backend, panel, lane_pad_to=128)
+    else:
+        p, nv = ooc_put(
+            app_inst.backend, panel, augment_ones=True, lane_pad_to=8
+        )
+        assert nv == 8 and p.shape == (8, 8)

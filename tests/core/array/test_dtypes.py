@@ -76,3 +76,21 @@ def test_grid_dtype_reflects_actual_device_dtype(app_inst):
         assert x.grid.dtype == x.data.dtype.name
     finally:
         jax.config.update("jax_enable_x64", True)
+
+
+def test_reduction_dtype_is_accumulator_dtype(app_inst):
+    """Review regression: sum(int32, dtype=int64) must ACCUMULATE in
+    int64 (numpy semantics), not cast after an overflowing int32
+    reduction."""
+    n = 100_000
+    a = np.full(n, 2**16, dtype=np.int32)
+    ba = app_inst.array(a, block_shape=(n // 4,))
+    out = app_inst.sum(ba, dtype=np.int64)
+    assert out.dtype == np.int64
+    assert int(out.get()) == n * 2**16  # wraps to 0 if accumulated int32
+    # float32 -> float64 accumulation keeps the requested precision path
+    f = np.ones(10, dtype=np.float32)
+    bf = app_inst.array(f, block_shape=(5,))
+    assert app_inst.mean(bf, dtype=np.float64).dtype == np.float64
+    assert app_inst.var(bf, dtype=np.float64).dtype == np.float64
+    assert app_inst.std(bf, dtype=np.float64).dtype == np.float64

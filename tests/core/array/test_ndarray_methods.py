@@ -50,3 +50,14 @@ def test_array_protocol(app_inst):
     assert np.allclose(out.get(), 2.0 * x_np)
     # lazy transpose fetches correctly through the protocol
     assert np.allclose(np.asarray(b.T), x_np.T)
+
+
+def test_eq_none_is_elementwise_bool(app_inst):
+    """Review regression: ba == None / ba != None follow np.ndarray
+    semantics (elementwise False/True), not a ValueError."""
+    x = np.arange(6.0).reshape(2, 3)
+    b = app_inst.array(x, block_shape=(2, 3))
+    eq = (b == None).get()  # noqa: E711 — the operator IS the subject
+    ne = (b != None).get()  # noqa: E711
+    assert eq.dtype == np.bool_ and eq.shape == x.shape and not eq.any()
+    assert ne.dtype == np.bool_ and ne.shape == x.shape and ne.all()

@@ -197,3 +197,25 @@ def test_ragged_glm(app_inst):
     model.fit(bx, by)
     acc = float((model.predict(bx).get() == yv).mean())
     assert acc > 0.9
+
+
+def test_ragged_ufunc_preserves_zero_pads(app_inst):
+    """Review regression: unary ops with f(0) != 0 (exp, cos, log)
+    must not leak nonzero values into at-rest pad rows — raw-buffer
+    contractions (summa, the symmetric Pallas gram) rely on pads
+    contributing zero to sums."""
+    n, d = 13, 4  # 13 rows is mesh-indivisible -> row pads at rest
+    x = np.ones((n, d), dtype=np.float32)
+    bx = app_inst.array(x, block_shape=(n, d))
+    bz = app_inst.exp(bx)
+    if isinstance(app_inst.backend, MeshBackend) and bz.raw.shape[0] > n:
+        raw = np.asarray(bz.raw)
+        assert np.all(raw[n:] == 0.0), "pad rows contaminated by exp(0)=1"
+    g = (bz.transpose() @ bz).get()
+    assert np.allclose(g, np.exp(x).T @ np.exp(x), rtol=1e-5)
+    # f(0) = -inf case: the gram must stay finite
+    by = app_inst.array(x + 1.0, block_shape=(n, d))
+    bl = app_inst.log(by)
+    g2 = (bl.transpose() @ bl).get()
+    assert np.all(np.isfinite(g2))
+    assert np.allclose(g2, np.log(x + 1.0).T @ np.log(x + 1.0), rtol=1e-5)

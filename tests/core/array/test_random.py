@@ -98,8 +98,10 @@ def test_generator_extras(app_inst):
     c = rs.choice(5, shape=(100,)).get()
     assert ((0 <= c) & (c < 5)).all()
     x = app_inst.array(np.arange(30.0), block_shape=(10,))
-    sh = rs.shuffle(x)
-    assert np.array_equal(np.sort(sh.get()), np.arange(30.0))
+    assert rs.shuffle(x) is None  # in place, numpy contract
+    shuffled = x.get()
+    assert np.array_equal(np.sort(shuffled), np.arange(30.0))
+    assert not np.array_equal(shuffled, np.arange(30.0))
 
 
 def test_device_rejection_samplers_stats(app_inst):
@@ -177,3 +179,27 @@ def test_hypergeometric_device_path(app_inst):
         10**6, 10**6, 10**5, shape=(8,), block_shape=(8,)
     )
     assert z.shape == (8,)
+
+
+def test_hypergeometric_dtype_consistent_across_paths(app_inst):
+    """Review regression: the host fallback (huge nsample) must return
+    the same int64 dtype as the device path."""
+    from nums_tpu.core.ops import random_ops
+
+    rs = app_inst.random_state(7)
+    thr = random_ops.HYPERGEOMETRIC_DEVICE_MAX_NSAMPLE
+    dev = rs.hypergeometric(thr * 2, thr * 2, 16, shape=(5,))
+    host = rs.hypergeometric(thr * 2, thr * 2, thr + 1, shape=(5,))
+    assert dev.dtype == np.int64
+    assert host.dtype == np.int64
+
+
+def test_shuffle_matches_sort_convention_2d(app_inst):
+    """shuffle permutes rows in place (axis 0 only), numpy contract."""
+    x_np = np.arange(24.0).reshape(8, 3)
+    x = app_inst.array(x_np, block_shape=(4, 3))
+    rs = app_inst.random_state(11)
+    assert rs.shuffle(x) is None
+    got = x.get()
+    # rows intact, order permuted
+    assert sorted(map(tuple, got)) == sorted(map(tuple, x_np))

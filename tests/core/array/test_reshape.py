@@ -40,3 +40,16 @@ def test_reshape_errors(app_inst):
         x.reshape(3, 4)
     with pytest.raises(ValueError):
         x.reshape(-1, -1)
+
+
+def test_reshape_size_zero_matches_numpy(app_inst):
+    """Review regression: size-0 arrays follow numpy reshape rules —
+    a nonzero-size target raises ValueError up front (not a deep jax
+    trace error), while 0-size targets succeed."""
+    import pytest as _pytest
+
+    b = app_inst.array(np.zeros((0,)), block_shape=(1,))
+    with _pytest.raises(ValueError, match="cannot reshape"):
+        b.reshape((3, 4))
+    assert b.reshape((0, 4)).shape == (0, 4)
+    assert b.reshape((-1, 5)).shape == (0, 5)
