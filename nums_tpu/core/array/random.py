@@ -176,6 +176,13 @@ class NumsRandomState:
             # host fallback would otherwise hand back float64 whenever
             # nsample crossed the internal perf threshold.
             dtype = np.int64
+        if int(ngood) >= 10**9 or int(nbad) >= 10**9:
+            # numpy's own cap (Generator.hypergeometric). It also keeps
+            # every legal population total under 2e9, inside the device
+            # urn's exact int32 range.
+            raise ValueError(
+                "both ngood and nbad must be less than 1000000000"
+            )
         if nsample <= random_ops.HYPERGEOMETRIC_DEVICE_MAX_NSAMPLE:
             dtype_name = array_utils.to_dtype_name(dtype)
             grid = self._grid(shape, block_shape, dtype_name)

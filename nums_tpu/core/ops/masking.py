@@ -91,7 +91,14 @@ def unique_capped(logical_shape: tuple, cap: int, transposed: bool,
         out = list(out)
         if want_inverse:
             pos = 1 + int(want_index)
-            out[pos] = out[pos].reshape(logical_shape)
+            # The inverse maps USER-VISIBLE positions (after the lazy
+            # transpose) — reshaping to the raw logical shape would
+            # scramble it for transposed non-square inputs.
+            view_shape = (
+                tuple(reversed(logical_shape)) if transposed
+                else logical_shape
+            )
+            out[pos] = out[pos].reshape(view_shape)
         return tuple(out)
 
     return jax.jit(impl)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+from nums_tpu.core.ops import creation
+
 
 def _u(key, shape, dtype):
     # Uniform in (0, 1): avoids log(0) in inversion transforms.
@@ -78,8 +80,11 @@ _DISTS = {
     "triangular": lambda key, shape, dtype, left, mode, right: jr.triangular(
         key, left, mode, right, shape, dtype
     ),
+    # jr.wald(mean) is IG(mean, lambda=1); c*IG(mu, 1) = IG(c*mu, c), so
+    # numpy's IG(mean, scale) is scale * IG(mean/scale, 1) — scaling the
+    # mean-`mean` draw directly would return IG(scale*mean, scale).
     "wald": lambda key, shape, dtype, mean, scale: jr.wald(
-        key, mean, shape, dtype
+        key, mean / scale, shape, dtype
     )
     * scale,
     # NumPy weibull(a): scale-1 Weibull == (-ln U)^(1/a).
@@ -93,8 +98,7 @@ _DISTS = {
         _noncentral_chisquare(key, shape, dtype, df, nonc)
     ),
     "noncentral_f": lambda key, shape, dtype, dfnum, dfden, nonc: (
-        (_noncentral_chisquare(key, shape, dtype, dfnum, nonc) / dfnum)
-        / (jr.chisquare(jr.fold_in(key, 1), dfden, shape, dtype) / dfden)
+        _noncentral_f(key, shape, dtype, dfnum, dfden, nonc)
     ),
     # Device-side rejection/inversion samplers (the reference jumps PCG64
     # per block on the host for these).
@@ -204,10 +208,28 @@ def _negative_binomial(key, shape, dtype, n, p):
 
 
 def _noncentral_chisquare(key, shape, dtype, df, nonc):
-    k1, k2 = jr.split(key)
-    central = jr.chisquare(k1, df - 1.0, shape, dtype)
+    """numpy's two-regime construction: chi2(df-1) + (Z+sqrt(nonc))^2
+    for df > 1, the Poisson mixture chi2(df + 2*Poisson(nonc/2)) for
+    df <= 1 (the decomposition needs df-1 > 0; a negative-shape gamma
+    is NaN). df is traced, so both regimes are sampled and selected —
+    sampling is not a hot path."""
+    k1, k2, k3, k4 = jr.split(key, 4)
+    dfa = jnp.asarray(df, dtype)
+    central = jr.chisquare(k1, jnp.maximum(dfa - 1.0, 1e-6), shape, dtype)
     shifted = (jr.normal(k2, shape, dtype) + jnp.sqrt(nonc)) ** 2
-    return central + shifted
+    i = jr.poisson(k3, jnp.asarray(nonc, jnp.float32) / 2.0, shape)
+    mixture = jr.chisquare(k4, dfa + 2.0 * i.astype(dtype), shape, dtype)
+    return jnp.where(dfa > 1.0, central + shifted, mixture)
+
+
+def _noncentral_f(key, shape, dtype, dfnum, dfden, nonc):
+    # Independent keys via ONE split: mixing fold_in(key, i) with
+    # split(key) collides (threefry split == fold_in over indices), which
+    # previously fed the denominator chi2 the numerator's normal key.
+    k_num, k_den = jr.split(key)
+    num = _noncentral_chisquare(k_num, shape, dtype, dfnum, nonc) / dfnum
+    den = jr.chisquare(k_den, dfden, shape, dtype) / dfden
+    return num / den
 
 
 def supported(name: str) -> bool:
@@ -229,19 +251,22 @@ def hypergeometric(shape: tuple, dtype_name: str, nsample: int, sharding,
     dtype = jnp.dtype(dtype_name)
 
     def impl(key, ngood, nbad):
-        good0 = jnp.full(shape, ngood, jnp.float32)
-        bad0 = jnp.full(shape, nbad, jnp.float32)
+        # Urn counts in int32: exact updates for populations up to
+        # 2^31 (f32 counts silently stop depleting above 2^24 — the
+        # chain degenerates to i.i.d. Bernoulli). The f32 CAST in the
+        # accept test only perturbs the ratio in its 7th digit.
+        good0 = jnp.full(shape, ngood, jnp.int32)
+        bad0 = jnp.full(shape, nbad, jnp.int32)
         k0 = jnp.zeros(shape, jnp.int32)
 
         def body(t, carry):
             good, bad, k = carry
             u = jr.uniform(jr.fold_in(key, t), shape, jnp.float32)
-            take = (u * (good + bad) < good).astype(jnp.float32)
-            return (
-                good - take,
-                bad - (1.0 - take),
-                k + take.astype(jnp.int32),
-            )
+            goodf = good.astype(jnp.float32)
+            take = (
+                u * (goodf + bad.astype(jnp.float32)) < goodf
+            ).astype(jnp.int32)
+            return good - take, bad - (1 - take), k + take
 
         _, _, k = jax.lax.fori_loop(0, int(nsample), body, (good0, bad0, k0))
         return _pad_phys(k.astype(dtype), pshape)
@@ -254,17 +279,12 @@ def hypergeometric(shape: tuple, dtype_name: str, nsample: int, sharding,
 HYPERGEOMETRIC_DEVICE_MAX_NSAMPLE = 4096
 
 
-def _pad_phys(out, pshape):
-    """Zero-pad a logical sample to the at-rest (padded) shape.
-
-    Samples MUST be drawn at the logical shape — threefry counters map to
-    flat positions, so drawing at the padded shape would break the
-    "same seed ⇒ same array under any sharding/backend" invariant. The
-    pad region is never read.
-    """
-    if pshape is None or tuple(pshape) == tuple(out.shape):
-        return out
-    return jnp.pad(out, [(0, p - s) for p, s in zip(pshape, out.shape)])
+# Samples MUST be drawn at the logical shape — threefry counters map to
+# flat positions, so drawing at the padded shape would break the
+# "same seed ⇒ same array under any sharding/backend" invariant. The
+# shared pad helper (canonical copy + the zero-pad contract note lives
+# in ops/creation.py) zero-fills the at-rest pad region afterwards.
+_pad_phys = creation._pad_phys
 
 
 @functools.lru_cache(maxsize=None)
@@ -285,8 +305,14 @@ def integers(shape: tuple, dtype_name: str, endpoint: bool, sharding,
     dtype = jnp.dtype(dtype_name)
 
     def impl(key, low, high):
-        hi = high + 1 if endpoint else high
-        return _pad_phys(jr.randint(key, shape, low, hi, dtype), pshape)
+        if endpoint:
+            # Draw on [low-1, high) and add 1: high+1 would overflow to
+            # the dtype minimum when high is the dtype max (int32 on
+            # TPU, where x64 stays off), inverting the range.
+            draws = jr.randint(key, shape, low - 1, high, dtype) + 1
+        else:
+            draws = jr.randint(key, shape, low, high, dtype)
+        return _pad_phys(draws, pshape)
 
     return jax.jit(impl, out_shardings=sharding)
 

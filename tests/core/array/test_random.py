@@ -203,3 +203,62 @@ def test_shuffle_matches_sort_convention_2d(app_inst):
     got = x.get()
     # rows intact, order permuted
     assert sorted(map(tuple, got)) == sorted(map(tuple, x_np))
+
+
+def test_wald_matches_inverse_gaussian_moments(app_inst):
+    """Review regression: wald(mean, scale) is IG(mean, scale) —
+    mean `mean`, variance mean^3/scale (the old scaling returned
+    IG(scale*mean, scale): mean off by the scale factor)."""
+    rs = app_inst.random_state(3)
+    n = 100_000
+    w = rs.wald(3.0, 2.0, shape=(n,), block_shape=(n,)).get()
+    assert abs(w.mean() - 3.0) < 0.1
+    assert abs(w.var() - 13.5) < 0.8
+
+
+def test_noncentral_chisquare_small_df(app_inst):
+    """Review regression: df <= 1 uses the Poisson-mixture
+    construction (the chi2(df-1) decomposition is NaN there)."""
+    rs = app_inst.random_state(4)
+    n = 100_000
+    s = rs.noncentral_chisquare(0.5, 1.0, shape=(n,), block_shape=(n,)).get()
+    assert np.isfinite(s).all() and (s >= 0).all()
+    assert abs(s.mean() - 1.5) < 0.1  # E = df + nonc
+
+
+def test_noncentral_f_mean(app_inst):
+    """Review regression: numerator/denominator keys must be
+    independent (fold_in(key, 1) collides with split(key))."""
+    rs = app_inst.random_state(5)
+    n = 200_000
+    f = rs.noncentral_f(5.0, 20.0, 3.0, shape=(n,), block_shape=(n,)).get()
+    want = 20.0 / 18.0 * (5.0 + 3.0) / 5.0  # dfden/(dfden-2)*(dfnum+nonc)/dfnum
+    assert abs(f.mean() - want) < 0.05
+
+
+def test_integers_endpoint_at_dtype_max(app_inst):
+    """Review regression: endpoint=True at the dtype max must not
+    overflow high+1 into an inverted range."""
+    rs = app_inst.random_state(6)
+    hi = np.iinfo(np.int32).max
+    v = rs.integers(hi - 2, hi, shape=(2000,), block_shape=(2000,),
+                    dtype=np.int32, endpoint=True).get()
+    assert v.min() >= hi - 2 and v.max() == hi
+    assert set(np.unique(v)) == {hi - 2, hi - 1, hi}
+
+
+def test_hypergeometric_large_population_exact_urn(app_inst):
+    """Review regression: the device urn is int32 (exact for every
+    numpy-legal population; f32 counts stopped depleting past 2^24),
+    and populations >= 1e9 raise numpy's own ValueError."""
+    rs = app_inst.random_state(8)
+    g = b = 2**29  # > f32 exactness, < numpy's 1e9 cap
+    h = rs.hypergeometric(g, b, 64, shape=(500,), block_shape=(500,))
+    assert h.dtype == np.int64
+    v = h.get()
+    assert (0 <= v).all() and (v <= 64).all()
+    assert abs(v.mean() - 32.0) < 1.0  # E = nsample * g/(g+b)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="1000000000"):
+        rs.hypergeometric(10**9, 10, 5, shape=(3,))

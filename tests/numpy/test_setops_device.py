@@ -186,3 +186,19 @@ def test_device_unique_transposed_and_padded(nps_app_inst):
     assert _eq(nps.unique(bx).get(), np.unique(x.T))
     got = nps.intersect1d(bx, nps.array(np.array([0.0, 2.0, 99.0]))).get()
     assert _eq(got, np.intersect1d(x.T, np.array([0.0, 2.0, 99.0])))
+
+
+def test_unique_inverse_transposed_nonsquare(nps_app_inst):
+    """Review regression: the inverse must be reshaped to the
+    USER-VISIBLE (transposed) shape, not the raw buffer's — a
+    transposed non-square input previously got a (raw-shaped)
+    scrambled inverse."""
+    x = np.array([[1.0, 2.0, 2.0], [3.0, 1.0, 3.0]])
+    bx = nps_app_inst.array(x, block_shape=(2, 3)).T  # view (3, 2)
+    vals, inv = nps.unique(bx, return_inverse=True)
+    nv, ninv = np.unique(x.T, return_inverse=True)
+    assert inv.shape == (3, 2)
+    assert np.array_equal(vals.get(), nv)
+    assert np.array_equal(inv.get(), ninv.reshape(x.T.shape))
+    # values reconstruct the logical array through the inverse
+    assert np.array_equal(vals.get()[inv.get()], x.T)
