@@ -132,6 +132,27 @@ def ooc_put(backend, panel, fill=0.0, lane_pad_to=None,
     return jax.device_put(panel, sharding), rows
 
 
+def ooc_lane_width(backend, d, dtype):
+    """Accumulator width for a streamed gram-shaped fold: the 128
+    multiple when the symmetric Pallas kernel can take the panels
+    (serial backend, fp32), else the logical width. The ONE gate every
+    OOC lane-pad caller (gram_ooc, PCA moments, the fused Newton fit)
+    must share — inline copies previously dropped ``plan_possible`` and
+    paid host-side panel padding for widths the kernel rejects."""
+    import jax.numpy as jnp
+
+    if getattr(backend, "mesh", None) is None and dtype == jnp.float32:
+        from nums_tpu.core.ops import pallas_gram
+
+        dp = -(-d // 128) * 128
+        # plan_possible: don't pay host-side panel padding (plus a
+        # wider XLA contraction) for widths whose (dp, dp) f32
+        # accumulator the kernel's VMEM plan rejects anyway.
+        if pallas_gram.enabled() and pallas_gram.plan_possible(dp):
+            return dp
+    return d
+
+
 def ooc_accumulator(backend, value):
     """Device accumulator for a streaming fold. Single-process: the
     value as-is (jnp array). Multi-controller: re-placed as a mesh-
@@ -899,21 +920,7 @@ class ArrayApplication:
         )
 
     def _ooc_lane_width(self, d, dtype):
-        """Accumulator width for a streamed gram-shaped fold: the 128
-        multiple when the symmetric Pallas kernel can take the panels
-        (serial backend, fp32), else the logical width."""
-        import jax.numpy as jnp
-
-        if self.backend.mesh is None and dtype == jnp.float32:
-            from nums_tpu.core.ops import pallas_gram
-
-            dp = -(-d // 128) * 128
-            # plan_possible: don't pay host-side panel padding (plus a
-            # wider XLA contraction) for widths whose (dp, dp) f32
-            # accumulator the kernel's VMEM plan rejects anyway.
-            if pallas_gram.enabled() and pallas_gram.plan_possible(dp):
-                return dp
-        return d
+        return ooc_lane_width(self.backend, d, dtype)
 
     def _ooc_accumulate(self, X, init, update, fill=0.0,
                         lane_pad_to=None):

@@ -35,9 +35,25 @@ def save_model_arrays(path: str, meta: dict, arrays: dict):
     np.savez(os.path.join(tmp, "arrays.npz"), **host)
     with open(os.path.join(tmp, "model.json"), "w") as f:
         json.dump(meta, f)
+    # Publish via rename-with-backup (the DiskArray.from_panels
+    # pattern): rmtree-then-rename would leave NO model on disk if the
+    # process died between the two calls.
+    bak = None
     if os.path.isdir(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+        bak = f"{path}.old-{os.getpid()}"
+        if os.path.isdir(bak):
+            shutil.rmtree(bak)
+        os.rename(path, bak)
+    elif os.path.exists(path):
+        os.remove(path)  # stale regular file at the target
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        if bak is not None and not os.path.exists(path):
+            os.rename(bak, path)  # restore the previous version
+        raise
+    if bak is not None:
+        shutil.rmtree(bak, ignore_errors=True)
 
 
 def load_model_arrays(path: str):

@@ -157,7 +157,9 @@ class KMeans:
         self.inertia_ = float(inertia)
         self.n_iter_ = int(it)
         self._labels_data = assign
-        self._fit_X = X
+        # labels_ only needs the row grid + backend — pinning X itself
+        # would keep the full training buffer alive on the model object.
+        self._fit_grid = (X.shape[0], X.block_shape[0], X.backend)
         return self
 
     def _fit_ooc(self, X):
@@ -215,7 +217,7 @@ class KMeans:
         self.inertia_ = float(inertia)
         self.n_iter_ = int(it)
         self._labels_data = None
-        self._fit_X = None
+        self._fit_grid = None
         return self
 
     def predict_ooc(self, X, out: str = None):
@@ -257,11 +259,11 @@ class KMeans:
             "labels_ requires an in-core fit in this process; use "
             "predict(X) (in-core) or predict_ooc(X, out=...) instead."
         )
-        X = self._fit_X
+        n, block_rows, backend = self._fit_grid
         grid = ArrayGrid(
-            (X.shape[0],), (X.block_shape[0],), self._labels_data.dtype.name
+            (n,), (block_rows,), self._labels_data.dtype.name
         )
-        return BlockArray(self._labels_data, grid, X.backend)
+        return BlockArray(self._labels_data, grid, backend)
 
     def predict(self, X: BlockArray) -> BlockArray:
         assert self.cluster_centers_ is not None, "fit first"
@@ -304,5 +306,5 @@ class KMeans:
         m.inertia_ = meta["inertia"]
         m.n_iter_ = meta["n_iter"]
         m._labels_data = None
-        m._fit_X = None
+        m._fit_grid = None
         return m

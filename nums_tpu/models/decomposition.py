@@ -28,6 +28,17 @@ from nums_tpu.models._common import _to_ba
 
 
 @functools.lru_cache(maxsize=None)
+def _project_kernel():
+    """(panel - shift) @ comps.T / scale, one jitted program per panel.
+    Pad rows (mesh-sharded ooc_put rounds rows up) project to garbage
+    that the caller slices away with the n_valid count."""
+    return jax.jit(
+        lambda p, comps, shift, scale:
+            ((p - shift[None, :]) @ comps.T) / scale[None, :]
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def _flip_kernel():
     """Deterministic sign convention (sklearn's svd_flip, u-based):
     each left-singular column's max-|.| entry is made positive; vt rows
@@ -138,7 +149,7 @@ class _BaseSVDModel:
         import jax.numpy as jnp
 
         from nums_tpu.core.array.application import (
-            ooc_accumulator, ooc_panels, ooc_put,
+            ooc_accumulator, ooc_lane_width, ooc_panels, ooc_put,
         )
         from nums_tpu.core.ops import streaming
 
@@ -147,13 +158,10 @@ class _BaseSVDModel:
         dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
         # Lane-padded symmetric route (serial fp32): see
         # application.gram_ooc — panels transfer zero-padded so the
-        # streamed gram rides the symmetric Pallas kernel.
-        dp = d
-        if getattr(backend, "mesh", None) is None and dtype == jnp.float32:
-            from nums_tpu.core.ops import pallas_gram
-
-            if pallas_gram.enabled():
-                dp = -(-d // 128) * 128
+        # streamed gram rides the symmetric Pallas kernel. The shared
+        # gate includes plan_possible (padding a width the kernel's
+        # VMEM plan rejects would be pure waste).
+        dp = ooc_lane_width(backend, d, dtype)
         upd = streaming.gram_and_sum_update()
         G = ooc_accumulator(backend, jnp.zeros((dp, dp), dtype))
         s = ooc_accumulator(backend, jnp.zeros((dp,), dtype))
@@ -182,20 +190,40 @@ class _BaseSVDModel:
         return evals, comps * signs[:, None]
 
     def _transform_ooc(self, X, out):
+        """Streamed projection on DEVICE (ooc_put + one jitted GEMM per
+        panel, the KMeans.predict_ooc pattern) — a host-NumPy per-panel
+        GEMM would be single-threaded CPU work that cannot overlap the
+        disk reads."""
+        from nums_tpu.core import multiprocess as _mp
+        from nums_tpu.core.array.application import ooc_panels, ooc_put
         from nums_tpu.core.array.diskarray import DiskArray
 
-        comps = np.asarray(self.components_.get())
+        backend = X.backend
+        dtype = jnp.asarray(np.zeros(0, X.dtype)).dtype
+        comps = np.asarray(self.components_.get(), dtype)
         shift = self._ooc_shift()
         scale = self._ooc_scale()
+        # Neutral values keep ONE kernel signature (numpy inputs are
+        # auto-replicated under multi-controller).
+        shift = (np.zeros((comps.shape[1],), dtype) if shift is None
+                 else np.asarray(shift, dtype))
+        scale = (np.ones((comps.shape[0],), dtype) if scale is None
+                 else np.broadcast_to(
+                     np.asarray(scale, dtype), (comps.shape[0],)
+                 ))
+        kern = _project_kernel()
         out = out or X.path + ".transformed"
         block_rows = X.grid.block_shape[0]
 
         def panels():
-            for _, p in X.iter_row_panels():
-                t = (p - shift) @ comps.T if shift is not None else (
-                    p @ comps.T
+            for _, panel in ooc_panels(X):
+                p, nv = ooc_put(backend, panel)
+                t = kern(p.astype(dtype), comps, shift, scale)
+                host = (
+                    _mp.allgather_to_host(t) if _mp.is_multiprocess()
+                    else np.asarray(t)
                 )
-                yield t / scale if scale is not None else t
+                yield host[:nv]
 
         return DiskArray.from_panels(
             out, X._fs, panels(), (X.shape[0], comps.shape[0]),

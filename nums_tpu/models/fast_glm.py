@@ -432,12 +432,9 @@ def newton_fit_ooc(X_disk, y, tol, kind="logistic", max_iter=10,
     # kernel; beta/λ/g/H carry the padded width (pads stay exactly
     # zero) and beta's logical slice is returned.
     da = d + 1
-    dp = da
-    if backend.mesh is None and dtype == jnp.float32:
-        from nums_tpu.core.ops import pallas_gram
+    from nums_tpu.core.array.application import ooc_lane_width
 
-        if pallas_gram.enabled():
-            dp = -(-da // 128) * 128
+    dp = ooc_lane_width(backend, da, dtype)
     padded = dp != da
     if padded:
         stats = streaming.glm_stats_update_aug(kind)

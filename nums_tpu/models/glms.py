@@ -99,19 +99,8 @@ class GLM:
         beta = app.zeros((X.shape[1],), (X.block_shape[1],), dtype=X.dtype)
         tol = app.scalar(self._tol)
         max_iter = self._max_iter
-        if self._penalty in ("l2", "l1", "elasticnet"):
-            lam = self._lambda
-            if self._sklearn_alpha_scale:
-                # sklearn's Lasso/ElasticNet objective carries a 1/(2n)
-                # factor on the residual term; ours doesn't, so the
-                # equivalent per-coordinate λ is n·alpha.
-                lam = lam * X.shape[0]
-            vec = np.full(beta.shape[0], lam, dtype=X.dtype)
-            if not self._penalize_intercept:
-                # sklearn never penalizes the intercept (the appended
-                # ones column / last beta coordinate). Plain GLM keeps
-                # reference parity (glms.py:222-240 penalizes all).
-                vec[-1] = 0.0
+        vec = self._lambda_host_vec(X.shape[0], beta.shape[0], dtype=X.dtype)
+        if vec is not None:
             self._lambda_vec = app.array(vec, block_shape=beta.block_shape)
         if self._opt in ("gd", "sgd", "block_sgd"):
             lr = app.scalar(self._lr)
@@ -200,14 +189,8 @@ class GLM:
 
         app = self._app
         d = X.shape[1]
-        lv = None
-        if self._penalty in ("l2", "l1", "elasticnet"):
-            lam = self._lambda
-            if self._sklearn_alpha_scale:
-                lam = lam * X.shape[0]
-            lv = np.full(d + 1, lam)
-            if not self._penalize_intercept:
-                lv[-1] = 0.0
+        lv = self._lambda_host_vec(X.shape[0], d + 1)
+        if lv is not None:
             self._lambda_vec = app.array(lv, block_shape=(d + 1,))
         if self._opt == "admm":
             if self._fused_kind != "linear":
@@ -355,6 +338,26 @@ class GLM:
         g = self.gradient(X, y, self.forward(X, beta), beta=beta)
         return g.T @ g
 
+    def _lambda_host_vec(self, n_rows, width, dtype=np.float64):
+        """Per-coordinate penalty vector — the ONE construction shared
+        by in-core fit, out-of-core fit, and save/load (two copies
+        previously drifted on dtype). None when unpenalized."""
+        if self._penalty not in ("l2", "l1", "elasticnet"):
+            return None
+        lam = self._lambda
+        if self._sklearn_alpha_scale:
+            # sklearn's Lasso/ElasticNet objective carries a 1/(2n)
+            # factor on the residual term; ours doesn't, so the
+            # equivalent per-coordinate λ is n·alpha.
+            lam = lam * n_rows
+        vec = np.full(width, lam, dtype=dtype)
+        if not self._penalize_intercept:
+            # sklearn never penalizes the intercept (the appended
+            # ones column / last beta coordinate). Plain GLM keeps
+            # reference parity (glms.py:222-240 penalizes all).
+            vec[-1] = 0.0
+        return vec
+
     def _lam_for(self, X):
         """λ vector sized for X's columns: during fit X is intercept-
         augmented (width d+1 == len(lambda_vec)); post-fit callers pass
@@ -419,11 +422,19 @@ class GLM:
         raise NotImplementedError()
 
     def deviance_sqr(self, X, y):
+        app = self._app
         y_pred = self.predict(X)
         dev = self.deviance(y, y_pred)
-        y_mean = self._app.mean(y)
+        y_mean = app.mean(y)
         dev_null = self.deviance(y, y_mean)
-        return 1 - dev / dev_null
+        # Constant-y guard (same convention as metrics.r2_score):
+        # dev_null == 0 would otherwise emit -inf/nan.
+        one, zero = app.scalar(1.0), app.scalar(0.0)
+        null_zero = dev_null == zero
+        score = one - dev / app.where(null_zero, one, dev_null)
+        return app.where(
+            null_zero, app.where(dev == zero, one, zero), score
+        )
 
     # -- sklearn-style conveniences (beyond the reference) ---------------
 
@@ -455,6 +466,12 @@ class GLM:
         path = _fs_path(filename)
         os.makedirs(path, exist_ok=True)
         self._app.write_fs(self._beta, os.path.join(path, "beta"))
+        if self._lambda_vec is not None:
+            # Without this, a loaded penalized model crashes in
+            # gradient/hessian (_lam_for returns None) until refit.
+            self._app.write_fs(
+                self._lambda_vec, os.path.join(path, "lambda_vec")
+            )
         meta = {
             "model": type(self).__name__,
             "beta0": float(self._beta0.get()),
@@ -503,6 +520,9 @@ class GLM:
             )
         model._beta = model._app.read_fs(os.path.join(path, "beta"))
         model._beta0 = model._app.scalar(meta["beta0"])
+        lam_dir = os.path.join(path, "lambda_vec")
+        if os.path.isdir(lam_dir):
+            model._lambda_vec = model._app.read_fs(lam_dir)
         return model
 
 
@@ -703,8 +723,12 @@ PoissonRegressor = PoissonRegression
 def sgd(model, beta, X, y, tol, max_iter, lr):
     """Single-sample SGD (parity: glms.py:315-330)."""
     app = _instance()
+    # ONE generator for the whole run: rs.numpy() reseeds on every call,
+    # so drawing inside the loop would yield the same index forever
+    # (max_iter steps on a single fixed sample).
+    rng = model.rs.numpy()
     for _ in range(max_iter):
-        idx = int(model.rs.numpy().integers(X.shape[0]))
+        idx = int(rng.integers(X.shape[0]))
         X_sample, y_sample = X[idx : idx + 1], y[idx : idx + 1]
         mu = model.forward(X_sample, beta)
         g = model.gradient(X_sample, y_sample, mu, beta=beta)

@@ -37,14 +37,21 @@ def mean_absolute_error(y_true, y_pred):
 
 
 def r2_score(y_true, y_pred):
-    """1 − SS_res/SS_tot (sklearn semantics)."""
+    """1 − SS_res/SS_tot (sklearn semantics, including the constant-
+    y_true convention: 1.0 for a perfect fit, else 0.0 — a plain
+    division there yields -inf/nan that poisons CV aggregation)."""
     app = _instance()
     y_true, y_pred = _to_ba(y_true), _to_ba(y_pred)
     d = y_true - y_pred
     ss_res = app.sum(d * d)
     c = y_true - y_true.mean()
     ss_tot = app.sum(c * c)
-    return 1.0 - ss_res / ss_tot
+    one, zero = app.scalar(1.0), app.scalar(0.0)
+    tot_zero = ss_tot == zero
+    score = one - ss_res / app.where(tot_zero, one, ss_tot)
+    return app.where(
+        tot_zero, app.where(ss_res == zero, one, zero), score
+    )
 
 
 def log_loss(y_true, y_proba, eps=1e-15):

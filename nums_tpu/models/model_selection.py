@@ -119,19 +119,27 @@ class KFold:
 
 
 def cross_val_score(model, X, y, cv=5, scoring=None):
-    """Refit ``model`` on each fold's train split, score on its test
-    split. ``cv`` is a fold count or a KFold; ``scoring`` is a callable
+    """Fit a per-fold COPY of ``model`` on each fold's train split and
+    score on its test split — the caller's model (and any fitted state
+    it carries) is left untouched, like sklearn's clone-per-fold.
+    ``cv`` is a fold count or a KFold; ``scoring`` is a callable
     ``(model, X_test, y_test) -> score`` (default: ``model.score``).
     Returns a host np.ndarray of per-fold scores (each fold syncs at its
     own fit's convergence check anyway)."""
+    import copy
+
     X, y = _to_ba(X), _to_ba(y)
     folds = KFold(cv) if isinstance(cv, (int, np.integer)) else cv
     scores = []
     for train_idx, test_idx in folds.split(X):
-        model.fit(X[train_idx], y[train_idx])
+        # Shallow copy: every model here REBINDS fitted attributes
+        # (no in-place mutation of shared state), so the original's
+        # coefficients survive the fold fits.
+        fold_model = copy.copy(model)
+        fold_model.fit(X[train_idx], y[train_idx])
         if scoring is None:
-            s = model.score(X[test_idx], y[test_idx])
+            s = fold_model.score(X[test_idx], y[test_idx])
         else:
-            s = scoring(model, X[test_idx], y[test_idx])
+            s = scoring(fold_model, X[test_idx], y[test_idx])
         scores.append(float(s.get() if hasattr(s, "get") else s))
     return np.array(scores)

@@ -169,17 +169,23 @@ class GradientBoostedTrees:
         self._trees = None
         self._base = 0.0
 
-    def fit(self, X: BlockArray, y: BlockArray):
+    def fit(self, X: BlockArray, y: BlockArray, _binned=None):
+        """``_binned=(edges, xb)`` lets one-vs-rest ensembles share the
+        y-independent quantile edges + int binning across members
+        instead of recomputing identical full-data passes per class."""
         app = _instance()
         X = X if isinstance(X, BlockArray) else app.array(np.asarray(X))
         y = y if isinstance(y, BlockArray) else app.array(np.asarray(y))
-        xd = X.data.astype(jnp.float32)
         yd = y.data.astype(jnp.float32)
         self._base = 0.0 if self.objective == "logistic" else float(
             yd.mean()
         )
-        self._edges = _quantile_edges(xd, self.n_bins)
-        xb = _bin_features(xd, self._edges)
+        if _binned is not None:
+            self._edges, xb = _binned
+        else:
+            xd = X.data.astype(jnp.float32)
+            self._edges = _quantile_edges(xd, self.n_bins)
+            xb = _bin_features(xd, self._edges)
         kern = _train_kernel(
             self.n_estimators, self.max_depth, self.n_bins, self.objective,
             self.learning_rate, self.reg_lambda,
@@ -190,12 +196,13 @@ class GradientBoostedTrees:
         self._trees = (feats, cuts, leaf_vals)
         return self
 
-    def _raw_predict(self, X: BlockArray):
+    def _raw_predict(self, X: BlockArray, _xb=None):
         assert self._trees is not None, "fit must be called before predict"
-        xd = X.data.astype(jnp.float32)
-        xb = _bin_features(xd, self._edges)
+        if _xb is None:
+            xd = X.data.astype(jnp.float32)
+            _xb = _bin_features(xd, self._edges)
         kern = _predict_kernel(self.max_depth)
-        return kern(xb, jnp.float32(self._base), *self._trees)
+        return kern(_xb, jnp.float32(self._base), *self._trees)
 
     def _wrap(self, X, data):
         from nums_tpu.core.grid import ArrayGrid
@@ -290,12 +297,17 @@ class GBTClassifier(GradientBoostedTrees):
             yb = (y_host == self.classes_[-1]).astype(np.float64)
             super().fit(X, app.array(yb, block_shape=bs))
             return self
+        # Edges + binning depend only on X: compute once and share
+        # across the per-class members (k-1 fewer full-data passes).
+        xd = X.data.astype(jnp.float32)
+        edges = _quantile_edges(xd, self.n_bins)
+        xb = _bin_features(xd, edges)
         self._ovr = []
         for c in self.classes_:
             m = GradientBoostedTrees(**self._params())
             m.fit(X, app.array(
                 (y_host == c).astype(np.float64), block_shape=bs
-            ))
+            ), _binned=(edges, xb))
             self._ovr.append(m)
         return self
 
@@ -305,9 +317,12 @@ class GBTClassifier(GradientBoostedTrees):
         if self._ovr is None:
             idx = super().predict(X).get()
         else:
+            xb = _bin_features(
+                X.data.astype(jnp.float32), self._ovr[0]._edges
+            )  # members share edges — bin once, not once per member
             scores = np.stack(
                 [np.asarray(jax.device_get(
-                    jax.nn.sigmoid(m._raw_predict(X))
+                    jax.nn.sigmoid(m._raw_predict(X, _xb=xb))
                 )) for m in self._ovr], axis=1,
             )
             idx = scores.argmax(axis=1)
@@ -324,9 +339,12 @@ class GBTClassifier(GradientBoostedTrees):
             ))
             out = np.stack([1.0 - p1, p1], axis=1)
         else:
+            xb = _bin_features(
+                X.data.astype(jnp.float32), self._ovr[0]._edges
+            )
             scores = np.stack(
                 [np.asarray(jax.device_get(
-                    jax.nn.sigmoid(m._raw_predict(X))
+                    jax.nn.sigmoid(m._raw_predict(X, _xb=xb))
                 )) for m in self._ovr], axis=1,
             )
             out = scores / scores.sum(axis=1, keepdims=True)

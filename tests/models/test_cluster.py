@@ -96,3 +96,22 @@ def test_kmeans_save_load(nps_app_inst, tmp_path):
     )
     assert m2.inertia_ == m.inertia_ and m2.n_iter_ == m.n_iter_
     assert np.array_equal(m2.predict(X).get(), m.predict(X).get())
+
+
+def test_kmeans_does_not_pin_training_array(app_inst):
+    """Review regression: the fitted model keeps only the row grid
+    metadata for labels_, not the full training BlockArray."""
+    from nums_tpu.models.cluster import KMeans
+
+    rs = np.random.RandomState(0)
+    real_X = np.concatenate(
+        [rs.randn(40, 3) + 5.0, rs.randn(40, 3) - 5.0], axis=0
+    )
+    X = app_inst.array(real_X, block_shape=(20, 3))
+    m = KMeans(n_clusters=2, max_iter=20, seed=1).fit(X)
+    assert not hasattr(m, "_fit_X")
+    lab = m.labels_.get()
+    assert lab.shape == (80,)
+    assert set(np.unique(lab)) == {0, 1}
+    # the two blobs get distinct labels
+    assert len(set(lab[:40])) == 1 and lab[0] != lab[-1]

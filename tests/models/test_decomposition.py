@@ -231,3 +231,23 @@ def test_truncated_svd_save_load(nps_app_inst, tmp_path):
         m2.explained_variance_ratio_.get(),
         m.explained_variance_ratio_.get(),
     )
+
+
+def test_pca_transform_ooc_matches_incore(nps_app_inst, tmp_path):
+    """Review regression: the OOC projection runs on DEVICE via
+    ooc_put + a jitted GEMM (KMeans.predict_ooc pattern) and must
+    match the in-core transform, including whitening."""
+    from nums_tpu.models.decomposition import PCA
+
+    rs = np.random.RandomState(3)
+    real_X = rs.randn(96, 6) * np.array([5, 3, 1, 0.5, 0.2, 0.1]) + 2.0
+    X = nps_app_inst.array(real_X, block_shape=(24, 6))
+    for whiten in (False, True):
+        m = PCA(n_components=3, whiten=whiten).fit(X)
+        want = m.transform(X).get()
+        dX = nps_app_inst.spill(X, str(tmp_path / f"pcaX{whiten}"))
+        got = m.transform(dX, out=str(tmp_path / f"pcaT{whiten}"))
+        got_host = nps_app_inst.read_fs(got.path).get() if hasattr(
+            got, "path"
+        ) else got.get()
+        assert np.allclose(got_host, want, atol=1e-4), whiten

@@ -268,3 +268,54 @@ def test_sklearn_conveniences(nps_app_inst):
     lin = LinearRegression(solver="newton", max_iter=10)
     lin.fit(X2, y2)
     assert float(lin.score(X2, y2)) > 0.999
+
+
+def test_sgd_draws_fresh_samples(nps_app_inst):
+    """Review regression: rs.numpy() reseeds per call, so drawing the
+    index inside the loop trained on ONE fixed row forever. The loop
+    must hold a single generator and visit many distinct rows."""
+    from nums_tpu.models import glms
+
+    app = nps_app_inst
+    n, d = 32, 2
+    X = app.array(
+        np.arange(n * d, dtype=float).reshape(n, d), block_shape=(n, d)
+    )
+    y = app.array(np.zeros(n), block_shape=(n,))
+    seen = []
+
+    class Probe:
+        def __init__(self):
+            self.rs = app.random_state(0)
+
+        def forward(self, Xs, beta):
+            return Xs[:, 0]
+
+        def gradient(self, Xs, ys, mu, beta=None):
+            seen.append(float(Xs.get()[0, 0]))
+            return app.zeros((d,), (d,))
+
+    beta = app.zeros((d,), (d,))
+    glms.sgd(Probe(), beta, X, y, app.scalar(-1.0), 25, app.scalar(0.1))
+    assert len(seen) == 25
+    assert len(set(seen)) > 5, "sgd re-drew the same sample every step"
+
+
+def test_penalized_model_usable_after_load(nps_app_inst, tmp_path):
+    """Review regression: load() restores the penalty vector, so
+    gradient/hessian/grad_norm_sq work on a loaded Ridge (previously
+    _lam_for returned None -> TypeError until refit)."""
+    from nums_tpu.models.glms import GLM, Ridge
+
+    rs = np.random.RandomState(0)
+    real_X = rs.randn(80, 4)
+    real_y = real_X @ np.arange(1.0, 5.0) + 0.5
+    X = nps_app_inst.array(real_X, block_shape=(40, 4))
+    y = nps_app_inst.array(real_y, block_shape=(40,))
+    m = Ridge(alpha=1.0).fit(X, y)
+    want = float(m.grad_norm_sq(X, y).get())
+    m.save(str(tmp_path / "ridge"))
+    m2 = GLM.load(str(tmp_path / "ridge"))
+    got = float(m2.grad_norm_sq(X, y).get())
+    assert np.isfinite(got)
+    assert abs(got - want) < 1e-6 * max(1.0, abs(want))

@@ -122,3 +122,37 @@ def test_split_validation(nps_app_inst):
         model_selection.train_test_split(bx, test_size=10)
     with pytest.raises(AssertionError):
         model_selection.KFold(n_splits=1)
+
+
+def test_cross_val_score_preserves_callers_model(nps_app_inst):
+    """Review regression: CV fits per-fold COPIES (sklearn clone
+    semantics) — the caller's fitted coefficients must survive."""
+    from nums_tpu.models.glms import LinearRegression
+    from nums_tpu.models.model_selection import cross_val_score
+
+    rs = np.random.RandomState(1)
+    real_X = rs.randn(60, 3)
+    real_y = real_X @ np.array([1.0, -2.0, 3.0]) + 0.25
+    X = nps_app_inst.array(real_X, block_shape=(20, 3))
+    y = nps_app_inst.array(real_y, block_shape=(20,))
+    m = LinearRegression().fit(X, y)
+    coef_before = np.asarray(m._beta.get()).copy()
+    scores = cross_val_score(m, X, y, cv=3)
+    assert scores.shape == (3,)
+    assert np.allclose(np.asarray(m._beta.get()), coef_before)
+
+
+def test_r2_score_constant_y_true(nps_app_inst):
+    """Review regression: sklearn's constant-target convention — 1.0
+    for a perfect fit, 0.0 otherwise (not -inf/nan)."""
+    from nums_tpu.models.metrics import r2_score
+
+    const = nps_app_inst.array(np.full(8, 3.0), block_shape=(4,))
+    other = nps_app_inst.array(np.arange(8.0), block_shape=(4,))
+    perfect = float(r2_score(const, const).get())
+    bad = float(r2_score(const, other).get())
+    assert perfect == 1.0
+    assert bad == 0.0
+    # non-degenerate case unchanged
+    s = float(r2_score(other, other).get())
+    assert s == 1.0
