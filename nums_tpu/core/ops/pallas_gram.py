@@ -178,7 +178,7 @@ def enabled() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def _plan(n, d):
+def _plan(n, d, scaled=False):
     """(rows, d) chunking, or None if the shape doesn't fit.
 
     d must be lane-aligned (multiple of 128): Mosaic requires VMEM
@@ -194,6 +194,13 @@ def _plan(n, d):
     # Largest 8-row-aligned chunk whose double-buffered f32 block plus
     # bf16 scratch fits the budget next to the resident accumulator.
     per_row = d * 4 * 2 + d * 2
+    if scaled:
+        # The weighted kernel's ``x * sqrt(s)`` needs a (rows, d) f32
+        # product temp on the Mosaic stack before the bf16 cast, plus
+        # the double-buffered (rows, 1) s blocks. Sharing the unscaled
+        # plan overflowed scoped VMEM at small d (big rows): 17.83M
+        # > 16M at (1M, 256) on v5e, round-5 hardware sweep.
+        per_row += d * 4 + 4 * 2
     rows = (VMEM_BUDGET - acc) // per_row
     rows = min(rows, max(8, n // 4))  # at least 4 chunks to stream
     rows = max(8, (rows // 8) * 8)
@@ -202,13 +209,15 @@ def _plan(n, d):
     return int(rows), int(d)
 
 
-def supported(shape, dtype) -> bool:
+def supported(shape, dtype, scaled=False) -> bool:
+    """``scaled=True`` checks the WEIGHTED variant's (tighter) VMEM
+    plan — callers that will pass a per-row scale must use it."""
     if len(shape) != 2:
         return False
     n, d = int(shape[0]), int(shape[1])
     if np.dtype(dtype) != np.float32:
         return False
-    return _plan(n, d) is not None
+    return _plan(n, d, scaled) is not None
 
 
 def plan_possible(d) -> bool:
@@ -227,7 +236,7 @@ def gram_fn(n, d, scaled=False):
     in-kernel — padding a 10GB input with jnp.pad would double HBM) and
     the upper-triangular tiles mirror into the lower triangle with one
     elementwise where."""
-    rows, _ = _plan(n, d)
+    rows, _ = _plan(n, d, scaled)
 
     def impl(x, s=None):
         if scaled:
@@ -251,4 +260,10 @@ def gram(x, s=None):
     n, d = int(x.shape[0]), int(x.shape[1])
     if s is None:
         return gram_fn(n, d)(x)
-    return gram_fn(n, d, scaled=True)(x, s)
+    if _plan(n, d, scaled=True) is not None:
+        return gram_fn(n, d, scaled=True)(x, s)
+    # The weighted plan's extra f32 product temp doesn't fit VMEM at
+    # this d, but the unscaled kernel does: materialize √s·x once
+    # (one extra HBM round trip) and keep the ~44% symmetric FLOP cut.
+    xs = x * jnp.sqrt(s.astype(x.dtype))[:, None]
+    return gram_fn(n, d)(xs)

@@ -195,11 +195,15 @@ def _plan(n, d):
 
     Same constraints as ``pallas_gram._plan`` plus the extra VMEM
     residents: the (d, 1) g accumulator, the (d, 1) beta block, and the
-    double-buffered (rows, 1) y blocks."""
+    double-buffered (rows, 1) y blocks. The per-row charge also covers
+    the Mosaic stack temps the kernel body needs — the (rows, d) bf16
+    product of the in-place √s scale and the (rows, 1) eta/mu/r chain —
+    which the gram kernel's shared plan undercharged at small d (big
+    rows): scoped-VMEM stack OOM at (1M, 256), round-5 hardware sweep."""
     if d % TILE != 0:
         return None
     acc = d * d * 4 + 2 * d * 4
-    per_row = d * 4 * 2 + d * 2 + 4 * 2
+    per_row = d * 4 * 2 + d * 2 + d * 2 + 6 * 4
     rows = (VMEM_BUDGET - acc) // per_row
     rows = min(rows, max(8, n // 4))  # at least 4 chunks to stream
     rows = max(8, (rows // 8) * 8)

@@ -25,6 +25,7 @@ def check(name, ours, expected, tol=1e-4):
 def main():
     import time
 
+    sys.path.insert(0, ".")  # run as `python scripts/tpu_smoke.py`
     import nums_tpu
     import nums_tpu.numpy as nps
     from nums_tpu.models.glms import LogisticRegression

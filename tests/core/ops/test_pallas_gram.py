@@ -75,6 +75,59 @@ def test_weighted_gram_matches_materialized_route(app_inst):
     assert np.allclose(fused, materialized, rtol=2e-3, atol=1e-4)
 
 
+def test_scaled_plan_fits_scoped_vmem():
+    """The weighted kernel needs a (rows, d) f32 product temp on the
+    Mosaic stack that the unscaled plan does not — sharing the unscaled
+    rows overflowed scoped VMEM at (1M, 256) on v5e (17.83M > 16M,
+    round-5 hardware sweep). Model the worst-case footprint of every
+    plan and assert it clears the 16 MB scope with headroom."""
+    from nums_tpu.core.ops import pallas_gram, pallas_newton
+
+    limit = 16 * 1024 * 1024
+    for d in range(128, 2049, 128):
+        for scaled in (False, True):
+            plan = pallas_gram._plan(1 << 20, d, scaled)
+            if plan is not None:
+                rows, _ = plan
+                fp = (2 * rows * d * 4      # double-buffered x blocks
+                      + rows * d * 2        # bf16 scratch
+                      + d * d * 4)          # resident accumulator
+                if scaled:
+                    fp += rows * d * 4 + 2 * rows * 4  # f32 temp + s
+                assert fp < limit, (d, scaled, rows, fp)
+        plan = pallas_newton._plan(1 << 20, d)
+        if plan is not None:
+            rows, _ = plan
+            fp = (2 * rows * d * 4 + rows * d * 2 + d * d * 4
+                  + rows * d * 2      # bf16 in-place scale temp
+                  + 2 * rows * 4      # y double buffer
+                  + 6 * rows * 4)     # eta/mu/s/r f32 chain
+            assert fp < limit, ("newton", d, rows, fp)
+
+
+def test_weighted_gram_fallback_when_scaled_plan_rejected(app_inst):
+    """At widths where the scaled plan's extra temp busts VMEM but the
+    unscaled plan fits, gram(x, s) must still ride the kernel via the
+    materialized √s·x route (and stay correct)."""
+    from nums_tpu.core.ops import pallas_gram
+    import jax.numpy as jnp
+
+    d = next(
+        dd for dd in range(2048, 0, -128)
+        if pallas_gram._plan(4096, dd) is not None
+        and pallas_gram._plan(4096, dd, scaled=True) is None
+    )
+    rs = np.random.RandomState(5)
+    x = (rs.randn(640, d) / np.sqrt(d)).astype(np.float32)
+    s = rs.rand(640).astype(np.float32)
+    assert pallas_gram.supported(x.shape, x.dtype)
+    assert not pallas_gram.supported(x.shape, x.dtype, scaled=True)
+    g = np.asarray(pallas_gram.gram(jnp.asarray(x), jnp.asarray(s)))
+    oracle = (x * s[:, None]).T @ x
+    assert _rel(g, oracle) < BF16_REL
+    assert np.array_equal(g, g.T)
+
+
 def test_plan_possible():
     from nums_tpu.core.ops import pallas_gram
 

@@ -23,6 +23,26 @@ import pytest
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
+def test_smoke_suite_cpu_subprocess():
+    """The smoke suite exactly as hw_round5.sh invokes it — a child
+    ``python scripts/tpu_smoke.py`` from the repo root — on the CPU
+    backend. Catches launcher-level breakage (the sys.path bootstrap,
+    env handling) that the importlib-based mode smokes cannot see:
+    round 5's hardware batch burned its smoke step on a
+    ModuleNotFoundError no in-process test could reproduce."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join("scripts", "tpu_smoke.py")],
+        env=env, cwd=_ROOT, capture_output=True, text=True, timeout=1500,
+    )
+    assert proc.returncode == 0, (
+        f"rc={proc.returncode}\n{proc.stdout[-2000:]}{proc.stderr[-2000:]}"
+    )
+    assert "OVERALL: PASS" in proc.stdout
+
+
 @pytest.mark.tpu
 @pytest.mark.skipif(
     os.environ.get("NUMS_TPU_HW_TESTS", "0") in ("0", "false", ""),
