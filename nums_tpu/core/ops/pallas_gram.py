@@ -47,6 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128
 # VMEM budget (bytes) for x-chunk double buffer + bf16 scratch + the
 # resident (d_pad, d_pad) f32 accumulator; v5e has ~16 MB/core.
+# Measured on v5e 2026-08-19 (result_pallas_gram_tpu.csv rows sweep,
+# 200k x 1024): best min_s plateau at rows 512-896 (0.0416-0.0418 s),
+# 128/256 rows 5-20% slower (grid overhead), and the true scoped-VMEM
+# ceiling sits just above the plan (rows=1408 compiles to 19.0M > 16M
+# and is rejected by Mosaic; the plan's rows=920 leaves ~1.2 MB
+# headroom). 13 MB keeps every plan inside the ceiling across d.
 VMEM_BUDGET = 13 * 1024 * 1024
 
 

@@ -261,6 +261,12 @@ collective_matmul = os.environ.get("NUMS_TPU_COLLECTIVE_MATMUL", "0")
 # unaligned minor dims Mosaic needs a whole-array relayout — measured
 # slower and 2x HBM). Opt-in: it changes every at-rest buffer shape.
 lane_pad = os.environ.get("NUMS_TPU_LANE_PAD", "0") == "1"
+# Measured on v5e 2026-08-19 (result_pallas_gram_tpu.csv crossover
+# sweep, 1M rows): the kernel beats or ties XLA at every width >= 256
+# (1.21x at 384, ~tie at 512/768, 1.15x at the padded 1000->1024
+# headline), so 512 keeps padding's storage overhead off narrow arrays
+# where the win is inside run noise while engaging everywhere the
+# kernel's symmetric schedule pays.
 lane_pad_min = int(os.environ.get("NUMS_TPU_LANE_PAD_MIN", "512"))
 
 # Lazy expression batching (SURVEY hard-part #7): BlockArray ops build a

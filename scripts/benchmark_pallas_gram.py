@@ -36,15 +36,24 @@ def _median(xs):
     return ys[len(ys) // 2]
 
 
-def _time_op(fn, sync, reps):
+def _time_op(fn, sync, reps, chain=5):
+    """Per-execution seconds under the amortized-sync protocol: chain
+    ``chain`` async dispatches, ONE scalar fetch, divide (identical to
+    ``scripts/utils.benchmark_chained`` / bench.py). A per-rep fetch
+    costs ~20-25 ms through the tunneled transport and inflated every
+    row of the round-5 first capture by one fetch — 0.0516 s for the
+    headline gram that bench.py's chained protocol measures at
+    0.0253 s — compressing every A/B ratio toward 1."""
     fn()  # compile + warmup
     sync(fn())
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn()
+        out = None
+        for _ in range(chain):
+            out = fn()
         sync(out)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / chain)
     return min(times), _median(times)
 
 

@@ -51,12 +51,22 @@ def test_gemm_floor_passes_and_fails(tmp_path):
 
 
 def test_bench_floor():
+    floor = check_perf.BENCH_FLOOR_X
+    failures = []
+    check_perf.check_bench_payload(
+        {"vs_baseline": floor + 0.1}, "t", failures
+    )
+    assert not failures
+    check_perf.check_bench_payload(
+        {"vs_baseline": floor - 0.5}, "t", failures
+    )
+    assert failures
+    assert floor >= 2.4  # the Pallas-routed headline stays gated
+    # (round-5 measured 2.824x; the XLA fallback's ~2.0x must FAIL so a
+    # kernel-routing regression trips CI, VERDICT r4 next #3)
     failures = []
     check_perf.check_bench_payload({"vs_baseline": 2.0}, "t", failures)
-    assert not failures
-    check_perf.check_bench_payload({"vs_baseline": 1.2}, "t", failures)
     assert failures
-    assert check_perf.BENCH_FLOOR_X >= 1.5  # stays a real floor
     failures = []
     check_perf.check_bench_payload({}, "t", failures)
     assert failures  # missing field must not pass silently
@@ -120,7 +130,9 @@ def test_all_dead_bench_records_fail(tmp_path, monkeypatch):
 def test_live_newest_bench_record_passes(tmp_path, monkeypatch):
     _in_dir(tmp_path, {
         "BENCH_r03.json": _bench_record(None, rc=124),
-        "BENCH_r04.json": _bench_record({"vs_baseline": 2.2}),
+        "BENCH_r04.json": _bench_record(
+            {"vs_baseline": check_perf.BENCH_FLOOR_X + 0.1}
+        ),
     })
     monkeypatch.chdir(tmp_path)
     failures = []
