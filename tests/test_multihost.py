@@ -271,6 +271,13 @@ def test_multi_process_mesh_e2e(tmp_path, nprocs, local_dev):
         k: v for k, v in os.environ.items()
         if not k.startswith(("JAX_", "XLA_"))
     }
+    # `python /tmp/.../worker.py` puts the WORKER's directory on
+    # sys.path, not the cwd — without an editable install (fresh
+    # container) the import fails; point the workers at the repo.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     # Workers log to files (PIPE + sequential communicate can deadlock:
     # a later worker blocking on a full pipe stalls a barrier the
     # earlier worker is waiting in).
