@@ -154,7 +154,11 @@ def device_resident(args, app):
 
     for n in [int(x) for x in args.ns.split(",")]:
         try:
-            X = make_x(n, d, app.backend).data  # physical (padded) form
+            # .raw = the physical (padded) at-rest buffer: .data would
+            # slice back to the logical width — dropping the lane pad
+            # (so the pallas route never qualifies) AND materializing a
+            # second (n, d) copy (OOM at the 2.5M headline size).
+            X = make_x(n, d, app.backend).raw
         except Exception as e:  # OOM etc: skip the N, keep the batch
             print(f"N={n}: build FAILED ({type(e).__name__})")
             continue

@@ -33,19 +33,22 @@ import numpy as np
 
 
 def _gen_host_panel(start, rows, d, dtype):
-    """Deterministic data: column j is a sinusoid with its OWN
-    frequency, so columns are near-orthogonal and the design matrix is
-    full rank with a healthy spectrum (H ≈ (n/2)·diag — the Newton
-    solve stays far above single-pass-MAC noise at any N). The old
-    sawtooth ``(i·a + j·b) % 1.9`` had at most 977 distinct rows and
-    near-duplicate columns: H was singular by construction and the
-    solve sat on the Cholesky jitter floor. ~0.5 GB/s on host (sin
-    in fp32)."""
+    """Deterministic data: column j is a SAWTOOTH with its own
+    irrational-step frequency, so columns are near-orthogonal and the
+    design matrix is full rank with a healthy spectrum (measured
+    cond(H) <= 3 across widths/offsets incl. the mod wrap — the Newton
+    solve stays far above single-pass-MAC noise at any N). Two earlier
+    forms each failed one requirement: the round-3 shared-frequency
+    sawtooth had near-duplicate columns (H singular by construction),
+    and the round-5 per-column SINUSOID fixed that but cost one
+    transcendental per element — at 20M x 1000 the device-mode gram
+    regressed 0.31 -> 0.70 s because 2e10 sins dominated the very
+    accumulate path the benchmark claims to measure."""
     i = (np.arange(start, start + rows, dtype=np.float32)[:, None]
-         % 59999.0)
-    j = np.arange(d, dtype=np.float32)[None, :] % 1021.0
-    return np.sin(
-        i * (0.013 + j * 3.7e-4) + j * 0.073, dtype=np.float32
+         % 104729.0)
+    j = np.arange(d, dtype=np.float32)[None, :]
+    return (
+        ((i * (0.6180339887 + j * 7.3e-4) + j * 0.2516) % 1.0) - 0.5
     ).astype(dtype)
 
 
@@ -86,13 +89,24 @@ def main(argv=None):
         # only, ~44% fewer MXU FLOPs than XLA's full dot_general. Zero
         # pads contribute zero, so the padded accumulator's logical
         # corner is exactly the unpadded result; slice once at the end.
+        #
+        # use_pallas defaults OFF here — in THIS mode only. The panels
+        # are GENERATED in-program, and XLA fuses the generator into
+        # its own dot_general (the panel never exists in HBM), while a
+        # Pallas custom call forces the full (rows, dp) panel to
+        # materialize first; measured on v5e 2026-08-19 at 20M x 1000:
+        # XLA-fused 0.3025 s vs kernel 0.700 s. Production OOC paths
+        # (real panels already resident in HBM — streaming.py,
+        # gram_ooc, newton_fit_ooc) keep the kernel, where its FLOP cut
+        # wins (see result_pallas_gram_tpu.csv). NUMS_TPU_PALLAS_GRAM=1
+        # forces the kernel route for A/B.
         from nums_tpu.core.ops import pallas_gram, pallas_newton
 
         def lane_width(width):
             w = -(-width // 128) * 128
-            if pallas_gram.enabled() and pallas_gram.supported(
-                (rows, w), np.float32
-            ):
+            if os.environ.get(
+                "NUMS_TPU_PALLAS_GRAM"
+            ) == "1" and pallas_gram.supported((rows, w), np.float32):
                 return w, True
             return width, False
 
@@ -102,10 +116,10 @@ def main(argv=None):
             (the formula matches ``_gen_host_panel`` column-for-column
             so device and disk modes compute the same statistics)."""
             i = (pi * rows + jax.lax.broadcasted_iota(
-                jnp.float32, (rows, dp), 0)) % 59999.0
-            j = jax.lax.broadcasted_iota(
-                jnp.float32, (rows, dp), 1) % 1021.0
-            vals = jnp.sin(i * (0.013 + j * 3.7e-4) + j * 0.073)
+                jnp.float32, (rows, dp), 0)) % 104729.0
+            j = jax.lax.broadcasted_iota(jnp.float32, (rows, dp), 1)
+            vals = ((i * (0.6180339887 + j * 7.3e-4) + j * 0.2516)
+                    % 1.0) - 0.5
             jj = jax.lax.broadcasted_iota(jnp.int32, (rows, dp), 1)
             if intercept:
                 vals = jnp.where(jj == width, 1.0, vals)

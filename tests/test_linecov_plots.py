@@ -132,8 +132,9 @@ def test_plot_all_renders_committed_artifacts(tmp_path, monkeypatch):
     out = tmp_path / "plots"
     assert plot_all.main(["--out", str(out)]) == 0
     made = sorted(os.listdir(out))
-    assert made == ["bop.png", "gemm.png", "lr.png", "ooc.png",
-                    "tsqr.png"]
+    assert made == ["bop.png", "device_resident.png", "gemm.png",
+                    "interleave.png", "lr.png", "models.png", "ooc.png",
+                    "pallas_gram.png", "tsqr.png"]
     for f in made:
         assert (out / f).stat().st_size > 10_000  # a real figure
 
